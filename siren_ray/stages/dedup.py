@@ -1,0 +1,234 @@
+"""Deduplication operators for web-scale corpora.
+
+Reference semantics reproduced (SURVEY.md §2.5): exact URL dedup D1
+(online/mirror.py:33-39,106-108), pre-fetch ID dedup D2
+(epaper/ht.py:233-247 — handled by the frontier seen-filter), and
+first-wins headline dedup D3 (epaper/ht.py:261-268) with the arrival-order
+nondeterminism replaced by a deterministic (order_col ASC) tie-break.
+
+Scale additions (task brief): MinHash+LSH, SimHash, n-gram Jaccard
+verification, embedding-cosine near-dup. All are expressed as
+map_batches (per-row signatures, vectorized numpy) + groupby on compact
+keys (bands/buckets) — the only all-to-all exchanges move signatures,
+never full documents, and exact-dup grouping pre-aggregates by hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.textstats import shingles
+from ..util import hash_strings
+
+# --- exact dedup (D1/D3) --------------------------------------------------
+
+
+def dedup_exact(ds, key_col: str, order_col: str):
+    """First-wins exact dedup: one row per key, winner = min(order_col).
+
+    Hash-partition by key (groupby shuffle), keep the deterministic
+    winner per group — the Ray Data expression of mirror.py:106-108 /
+    ht.py:261-268 with a total order replacing arrival order.
+    """
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_col, kind="mergesort").head(1)
+
+    return ds.groupby(key_col).map_groups(_first, batch_format="pandas")
+
+
+# --- MinHash --------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
+                      k: int = 5) -> np.ndarray:
+    sh = shingles(text, k)
+    if not sh:
+        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    h = hash_strings(sh).astype(np.uint64)
+    # (a*h + b) mod p, vectorized over perms x shingles
+    vals = (a[:, None] * (h[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor (T2-style
+    stateful init), signatures + LSH band keys per batch."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 5,
+                 text_col: str = "text"):
+        assert num_perm % bands == 0
+        self.a, self.b = _minhash_params(num_perm)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = k
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = np.stack(
+            [minhash_signature(t or "", self.a, self.b, self.k) for t in texts]
+        )
+        band_keys = []
+        for row in sigs:
+            keys = []
+            for bnd in range(self.bands):
+                seg = row[bnd * self.rows_per_band:(bnd + 1) * self.rows_per_band]
+                keys.append(f"{bnd}:" + "-".join(map(str, seg)))
+            band_keys.append(keys)
+        return batch.append_column(
+            "minhash_bands", pa.array(band_keys, pa.list_(pa.string()))
+        )
+
+
+def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
+                            bands: int = 16, k: int = 5,
+                            text_col: str = "text"):
+    """MinHash+LSH candidate pairs: shingle -> minhash -> band -> bucket
+    groupby. Returns a Dataset of (id_a, id_b) candidate pairs
+    (id_a < id_b), deduplicated.
+
+    Shuffle moves only (id, band_key) pairs — signatures, never text.
+    """
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "num_perm": num_perm, "bands": bands, "k": k, "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for i, bks in zip(batch[id_col].to_pylist(),
+                          batch["minhash_bands"].to_pylist()):
+            for bk in bks:
+                ids.append(i)
+                keys.append(bk)
+        return pa.table({id_col: pa.array(ids),
+                         "band_key": pa.array(keys, pa.string())})
+
+    exploded = sigs.map_batches(_explode, batch_format="pyarrow")
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(df[id_col].unique().tolist())
+        if len(vals) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        a, b = [], []
+        # bucket -> pairs; buckets are tiny under honest banding
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                a.append(vals[i])
+                b.append(vals[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = exploded.groupby("band_key").map_groups(_pairs, batch_format="pandas")
+    return dedup_exact(
+        pairs.map_batches(
+            lambda t: t.append_column(
+                "pair_key",
+                pa.array([f"{x}|{y}" for x, y in
+                          zip(t["id_a"].to_pylist(), t["id_b"].to_pylist())]),
+            ),
+            batch_format="pyarrow",
+        ),
+        "pair_key",
+        "id_a",
+    ).drop_columns(["pair_key"])
+
+
+# --- SimHash --------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    h = hash_strings(toks).astype(np.uint64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    return int(
+        np.bitwise_or.reduce(
+            (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+    )
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    vals = np.array([simhash64(t or "") for t in batch[text_col].to_pylist()],
+                    dtype=np.uint64)
+    return batch.append_column("simhash", pa.array(vals, pa.uint64()))
+
+
+# --- n-gram Jaccard (verification kernel) ---------------------------------
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa, sb = set(shingles(text_a, k)), set(shingles(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+def embedding_neardup_pairs(ds, id_col: str = "vec_id",
+                            emb_col: str = "embedding",
+                            threshold: float = 0.95,
+                            n_planes: int = 12, seed: int = 11):
+    """Near-duplicate vectors by cosine similarity, LSH-bucketed.
+
+    Random-hyperplane signatures (computed vectorized per batch) bucket
+    candidates; exact cosine verifies within each bucket. Only (id, sig,
+    vector) rows shuffle; buckets stay small.
+    """
+
+    class Signer:
+        def __init__(self):
+            self.planes = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = np.array(batch[emb_col].to_pylist(), dtype=np.float32)
+            if self.planes is None:
+                rng = np.random.RandomState(seed)
+                self.planes = rng.standard_normal(
+                    (mat.shape[1], n_planes)
+                ).astype(np.float32)
+            bits = (mat @ self.planes) > 0
+            sig = bits @ (1 << np.arange(n_planes))
+            return batch.append_column("lsh_sig", pa.array(sig.astype(np.int64)))
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        mat = np.array(df[emb_col].tolist(), dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ (mat / norms).T
+        ids = df[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(df), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
+                "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
+                "cosine": sims[ia, ib][mask].astype(float),
+            }
+        )
+
+    sigs = ds.map_batches(Signer, batch_format="pyarrow", concurrency=2)
+    return sigs.groupby("lsh_sig").map_groups(_verify, batch_format="pandas")

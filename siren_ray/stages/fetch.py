@@ -1,0 +1,162 @@
+"""Fetch stage: frontier ⋈ pages lookup + extraction, as an actor pool.
+
+The reference's live ``HTTP.get`` (/root/reference/siren/core/http.py:91-114)
+becomes a hash lookup against the Parquet ``pages`` corpus (SURVEY.md §1.3,
+§2.2 F2): a left join of the frontier on ``url`` where misses produce
+fetch-error rows instead of silently vanishing (F4 semantics, recorded).
+
+Two physical strategies, both stateful actor pools
+(``map_batches(FetchExtract, concurrency=N)``):
+
+- **broadcast**: the (url, html) side is ``ray.put`` once by the driver;
+  every actor maps it zero-copy from the local object store and builds a
+  url -> row-index dict once in ``__init__``. Right choice while the
+  corpus fits a node's object store (small-side broadcast join).
+- **bucketed**: pages are stored hash-partitioned by
+  ``bucket = hash64(url) % NUM_BUCKETS``; each actor reads only the
+  bucket partitions its batch needs (Parquet partition pruning) and
+  caches decoded buckets LRU-style. This is the 100 TB path: frontier
+  and pages co-partitioned by url hash, so the "join" never shuffles the
+  big side and each bucket is read by a bounded number of actors.
+
+After lookup the actor runs the extraction UDF in the same batch (html
+never leaves the actor — only extracted text and links flow on).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import ray
+
+from ..util import hash_strings
+from .extract import extract_batch
+
+_NULL_EXTRACT_COLS: list[tuple[str, pa.DataType]] = [
+    ("kind", pa.string()),
+    ("parse_ok", pa.bool_()),
+    ("text", pa.string()),
+    ("title", pa.string()),
+    ("author", pa.string()),
+    ("headline", pa.string()),
+    ("published_ts", pa.timestamp("us")),
+    ("links", pa.list_(pa.string())),
+]
+
+
+class FetchExtract:
+    """Actor-pool callable: scheduling rows in, extracted rows out."""
+
+    def __init__(
+        self,
+        *,
+        pages_ref=None,
+        pages_dir: str | None = None,
+        num_buckets: int = 32,
+        cache_buckets: int = 8,
+    ):
+        self.num_buckets = num_buckets
+        self.cache_buckets = cache_buckets
+        self._bucket_cache: OrderedDict[int, tuple[dict, pa.Table]] = OrderedDict()
+        self.pages_dir = pages_dir
+        if pages_ref is not None:
+            table: pa.Table = ray.get(pages_ref)  # zero-copy from plasma
+            self._index = {u: i for i, u in enumerate(table["url"].to_pylist())}
+            self._html = table["html"]
+            self.mode = "broadcast"
+        else:
+            assert pages_dir is not None
+            self._index = None
+            self._html = None
+            self.mode = "bucketed"
+
+    # -- lookup ----------------------------------------------------------
+    def _lookup_broadcast(self, urls: list[str]) -> list:
+        idx = self._index
+        html = self._html
+        return [html[j].as_py() if (j := idx.get(u)) is not None else None
+                for u in urls]
+
+    def _bucket_table(self, b: int) -> tuple[dict, pa.Table]:
+        cached = self._bucket_cache.get(b)
+        if cached is not None:
+            self._bucket_cache.move_to_end(b)
+            return cached
+        dset = pads.dataset(self.pages_dir, partitioning="hive")
+        t = dset.to_table(columns=["url", "html"], filter=pads.field("bucket") == b)
+        entry = ({u: i for i, u in enumerate(t["url"].to_pylist())}, t)
+        self._bucket_cache[b] = entry
+        while len(self._bucket_cache) > self.cache_buckets:
+            self._bucket_cache.popitem(last=False)
+        return entry
+
+    def _lookup_bucketed(self, urls: list[str]) -> list:
+        buckets = (hash_strings(urls) % self.num_buckets).astype(np.int64)
+        out: list = [None] * len(urls)
+        order = np.argsort(buckets, kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            b = int(buckets[order[i]])
+            while j < len(order) and int(buckets[order[j]]) == b:
+                j += 1
+            index, table = self._bucket_table(b)
+            html = table["html"]
+            for k in order[i:j]:
+                row = index.get(urls[k])
+                if row is not None:
+                    out[k] = html[row].as_py()
+            i = j
+        return out
+
+    # -- batch entry point ------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_out(batch)
+        urls = batch["url"].to_pylist()
+        htmls = (
+            self._lookup_broadcast(urls)
+            if self.mode == "broadcast"
+            else self._lookup_bucketed(urls)
+        )
+        found = np.array([h is not None for h in htmls], dtype=bool)
+        found_arr = pa.array(found)
+        hit = batch.filter(found_arr).append_column(
+            "html", pa.array([h for h in htmls if h is not None], pa.binary())
+        )
+        extracted = extract_batch(hit)  # drops html
+        extracted = extracted.append_column(
+            "found", pa.array(np.ones(extracted.num_rows, dtype=bool))
+        )
+        miss = batch.filter(pa.compute.invert(found_arr))
+        if miss.num_rows:
+            for name, typ in _NULL_EXTRACT_COLS:
+                miss = miss.append_column(name, pa.nulls(miss.num_rows, typ))
+            miss = miss.append_column(
+                "found", pa.array(np.zeros(miss.num_rows, dtype=bool))
+            )
+            # align column order
+            miss = miss.select(extracted.column_names)
+            return pa.concat_tables([extracted, miss], promote_options="default")
+        return extracted
+
+
+def _empty_out(batch: pa.Table) -> pa.Table:
+    t = batch
+    for name, typ in _NULL_EXTRACT_COLS:
+        t = t.append_column(name, pa.nulls(0, typ))
+    return t.append_column("found", pa.nulls(0, pa.bool_()))
+
+
+def broadcast_pages(pages_dir: str):
+    """Read (url, html) of the corpus once and put it in the object store.
+
+    Column-pruned read: only the two columns the fetch join needs leave
+    storage (never the golden ``text``/``lang``).
+    """
+    dset = pads.dataset(pages_dir, partitioning="hive")
+    table = dset.to_table(columns=["url", "html"])
+    return ray.put(table.combine_chunks())

@@ -1,0 +1,59 @@
+"""Small shared utilities: deterministic hashing, URL helpers.
+
+Hashing must be deterministic across processes and parallelism levels so the
+URL-seen set and crawl order are identical at num_cpus=8 and num_cpus=32
+(SURVEY.md §7 "Seen-filter atomicity across parallelism levels").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# pandas' hash_array uses SipHash-1-3 with this fixed key -> stable across
+# processes/machines (no PYTHONHASHSEED dependence).
+_HASH_KEY = "0123456789123456"
+
+
+def hash_strings(values) -> np.ndarray:
+    """Vectorized, deterministic 64-bit hash of a string array-like.
+
+    Returns uint64 ndarray. Used for URL-seen fingerprints and hash
+    partitioning (host buckets, url buckets).
+    """
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+
+
+def hash_string(value: str) -> int:
+    return int(hash_strings([value])[0])
+
+
+def host_of(url: str) -> str:
+    """Extract the host from an http(s) URL (no stdlib urlparse in hot path)."""
+    # "https://host/path" -> host
+    start = url.find("//")
+    if start == -1:
+        return ""
+    start += 2
+    end = url.find("/", start)
+    return url[start:] if end == -1 else url[start:end]
+
+
+def path_of(url: str) -> str:
+    start = url.find("//")
+    if start == -1:
+        return url
+    end = url.find("/", start + 2)
+    return "" if end == -1 else url[end:]
+
+
+def hosts_of(urls) -> np.ndarray:
+    """Vectorized host extraction via pandas string ops."""
+    s = pd.Series(urls, dtype="object")
+    return s.str.extract(r"^[a-z]+://([^/]+)", expand=False).fillna("").to_numpy()
+
+
+def paths_of(urls) -> np.ndarray:
+    s = pd.Series(urls, dtype="object")
+    return s.str.replace(r"^[a-z]+://[^/]*", "", regex=True).to_numpy()

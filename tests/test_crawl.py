@@ -1,0 +1,157 @@
+"""Crawl-engine conformance vs the single-threaded simulator:
+same crawl order, same URL-seen set, byte-identical extracted text
+(BASELINE.md correctness invariant; SURVEY.md §5c)."""
+
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from siren_ray.pipelines.frontier import (
+    CrawlConfig,
+    read_crawl_order,
+    run_crawl,
+)
+from siren_ray.pipelines.simulator import simulate_crawl
+from siren_ray.util import hash_strings
+
+
+PARAMS = dict(budget_per_round=50, round_ms=1000, max_rounds=12, max_depth=6)
+
+
+@pytest.fixture(scope="module")
+def sim(corpus_sf0001):
+    return simulate_crawl(corpus_sf0001, **PARAMS)
+
+
+@pytest.fixture(scope="module")
+def engine(corpus_sf0001, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl"))
+    cfg = CrawlConfig(
+        corpus_dir=corpus_sf0001,
+        out_dir=out,
+        fetch_mode="broadcast",
+        scheduler="driver",
+        **PARAMS,
+    )
+    return run_crawl(cfg)
+
+
+def _engine_order(engine):
+    t = read_crawl_order(engine.out_dir)
+    return list(
+        zip(t["round"].to_pylist(), t["url"].to_pylist(), t["seq"].to_pylist())
+    )
+
+
+def test_crawl_order_matches_simulator(engine, sim):
+    sim_order = [(r, url, seq) for (r, _rank, url, _p, seq, _f) in sim.crawl_order]
+    assert _engine_order(engine) == sim_order
+
+
+def test_seen_set_matches_simulator(engine, sim, corpus_sf0001):
+    # engine seen checkpoint = all shard parquet fingerprints
+    seen_dir = os.path.join(engine.out_dir, "seen_ckpt")
+    parts = [
+        pads.dataset(os.path.join(seen_dir, f)).to_table()["fingerprint"].to_numpy()
+        for f in sorted(os.listdir(seen_dir))
+    ]
+    engine_seen = set(np.concatenate(parts).tolist())
+    assert engine_seen == {h & 0xFFFFFFFFFFFFFFFF for h in sim.seen_hashes}
+
+
+def test_extracted_text_byte_identical_to_golden(engine, corpus_sf0001):
+    ext = pads.dataset(
+        os.path.join(engine.out_dir, "extracted"), partitioning="hive"
+    ).to_table(columns=["url", "text", "found", "parse_ok"])
+    golden = pads.dataset(
+        os.path.join(corpus_sf0001, "pages"), partitioning="hive"
+    ).to_table(columns=["url", "text"])
+    gold = dict(zip(golden["url"].to_pylist(), golden["text"].to_pylist()))
+    n_checked = 0
+    for url, text, found, ok in zip(
+        ext["url"].to_pylist(),
+        ext["text"].to_pylist(),
+        ext["found"].to_pylist(),
+        ext["parse_ok"].to_pylist(),
+    ):
+        if found and ok:
+            assert text == gold[url], url
+            n_checked += 1
+    assert n_checked > 100
+
+
+def test_errors_and_robots_recorded(engine, sim):
+    assert engine.total_errors == len(sim.errors)
+    total_robots = sum(m["robots_skipped"] for m in engine.metrics)
+    assert total_robots == len(sim.robots_skipped)
+
+
+def test_metrics_lineage_complete(engine):
+    assert len(engine.metrics) == engine.rounds
+    for m in engine.metrics:
+        assert m["selected"] <= 50  # politeness budget honored
+        assert m["seen_size"] >= m["selected"]
+
+
+def test_resume_from_checkpoint(corpus_sf0001, tmp_path_factory, sim):
+    """Run 3 rounds, then resume to completion -> same crawl order."""
+    out = str(tmp_path_factory.mktemp("crawl_resume"))
+    cfg1 = CrawlConfig(
+        corpus_dir=corpus_sf0001, out_dir=out, fetch_mode="broadcast",
+        budget_per_round=50, round_ms=1000, max_rounds=3, max_depth=6,
+    )
+    res1 = run_crawl(cfg1)
+    assert res1.rounds == 3
+    cfg2 = CrawlConfig(
+        corpus_dir=corpus_sf0001, out_dir=out, fetch_mode="broadcast",
+        budget_per_round=50, round_ms=1000, max_rounds=12, max_depth=6,
+        resume=True,
+    )
+    res2 = run_crawl(cfg2)
+    t = read_crawl_order(out)
+    got = list(
+        zip(t["round"].to_pylist(), t["url"].to_pylist(), t["seq"].to_pylist())
+    )
+    sim_order = [(r, url, seq) for (r, _rank, url, _p, seq, _f) in sim.crawl_order]
+    assert got == sim_order
+    assert res2.rounds >= res1.rounds
+
+
+def test_bucketed_fetch_same_order(corpus_sf0001, tmp_path_factory, sim):
+    out = str(tmp_path_factory.mktemp("crawl_bucketed"))
+    cfg = CrawlConfig(
+        corpus_dir=corpus_sf0001, out_dir=out, fetch_mode="bucketed",
+        scheduler="driver", **PARAMS,
+    )
+    engine = run_crawl(cfg)
+    sim_order = [(r, url, seq) for (r, _rank, url, _p, seq, _f) in sim.crawl_order]
+    assert _engine_order(engine) == sim_order
+
+
+def test_distributed_scheduler_matches_simulator(
+    corpus_sf0001, tmp_path_factory, sim
+):
+    """The fully-distributed scheduling path (url/host shuffles,
+    sort+limit budget) must equal the driver path and the simulator.
+    Shorter run: distributed rounds carry fixed Ray-execution overhead."""
+    out = str(tmp_path_factory.mktemp("crawl_dist"))
+    cfg = CrawlConfig(
+        corpus_dir=corpus_sf0001, out_dir=out, fetch_mode="broadcast",
+        scheduler="distributed", budget_per_round=50, round_ms=1000,
+        max_rounds=4, max_depth=6,
+    )
+    engine = run_crawl(cfg)
+    sim_order = [
+        (r, url, seq)
+        for (r, _rank, url, _p, seq, _f) in sim.crawl_order
+        if r < 4
+    ]
+    assert _engine_order(engine) == sim_order
+
+
+def test_hash_determinism():
+    a = hash_strings(["https://x/1", "https://x/2"])
+    b = hash_strings(["https://x/1", "https://x/2"])
+    assert (a == b).all() and a.dtype == np.uint64
