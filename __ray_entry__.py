@@ -251,20 +251,13 @@ def q_fingerprint(sf_dir: str):
 def q_pagination_expand(sf_dir: str):
     """X10 (NewsMinute convention, newsminute.py:84-90): per-key totals ->
     offset fan-out with the exact (total//100)-1 / range(1, pages-1)
-    arithmetic."""
+    arithmetic. The distributed part computes the per-key totals
+    (discovery phase); the fan-out itself is tiny driver-side metadata —
+    exactly the reference's two-phase discover->expand shape (S3)."""
     import pandas as pd
+    import pyarrow as pa
 
     from siren_ray.functions.scalars import expand_offsets_newsminute
-
-    def _expand(df: pd.DataFrame) -> pd.DataFrame:
-        total = int(df["partial"].sum())
-        offs = expand_offsets_newsminute(total)
-        return pd.DataFrame(
-            {"event_type": [df["event_type"].iloc[0]] * len(offs),
-             "offset": pd.Series(offs, dtype="int64")}
-        )
-
-    import pyarrow as pa
 
     ds = _events(sf_dir, columns=["event_type"])
 
@@ -275,10 +268,21 @@ def q_pagination_expand(sf_dir: str):
         return pa.table({"event_type": vc.field("values"),
                          "partial": vc.field("counts")})
 
-    return (
+    totals = (
         ds.map_batches(_partial, batch_format="pyarrow")
         .groupby("event_type")
-        .map_groups(_expand, batch_format="pandas")
+        .sum("partial")
+        .to_pandas()
+    )
+    sum_col = [c for c in totals.columns if c != "event_type"][0]
+    types, offsets = [], []
+    for _, row in totals.iterrows():
+        for off in expand_offsets_newsminute(int(row[sum_col])):
+            types.append(row["event_type"])
+            offsets.append(off)
+    return pd.DataFrame(
+        {"event_type": pd.Series(types, dtype="object"),
+         "offset": pd.Series(offsets, dtype="int64")}
     )
 
 
@@ -375,7 +379,7 @@ def q_broadcast_join(sf_dir: str):
         )
 
     return (
-        orders.map_batches(_Join, batch_format="pyarrow", concurrency=2)
+        orders.map_batches(_Join, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("c_mktsegment")
         .map_groups(_merge, batch_format="pandas")
     )
@@ -453,7 +457,8 @@ def q_embedding_neardup(sf_dir: str):
     from siren_ray.stages.dedup import embedding_neardup_pairs
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_neardup_pairs(ds, threshold=0.9)
+    # low threshold so random test embeddings yield non-trivial pairs
+    return embedding_neardup_pairs(ds, threshold=0.2)
 
 
 def q_knn_ivf(sf_dir: str):
@@ -491,7 +496,7 @@ def q_ocr_tiles(sf_dir: str):
 
     tiles = rd.from_arrow(make_tiles(40))
     out = tiles.map_batches(
-        OcrTiles, batch_format="pyarrow", batch_size=64, concurrency=2
+        OcrTiles, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
     )
     return out.map_batches(
         lambda t: t.filter(
@@ -638,9 +643,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, "
-            "SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c, "
-            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c, "
-            "SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_c, "
+            "CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c, "
+            "CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c, "
             "count(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),

@@ -1,0 +1,183 @@
+"""Benchmark harness.
+
+Headline pipeline: the full frontier crawl (seen-filter, robots,
+per-host politeness, priority scheduling, fetch-join, extraction) over
+the deterministic synthetic pages corpus at the scale factor implied by
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1 -> 200k-page corpus),
+plus per-operator timings over the testdata tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline crawl seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "urls_per_sec": ..., "crawl": {...}}
+
+--scaling: runs the headline crawl twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs plus scaling efficiency = (thr_32/thr_8) / (32/8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return float(base.removeprefix("sf")) if base.startswith("sf") else 0.1
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def run_crawl_bench(sf: float, num_cpus: int) -> dict:
+    """Timed headline crawl. Corpus generation (cached) is excluded."""
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.pipelines.frontier import CrawlConfig, run_crawl
+
+    corpus = ensure_corpus(sf)
+    out = f"/tmp/siren_ray_runs/bench_crawl_sf{sf:g}_cpus{num_cpus}"
+    t0 = time.perf_counter()
+    res = run_crawl(
+        CrawlConfig(
+            corpus_dir=corpus,
+            out_dir=out,
+            budget_per_round=1_000_000,
+            round_ms=10_000_000,  # politeness quotas effectively open
+            max_rounds=16,
+            max_depth=6,
+            fetch_mode="broadcast",
+            fetch_concurrency=num_cpus,
+            fetch_batch_size=512,
+        )
+    )
+    wall = time.perf_counter() - t0
+    attempted = res.total_fetched + res.total_errors
+    return {
+        "wall_s": round(wall, 3),
+        "fetched": res.total_fetched,
+        "errors": res.total_errors,
+        "rounds": res.rounds,
+        "seen": res.seen_size,
+        "urls_per_sec": round(attempted / wall, 1),
+    }
+
+
+def run_query_bench(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    names = [
+        "lineitem_pricing",
+        "keyword_or",
+        "dedup_exact_text",
+        "token_count",
+        "quality_filter",
+        "minhash_pairs",
+        "knn_brute",
+        "broadcast_join",
+        "count_by_group",
+        "simhash",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # consume lazily-built datasets fully
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_single(args) -> dict:
+    sf_dir = args.sf_dir
+    sf = _sf_of(sf_dir)
+    _init_ray(args.num_cpus)
+    crawl = run_crawl_bench(sf, args.num_cpus)
+    queries = {} if args.crawl_only else run_query_bench(sf_dir)
+    result = {
+        "metric": "crawl_fetch_extract_wall",
+        "value": crawl["wall_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": args.num_cpus,
+        "urls_per_sec": crawl["urls_per_sec"],
+        "crawl": crawl,
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def main_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32."""
+    sf_dir = DEFAULT_SF_DIR
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = sf_dir
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3000,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["urls_per_sec"]
+    thr32 = results[32]["urls_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": _sf_of(sf_dir),
+        "throughput_8": thr8,
+        "throughput_32": thr32,
+        "queries": {},
+        "num_cpus": 32,
+    }
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--crawl-only", action="store_true")
+    p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p.add_argument("--num-cpus", type=int, default=NUM_CPUS)
+    args = p.parse_args()
+    if args.scaling:
+        print(json.dumps(main_scaling()))
+    else:
+        print(json.dumps(main_single(args)))

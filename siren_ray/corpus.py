@@ -38,6 +38,7 @@ import pyarrow.parquet as pq
 from .util import hash_strings
 
 SEED = 42
+CORPUS_VERSION = 2  # bump to invalidate cached corpora under /tmp
 NUM_BUCKETS = 32
 NUM_HOSTS = 40
 NUM_HOT_HOSTS = 5  # Zipf head: these hosts own most pages (skew exercise)
@@ -424,7 +425,7 @@ def _gen_links_batch(batch: pa.Table, n: int) -> pa.Table:
 
 
 def gen_seeds(n: int, num_seeds: int | None = None) -> pa.Table:
-    num_seeds = num_seeds or max(8, n // 250)
+    num_seeds = num_seeds or max(8, n // 25)
     idxs = [i for i in range(n) if kind_of_index(i) == "search"][:num_seeds]
     return pa.table(
         {
@@ -478,8 +479,17 @@ def ensure_corpus(sf: float, root: str | None = None) -> str:
 
     d = corpus_dir(sf, root)
     marker = os.path.join(d, "_SUCCESS")
+    params_path = os.path.join(d, "params.json")
     if os.path.exists(marker):
-        return d
+        try:
+            with open(params_path) as f:
+                if json.load(f).get("version") == CORPUS_VERSION:
+                    return d
+        except (OSError, json.JSONDecodeError):
+            pass
+        import shutil
+
+        shutil.rmtree(d)
     n = n_for_sf(sf)
     os.makedirs(d, exist_ok=True)
     ds = rd.range(n)
@@ -492,8 +502,9 @@ def ensure_corpus(sf: float, root: str | None = None) -> str:
     ).write_parquet(os.path.join(d, "links"))
     pq.write_table(gen_seeds(n), os.path.join(d, "seeds.parquet"))
     pq.write_table(gen_robots(), os.path.join(d, "robots.parquet"))
-    with open(os.path.join(d, "params.json"), "w") as f:
-        json.dump({"sf": sf, "n": n, "seed": SEED, "buckets": NUM_BUCKETS}, f)
+    with open(params_path, "w") as f:
+        json.dump({"sf": sf, "n": n, "seed": SEED, "buckets": NUM_BUCKETS,
+                   "version": CORPUS_VERSION}, f)
     with open(marker, "w") as f:
         f.write("ok")
     return d

@@ -283,15 +283,10 @@ class _Crawl:
                 .map_batches(
                     FetchExtract,
                     fn_constructor_kwargs=self.fetch_kwargs,
+                    fn_kwargs={"round_no": r},
                     batch_format="pyarrow",
                     batch_size=cfg.fetch_batch_size,
-                    concurrency=cfg.fetch_concurrency,
-                )
-                .map_batches(
-                    lambda t, rr=r: t.append_column(
-                        "round", pa.array([rr] * t.num_rows, pa.int32())
-                    ),
-                    batch_format="pyarrow",
+                    concurrency=(1, cfg.fetch_concurrency),
                 )
                 .materialize()
             )
@@ -360,7 +355,7 @@ class _Crawl:
             SeenContainsFilter,
             fn_constructor_kwargs=self._seen_kwargs,
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 2),
         )
         cand = cand.map_batches(
             robots_filter_batch, fn_kwargs={"robots": self.robots},
@@ -423,20 +418,15 @@ class _Crawl:
         fetched = (
             selected.map_batches(
                 _SeenAdd, fn_constructor_kwargs=self._seen_kwargs,
-                batch_format="pyarrow", concurrency=2,
+                batch_format="pyarrow", concurrency=(1, 2),
             )
             .map_batches(
                 FetchExtract,
                 fn_constructor_kwargs=self.fetch_kwargs,
+                fn_kwargs={"round_no": r},
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
-                concurrency=cfg.fetch_concurrency,
-            )
-            .map_batches(
-                lambda t, rr=r: t.append_column(
-                    "round", pa.array([rr] * t.num_rows, pa.int32())
-                ),
-                batch_format="pyarrow",
+                concurrency=(1, cfg.fetch_concurrency),
             )
             .materialize()
         )

@@ -99,7 +99,7 @@ def _fetch_urls(urls_ds, corpus_dir: str, *, concurrency: int = 4,
         fn_constructor_kwargs={"pages_ref": pages_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 

@@ -59,7 +59,7 @@ class _TopKScorer:
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", emb_col: str = "embedding",
-                     concurrency: int = 4):
+                     concurrency: int = 2):
     """Exact cosine top-k per query row. Returns Dataset
     (query_id, id_col, cosine) with exactly k rows per query.
 
@@ -74,7 +74,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         },
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -136,7 +136,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
         _IVFAssign,
         fn_constructor_kwargs={"cents_ref": cents_ref, "emb_col": emb_col},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -177,7 +177,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
             )
 
     partials = assigned.map_batches(
-        _ProbeScorer, batch_format="pyarrow", batch_size=4096, concurrency=2
+        _ProbeScorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 2)
     )
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:

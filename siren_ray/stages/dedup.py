@@ -107,7 +107,7 @@ def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
             "num_perm": num_perm, "bands": bands, "k": k, "text_col": text_col,
         },
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),
     )
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -212,9 +212,18 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
             sig = bits @ (1 << np.arange(n_planes))
             return batch.append_column("lsh_sig", pa.array(sig.astype(np.int64)))
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+
     def _verify(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return _empty()
         mat = np.array(df[emb_col].tolist(), dtype=np.float32)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -222,13 +231,15 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
         ids = df[id_col].to_numpy()
         ia, ib = np.triu_indices(len(df), k=1)
         mask = sims[ia, ib] >= threshold
+        if not mask.any():
+            return _empty()
         return pd.DataFrame(
             {
-                "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
-                "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
-                "cosine": sims[ia, ib][mask].astype(float),
+                "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]).astype("int64"),
+                "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]).astype("int64"),
+                "cosine": sims[ia, ib][mask].astype("float64"),
             }
         )
 
-    sigs = ds.map_batches(Signer, batch_format="pyarrow", concurrency=2)
+    sigs = ds.map_batches(Signer, batch_format="pyarrow", concurrency=(1, 2))
     return sigs.groupby("lsh_sig").map_groups(_verify, batch_format="pandas")

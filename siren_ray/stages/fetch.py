@@ -113,7 +113,15 @@ class FetchExtract:
         return out
 
     # -- batch entry point ------------------------------------------------
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, round_no: int | None = None) -> pa.Table:
+        out = self._fetch_extract(batch)
+        if round_no is not None:
+            out = out.append_column(
+                "round", pa.array([round_no] * out.num_rows, pa.int32())
+            )
+        return out
+
+    def _fetch_extract(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_out(batch)
         urls = batch["url"].to_pylist()
