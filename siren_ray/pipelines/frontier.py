@@ -51,7 +51,7 @@ import ray
 import ray.data as rd
 
 from ..state.seen import SeenContainsFilter, SeenSet
-from ..stages.fetch import FetchExtract, broadcast_pages
+from ..stages.fetch import FetchExtract, FetchExtractActor, broadcast_pages
 from ..stages.politeness import (
     host_quota,
     host_quota_rank,
@@ -219,6 +219,15 @@ class _Crawl:
             "shards": self.seen.shards,
             "num_shards": cfg.num_seen_shards,
         }
+        self._pool: list | None = None  # persistent fetch actors (driver mode)
+
+    def _fetch_pool(self) -> list:
+        if self._pool is None:
+            self._pool = [
+                FetchExtractActor.remote(**self.fetch_kwargs)
+                for _ in range(self.cfg.fetch_concurrency)
+            ]
+        return self._pool
 
     # -- round scheduling, driver mode ------------------------------------
     def _schedule_driver(self, frontier: pa.Table):
@@ -269,71 +278,38 @@ class _Crawl:
             self._schedule_driver(frontier)
         )
         n_sel = sel_tbl.num_rows
-        children_parts: list[pa.Table] = []
-        n_err = n_parse_ok = 0
+        n_err = n_parse_ok = n_links = 0
+        link_refs: list = []
         if n_sel:
             sel = sel_tbl.select(FRONTIER_COLS)
-            # one block per fetch batch so the actor pool parallelizes
-            blocks = [
-                sel.slice(i, cfg.fetch_batch_size)
-                for i in range(0, n_sel, cfg.fetch_batch_size)
-            ]
-            fetched = (
-                rd.from_arrow(blocks)
-                .map_batches(
-                    FetchExtract,
-                    fn_constructor_kwargs=self.fetch_kwargs,
-                    fn_kwargs={"round_no": r},
-                    batch_format="pyarrow",
-                    batch_size=cfg.fetch_batch_size,
-                    concurrency=(1, cfg.fetch_concurrency),
-                )
-                .materialize()
+            pool = self._fetch_pool()
+            ext_refs, lrefs, crefs = [], [], []
+            for j, i in enumerate(range(0, n_sel, cfg.fetch_batch_size)):
+                chunk = sel.slice(i, cfg.fetch_batch_size)
+                e, l, c = pool[j % len(pool)].process.options(
+                    num_returns=3
+                ).remote(chunk, r, cfg.priority_decay, cfg.max_depth)
+                ext_refs.append(e)
+                lrefs.append(l)
+                crefs.append(c)
+            counts = ray.get(crefs)
+            n_err = sum(c["errors"] for c in counts)
+            n_parse_ok = sum(c["parse_ok"] for c in counts)
+            n_links = sum(c["links"] for c in counts)
+            rd.from_arrow_refs(ext_refs).write_parquet(
+                _round_dir(self.extracted_dir, r)
             )
-            fetched.write_parquet(_round_dir(self.extracted_dir, r))
-            stats = fetched.map_batches(
-                lambda t: pa.table(
-                    {
-                        "errs": [int(np.sum(~np.asarray(t["found"], bool)))],
-                        "ok": [
-                            int(
-                                np.sum(
-                                    np.asarray(
-                                        pa.compute.and_kleene(
-                                            t["found"], t["parse_ok"]
-                                        ).fill_null(False)
-                                    )
-                                )
-                            )
-                        ],
-                    }
-                ),
-                batch_format="pyarrow",
-            ).to_pandas()
-            n_err = int(stats["errs"].sum())
-            n_parse_ok = int(stats["ok"].sum())
-            children = fetched.map_batches(
-                _explode_links,
-                fn_kwargs={"decay": cfg.priority_decay,
-                           "max_depth": cfg.max_depth},
-                batch_format="pyarrow",
+            link_refs = lrefs
+        n_next = n_links + def_tbl.num_rows
+        if n_next:
+            nxt = (
+                rd.from_arrow_refs(link_refs)
+                if link_refs
+                else rd.from_arrow(def_tbl.select(FRONTIER_COLS))
             )
-            children_parts = [
-                ray.get(ref) for ref in children.to_arrow_refs()
-            ]
-        nxt_parts = [t for t in children_parts if t.num_rows] + (
-            [def_tbl.select(FRONTIER_COLS)] if def_tbl.num_rows else []
-        )
-        nxt = (
-            pa.concat_tables(nxt_parts, promote_options="default")
-            if nxt_parts
-            else None
-        )
-        n_next = nxt.num_rows if nxt is not None else 0
-        if nxt is not None and n_next:
-            d = _round_dir(self.frontier_dir, r + 1)
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(nxt, os.path.join(d, "part-0.parquet"))
+            if link_refs and def_tbl.num_rows:
+                nxt = nxt.union(rd.from_arrow(def_tbl.select(FRONTIER_COLS)))
+            nxt.write_parquet(_round_dir(self.frontier_dir, r + 1))
         return {
             "frontier": n_frontier,
             "candidates": n_cand,

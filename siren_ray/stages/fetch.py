@@ -63,7 +63,13 @@ class FetchExtract:
         self._bucket_cache: OrderedDict[int, tuple[dict, pa.Table]] = OrderedDict()
         self.pages_dir = pages_dir
         if pages_ref is not None:
-            table: pa.Table = ray.get(pages_ref)  # zero-copy from plasma
+            # ray auto-derefs ObjectRef args to actors; map_batches
+            # fn_constructor_kwargs pass the ref through untouched
+            table: pa.Table = (
+                ray.get(pages_ref)
+                if isinstance(pages_ref, ray.ObjectRef)
+                else pages_ref
+            )  # zero-copy from plasma either way
             self._index = {u: i for i, u in enumerate(table["url"].to_pylist())}
             self._html = table["html"]
             self.mode = "broadcast"
@@ -157,6 +163,42 @@ def _empty_out(batch: pa.Table) -> pa.Table:
     for name, typ in _NULL_EXTRACT_COLS:
         t = t.append_column(name, pa.nulls(0, typ))
     return t.append_column("found", pa.nulls(0, pa.bool_()))
+
+
+@ray.remote
+class FetchExtractActor:
+    """Long-lived fetch/extract worker for the iterative round loop.
+
+    ``map_batches`` actor pools live for one Dataset execution; a crawl
+    runs many small executions (one per round), so re-creating the pool
+    each round wastes startup + state-build time. This raw Ray actor
+    holds the same ``FetchExtract`` state across rounds (the documented
+    escape hatch: Dataset API can't express cross-execution actor
+    reuse). Each call fetches+extracts one chunk and ALSO derives the
+    child frontier rows and per-chunk counters, so a round needs no
+    extra passes over the data.
+    """
+
+    def __init__(self, **kwargs):
+        self.inner = FetchExtract(**kwargs)
+
+    def process(self, chunk: pa.Table, round_no: int, decay: float,
+                max_depth: int):
+        extracted = self.inner(chunk, round_no=round_no)
+        from ..pipelines.frontier import _explode_links  # local import, no cycle at module load
+
+        links = _explode_links(extracted, decay, max_depth)
+        found = extracted["found"].to_numpy(zero_copy_only=False)
+        ok = pa.compute.and_kleene(
+            extracted["found"], extracted["parse_ok"]
+        ).fill_null(False).to_numpy(zero_copy_only=False)
+        counts = {
+            "rows": extracted.num_rows,
+            "errors": int((~found).sum()),
+            "parse_ok": int(ok.sum()),
+            "links": links.num_rows,
+        }
+        return extracted, links, counts
 
 
 def broadcast_pages(pages_dir: str):
