@@ -286,6 +286,46 @@ def q_pagination_expand(sf_dir: str):
     )
 
 
+def q_window_agg(sf_dir: str):
+    """Tumbling-window aggregate (day windows over the events stream):
+    partial per-batch aggregation, then a small merge groupby. (The
+    reference is batch-only, SURVEY.md §2.10 — this is the engine's
+    windowed-aggregate addition.)"""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        df["value_c"] = np.rint(df["value"] * 100).astype("int64")
+        g = (
+            df.groupby(["day", "event_type"], sort=False)
+            .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
+            .reset_index()
+        )
+        g["key"] = g["day"].astype(str) + "|" + g["event_type"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": [df["day"].iloc[0]],
+                "event_type": [df["event_type"].iloc[0]],
+                "n": [int(df["n"].sum())],
+                "sum_value_c": [int(df["sum_value_c"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style grouped aggregate with partial combiners; float sums
     carried as integer cents for exact cross-engine equality."""
@@ -558,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "fingerprint": q_fingerprint,
         "pagination_expand": q_pagination_expand,
+        "window_agg": q_window_agg,
         "lineitem_pricing": q_lineitem_pricing,
         "broadcast_join": q_broadcast_join,
         "knn_brute": q_knn_brute,
@@ -640,6 +681,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type) "
             "SELECT event_type, 100 * unnest(generate_series(1, "
             "total // 100 - 3)) AS \"offset\" FROM totals"
+        ),
+        "window_agg": (
+            "SELECT date_trunc('day', ts) AS day, event_type, "
+            "count(*) AS n, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_c FROM events GROUP BY 1, 2"
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, "
