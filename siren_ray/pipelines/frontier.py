@@ -274,43 +274,55 @@ class _Crawl:
 
     def _run_round_driver(self, r: int, frontier: pa.Table):
         cfg = self.cfg
+        t0 = time.perf_counter()
         (n_frontier, n_cand, n_robots, sel_tbl, def_tbl) = (
             self._schedule_driver(frontier)
         )
+        t_sched = time.perf_counter() - t0
         n_sel = sel_tbl.num_rows
         n_err = n_parse_ok = n_links = 0
-        link_refs: list = []
+        t_fetch = t_write = 0.0
+        next_dir = _round_dir(self.frontier_dir, r + 1)
         if n_sel:
             sel = sel_tbl.select(FRONTIER_COLS)
             pool = self._fetch_pool()
-            ext_refs, lrefs, crefs = [], [], []
+            ext_dir = _round_dir(self.extracted_dir, r)
+            os.makedirs(ext_dir, exist_ok=True)
+            os.makedirs(next_dir, exist_ok=True)
+            t0 = time.perf_counter()
+            crefs = []
             for j, i in enumerate(range(0, n_sel, cfg.fetch_batch_size)):
                 chunk = sel.slice(i, cfg.fetch_batch_size)
-                e, l, c = pool[j % len(pool)].process.options(
+                out_paths = (
+                    os.path.join(ext_dir, f"part-{j:05d}.parquet"),
+                    os.path.join(next_dir, f"links-{j:05d}.parquet"),
+                )
+                _, _, c = pool[j % len(pool)].process.options(
                     num_returns=3
-                ).remote(chunk, r, cfg.priority_decay, cfg.max_depth)
-                ext_refs.append(e)
-                lrefs.append(l)
+                ).remote(chunk, r, cfg.priority_decay, cfg.max_depth,
+                         out_paths)
                 crefs.append(c)
             counts = ray.get(crefs)
+            t_fetch = time.perf_counter() - t0
             n_err = sum(c["errors"] for c in counts)
             n_parse_ok = sum(c["parse_ok"] for c in counts)
             n_links = sum(c["links"] for c in counts)
-            rd.from_arrow_refs(ext_refs).write_parquet(
-                _round_dir(self.extracted_dir, r)
-            )
-            link_refs = lrefs
         n_next = n_links + def_tbl.num_rows
-        if n_next:
-            nxt = (
-                rd.from_arrow_refs(link_refs)
-                if link_refs
-                else rd.from_arrow(def_tbl.select(FRONTIER_COLS))
+        t0 = time.perf_counter()
+        if def_tbl.num_rows:
+            os.makedirs(next_dir, exist_ok=True)
+            pq.write_table(
+                def_tbl.select(FRONTIER_COLS),
+                os.path.join(next_dir, "deferred.parquet"),
             )
-            if link_refs and def_tbl.num_rows:
-                nxt = nxt.union(rd.from_arrow(def_tbl.select(FRONTIER_COLS)))
-            nxt.write_parquet(_round_dir(self.frontier_dir, r + 1))
+        if n_next == 0 and os.path.isdir(next_dir) and not os.listdir(next_dir):
+            os.rmdir(next_dir)
+        t_frontier = time.perf_counter() - t0
         return {
+            "t_sched": round(t_sched, 3),
+            "t_fetch": round(t_fetch, 3),
+            "t_write": round(t_write, 3),
+            "t_frontier": round(t_frontier, 3),
             "frontier": n_frontier,
             "candidates": n_cand,
             "robots_skipped": n_robots,

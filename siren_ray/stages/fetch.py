@@ -183,7 +183,14 @@ class FetchExtractActor:
         self.inner = FetchExtract(**kwargs)
 
     def process(self, chunk: pa.Table, round_no: int, decay: float,
-                max_depth: int):
+                max_depth: int, out_paths: tuple[str, str] | None = None):
+        """Fetch+extract one chunk; optionally write the extracted rows
+        and child-frontier rows straight to per-chunk Parquet parts
+        (``out_paths = (extracted_part, links_part)``) — the resumable
+        round-partitioned layout, written where the data already is.
+        """
+        import pyarrow.parquet as pq
+
         extracted = self.inner(chunk, round_no=round_no)
         from ..pipelines.frontier import _explode_links  # local import, no cycle at module load
 
@@ -198,6 +205,12 @@ class FetchExtractActor:
             "parse_ok": int(ok.sum()),
             "links": links.num_rows,
         }
+        if out_paths is not None:
+            ext_path, links_path = out_paths
+            pq.write_table(extracted, ext_path)
+            if links.num_rows:
+                pq.write_table(links, links_path)
+            return None, None, counts
         return extracted, links, counts
 
 
