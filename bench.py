@@ -70,9 +70,11 @@ def run_crawl_bench(sf: float, num_cpus: int) -> dict:
             round_ms=10_000_000,  # politeness quotas effectively open
             max_rounds=16,
             max_depth=6,
-            fetch_mode="broadcast",
+            fetch_mode="bucketed",  # partition-pruned reads, no broadcast
             fetch_concurrency=num_cpus,
             fetch_batch_size=512,
+            enrich_text=True,  # inline quality/lang-id/dedup-signature stage
+            ckpt_every=4,
         )
     )
     wall = time.perf_counter() - t0

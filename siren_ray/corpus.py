@@ -38,7 +38,7 @@ import pyarrow.parquet as pq
 from .util import hash_strings
 
 SEED = 42
-CORPUS_VERSION = 2  # bump to invalidate cached corpora under /tmp
+CORPUS_VERSION = 4  # bump to invalidate cached corpora under /tmp
 NUM_BUCKETS = 32
 NUM_HOSTS = 40
 NUM_HOT_HOSTS = 5  # Zipf head: these hosts own most pages (skew exercise)
@@ -143,7 +143,7 @@ def _sentence(rng: random.Random, force_kw: str | None = None) -> str:
 
 
 def _paragraph(rng: random.Random, kw_prob: float = 0.12) -> str:
-    nsent = rng.randint(1, 4)
+    nsent = rng.randint(2, 6)
     sents = []
     for _ in range(nsent):
         kw = None
@@ -242,7 +242,7 @@ def _gen_page(i: int, n: int) -> dict:
     elif kind == "textview":
         has_title = rng.random() > 0.1
         title = _sentence(rng) if has_title else None
-        paras = [_paragraph(rng) for _ in range(rng.randint(1, 5))]
+        paras = [_paragraph(rng) for _ in range(rng.randint(12, 30))]
         phtml = "\n".join(f"<p>{_para_html(p, rng)}</p>" for p in paras)
         thtml = (
             f'<div class="haedlinesstory"><b>{html_escape_mod.escape(title)}</b>'
@@ -256,7 +256,7 @@ def _gen_page(i: int, n: int) -> dict:
         links = []
 
     elif kind == "apijson":
-        body_text = _paragraph(rng, kw_prob=0.2)
+        body_text = " ".join(_paragraph(rng, kw_prob=0.2) for _ in range(rng.randint(8, 20)))
         headline = f"Headline {rng.randrange(200)}"  # small pool -> dupes (D3)
         eddate = ts.strftime("%d/%m/%Y") if rng.random() > 0.15 else None
         edname = f"Edition {rng.randrange(20)}" if rng.random() > 0.15 else None
@@ -284,7 +284,7 @@ def _gen_page(i: int, n: int) -> dict:
 
     elif kind == "ld":
         headline = _sentence(rng)
-        desc = _paragraph(rng, kw_prob=0.2)
+        desc = " ".join(_paragraph(rng, kw_prob=0.2) for _ in range(rng.randint(5, 10)))
         data = {
             "url": url,
             "thumbnailUrl": f"https://{host}/thumb/{i}.jpg",
@@ -320,7 +320,7 @@ def _gen_page(i: int, n: int) -> dict:
         links = rel
 
     elif kind == "it":
-        paras = [_paragraph(rng) for _ in range(rng.randint(2, 6))]
+        paras = [_paragraph(rng) for _ in range(rng.randint(15, 40))]
         phtml = "\n".join(f"<p>{_para_html(p, rng)}</p>" for p in paras)
         rel = [url_of_index(t)
                for t in _indices_of_kind(rng.choice(_ARTICLE_KINDS), n, rng,
@@ -345,7 +345,7 @@ def _gen_page(i: int, n: int) -> dict:
             if has_date
             else "Published recently"
         )
-        paras = [_paragraph(rng) for _ in range(rng.randint(2, 6))]
+        paras = [_paragraph(rng) for _ in range(rng.randint(15, 40))]
         phtml = "\n".join(f"<p>{_para_html(p, rng)}</p>" for p in paras)
         rel = [url_of_index(t)
                for t in _indices_of_kind(rng.choice(_ARTICLE_KINDS), n, rng,

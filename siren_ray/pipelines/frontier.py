@@ -82,6 +82,8 @@ class CrawlConfig:
     scheduler: str = "auto"  # "auto" | "driver" | "distributed"
     driver_threshold: int = 2_000_000  # frontier rows
     resume: bool = False
+    enrich_text: bool = False  # inline quality/lang-id/fingerprint stage
+    ckpt_every: int = 1  # seen-set checkpoint cadence (0 = final only)
 
     @property
     def pages_dir(self) -> str:
@@ -210,16 +212,23 @@ class _Crawl:
         if cfg.fetch_mode == "broadcast":
             self.fetch_kwargs = {"pages_ref": broadcast_pages(cfg.pages_dir)}
         else:
+            # bucket-aligned routing -> each actor owns ~num_buckets/pool
+            # buckets; size the LRU cache to hold them all
+            owned = -(-cfg.num_buckets // max(1, cfg.fetch_concurrency)) + 1
             self.fetch_kwargs = {
                 "pages_dir": cfg.pages_dir,
                 "num_buckets": cfg.num_buckets,
-                "cache_buckets": cfg.cache_buckets,
+                "cache_buckets": max(cfg.cache_buckets, owned),
             }
+        self.fetch_kwargs["enrich"] = cfg.enrich_text
         self._seen_kwargs = {
             "shards": self.seen.shards,
             "num_shards": cfg.num_seen_shards,
         }
         self._pool: list | None = None  # persistent fetch actors (driver mode)
+        self._next_frontier: pa.Table | None = None  # in-memory round handoff
+        if cfg.scheduler == "driver":
+            self._fetch_pool()  # actors spawn in background during setup
 
     def _fetch_pool(self) -> list:
         if self._pool is None:
@@ -228,6 +237,43 @@ class _Crawl:
                 for _ in range(self.cfg.fetch_concurrency)
             ]
         return self._pool
+
+    def _make_chunks(self, sel: pa.Table, pool_size: int):
+        """Split the selected rows into fetch chunks.
+
+        broadcast mode: contiguous slices, round-robin over the pool.
+        bucketed mode: rows sorted by url-hash bucket, chunks aligned to
+        bucket boundaries, chunk routed to ``bucket % pool`` — each actor
+        serves a fixed bucket subset so its LRU bucket cache stays warm
+        (the co-partitioned-join discipline).
+        """
+        cfg = self.cfg
+        n = sel.num_rows
+        if cfg.fetch_mode != "bucketed":
+            return [
+                (sel.slice(i, cfg.fetch_batch_size), (i // cfg.fetch_batch_size) % pool_size)
+                for i in range(0, n, cfg.fetch_batch_size)
+            ]
+        buckets = (
+            hash_strings(sel["url"].to_pylist()) % cfg.num_buckets
+        ).astype(np.int64)
+        order = np.argsort(buckets, kind="stable")
+        sel = sel.take(pa.array(order))
+        buckets = buckets[order]
+        chunks = []
+        i = 0
+        while i < n:
+            b = buckets[i]
+            j = i
+            while (
+                j < n
+                and buckets[j] == b
+                and j - i < cfg.fetch_batch_size
+            ):
+                j += 1
+            chunks.append((sel.slice(i, j - i), int(b) % pool_size))
+            i = j
+        return chunks
 
     # -- round scheduling, driver mode ------------------------------------
     def _schedule_driver(self, frontier: pa.Table):
@@ -283,40 +329,44 @@ class _Crawl:
         n_err = n_parse_ok = n_links = 0
         t_fetch = t_write = 0.0
         next_dir = _round_dir(self.frontier_dir, r + 1)
+        link_tbls: list[pa.Table] = []
         if n_sel:
             sel = sel_tbl.select(FRONTIER_COLS)
             pool = self._fetch_pool()
             ext_dir = _round_dir(self.extracted_dir, r)
             os.makedirs(ext_dir, exist_ok=True)
-            os.makedirs(next_dir, exist_ok=True)
             t0 = time.perf_counter()
-            crefs = []
-            for j, i in enumerate(range(0, n_sel, cfg.fetch_batch_size)):
-                chunk = sel.slice(i, cfg.fetch_batch_size)
-                out_paths = (
-                    os.path.join(ext_dir, f"part-{j:05d}.parquet"),
-                    os.path.join(next_dir, f"links-{j:05d}.parquet"),
-                )
-                _, _, c = pool[j % len(pool)].process.options(
+            lrefs, crefs = [], []
+            for j, (chunk, actor_id) in enumerate(
+                self._make_chunks(sel, len(pool))
+            ):
+                _, l, c = pool[actor_id].process.options(
                     num_returns=3
-                ).remote(chunk, r, cfg.priority_decay, cfg.max_depth,
-                         out_paths)
+                ).remote(
+                    chunk, r, cfg.priority_decay, cfg.max_depth,
+                    os.path.join(ext_dir, f"part-{j:05d}.parquet"),
+                )
+                lrefs.append(l)
                 crefs.append(c)
             counts = ray.get(crefs)
+            link_tbls = [t for t in ray.get(lrefs) if t.num_rows]
             t_fetch = time.perf_counter() - t0
             n_err = sum(c["errors"] for c in counts)
             n_parse_ok = sum(c["parse_ok"] for c in counts)
             n_links = sum(c["links"] for c in counts)
         n_next = n_links + def_tbl.num_rows
         t0 = time.perf_counter()
-        if def_tbl.num_rows:
-            os.makedirs(next_dir, exist_ok=True)
-            pq.write_table(
-                def_tbl.select(FRONTIER_COLS),
-                os.path.join(next_dir, "deferred.parquet"),
+        self._next_frontier = None
+        if n_next:
+            parts = link_tbls + (
+                [def_tbl.select(FRONTIER_COLS)] if def_tbl.num_rows else []
             )
-        if n_next == 0 and os.path.isdir(next_dir) and not os.listdir(next_dir):
-            os.rmdir(next_dir)
+            nxt = pa.concat_tables(parts, promote_options="default")
+            # in-memory handoff to the next round; Parquet checkpoint kept
+            # for resume and for a potential distributed-scheduler round
+            self._next_frontier = nxt
+            os.makedirs(next_dir, exist_ok=True)
+            pq.write_table(nxt, os.path.join(next_dir, "part-0.parquet"))
         t_frontier = time.perf_counter() - t0
         return {
             "t_sched": round(t_sched, 3),
@@ -336,6 +386,10 @@ class _Crawl:
     # -- round scheduling, distributed mode --------------------------------
     def _run_round_distributed(self, r: int, frontier_ds, frontier_n: int):
         cfg = self.cfg
+        if self._pool:  # release reserved CPUs before dataset execution
+            for a in self._pool:
+                ray.kill(a)
+            self._pool = None
         cand = frontier_ds.groupby("url").map_groups(
             _pick_best, batch_format="pandas"
         )
@@ -458,12 +512,23 @@ class _Crawl:
         os.makedirs(cfg.out_dir, exist_ok=True)
         metrics: list[dict] = []
         start_round = 0
+        ckpt_marker = os.path.join(self.seen_ckpt_dir, "ROUND")
         if cfg.resume and os.path.exists(self.metrics_path):
             with open(self.metrics_path) as f:
                 metrics = [json.loads(line) for line in f if line.strip()]
+            # resume only from the last round with a seen-set checkpoint;
+            # later rounds are re-run deterministically (outputs overwrite)
+            ckpt_round = -1
+            if os.path.exists(ckpt_marker):
+                with open(ckpt_marker) as f:
+                    ckpt_round = int(f.read().strip())
+            metrics = [m for m in metrics if m["round"] <= ckpt_round]
             if metrics:
                 start_round = metrics[-1]["round"] + 1
                 self.seen.restore(self.seen_ckpt_dir)
+                with open(self.metrics_path, "w") as f:
+                    for m in metrics:
+                        f.write(json.dumps(m) + "\n")
         else:
             for sub in ("frontier", "extracted", "seen_ckpt"):
                 shutil.rmtree(os.path.join(cfg.out_dir, sub),
@@ -484,10 +549,14 @@ class _Crawl:
             while r < cfg.max_rounds:
                 t0 = time.perf_counter()
                 fdir = _round_dir(self.frontier_dir, r)
-                if not os.path.exists(fdir):
+                mem = self._next_frontier
+                self._next_frontier = None
+                if mem is not None:
+                    frontier_n = mem.num_rows
+                elif os.path.exists(fdir):
+                    frontier_n = pads.dataset(fdir).count_rows()
+                else:
                     break
-                fds = pads.dataset(fdir)
-                frontier_n = fds.count_rows()
                 if frontier_n == 0:
                     break
                 use_driver = cfg.scheduler == "driver" or (
@@ -495,16 +564,22 @@ class _Crawl:
                     and frontier_n <= cfg.driver_threshold
                 )
                 if use_driver:
-                    rec = self._run_round_driver(
-                        r, fds.to_table(columns=FRONTIER_COLS)
+                    tbl = (
+                        mem
+                        if mem is not None
+                        else pads.dataset(fdir).to_table(columns=FRONTIER_COLS)
                     )
+                    rec = self._run_round_driver(r, tbl.select(FRONTIER_COLS))
                 else:
                     frontier = rd.read_parquet(fdir).map_batches(
                         lambda t: t.select(FRONTIER_COLS),
                         batch_format="pyarrow",
                     )
                     rec = self._run_round_distributed(r, frontier, frontier_n)
-                self.seen.checkpoint(self.seen_ckpt_dir)
+                if cfg.ckpt_every and (r + 1) % cfg.ckpt_every == 0:
+                    self.seen.checkpoint(self.seen_ckpt_dir)
+                    with open(ckpt_marker, "w") as f:
+                        f.write(str(r))
                 total_fetched += rec["selected"] - rec["fetch_errors"]
                 total_errors += rec["fetch_errors"]
                 rec.update(
@@ -519,6 +594,10 @@ class _Crawl:
                 r += 1
                 if rec["next_frontier"] == 0:
                     break
+            if r > start_round and cfg.ckpt_every != 1:
+                self.seen.checkpoint(self.seen_ckpt_dir)
+                with open(ckpt_marker, "w") as f:
+                    f.write(str(r - 1))
 
         return CrawlResult(
             out_dir=cfg.out_dir,

@@ -52,10 +52,12 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
-                      k: int = 5) -> np.ndarray:
+                      k: int = 5, max_shingles: int | None = None) -> np.ndarray:
     sh = shingles(text, k)
     if not sh:
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    if max_shingles is not None and len(sh) > max_shingles:
+        sh = sh[:max_shingles]  # deterministic prefix sample
     h = hash_strings(sh).astype(np.uint64)
     # (a*h + b) mod p, vectorized over perms x shingles
     vals = (a[:, None] * (h[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
@@ -67,18 +69,20 @@ class MinHasher:
     stateful init), signatures + LSH band keys per batch."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 5,
-                 text_col: str = "text"):
+                 text_col: str = "text", max_shingles: int | None = None):
         assert num_perm % bands == 0
         self.a, self.b = _minhash_params(num_perm)
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.k = k
         self.text_col = text_col
+        self.max_shingles = max_shingles
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         sigs = np.stack(
-            [minhash_signature(t or "", self.a, self.b, self.k) for t in texts]
+            [minhash_signature(t or "", self.a, self.b, self.k,
+                               self.max_shingles) for t in texts]
         )
         band_keys = []
         for row in sigs:
@@ -151,20 +155,22 @@ def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
 
 # --- SimHash --------------------------------------------------------------
 
+_SIMHASH_MAX_TOKENS = 512  # signature sample cap: bounds memory traffic
+
+
 def simhash64(text: str) -> int:
     toks = text.split()
     if not toks:
         return 0
+    if len(toks) > _SIMHASH_MAX_TOKENS:
+        toks = toks[:_SIMHASH_MAX_TOKENS]
     h = hash_strings(toks).astype(np.uint64)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-        np.int64
-    )
-    v = (2 * bits - 1).sum(axis=0)
-    return int(
-        np.bitwise_or.reduce(
-            (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-        )
-    )
+    # uint8 bit expansion (unpackbits) keeps temporaries 8x smaller than
+    # an int64 bit matrix — matters when 32 actors run this concurrently
+    bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1)
+    pop = bits.sum(axis=0, dtype=np.int32)
+    out_bits = (2 * pop > len(h)).astype(np.uint8)
+    return int.from_bytes(np.packbits(out_bits).tobytes(), "little")
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

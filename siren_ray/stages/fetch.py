@@ -57,7 +57,9 @@ class FetchExtract:
         pages_dir: str | None = None,
         num_buckets: int = 32,
         cache_buckets: int = 8,
+        enrich: bool = False,
     ):
+        self.enrich = enrich
         self.num_buckets = num_buckets
         self.cache_buckets = cache_buckets
         self._bucket_cache: OrderedDict[int, tuple[dict, pa.Table]] = OrderedDict()
@@ -142,20 +144,52 @@ class FetchExtract:
             "html", pa.array([h for h in htmls if h is not None], pa.binary())
         )
         extracted = extract_batch(hit)  # drops html
+        if self.enrich:
+            extracted = _enrich_text(extracted)
         extracted = extracted.append_column(
             "found", pa.array(np.ones(extracted.num_rows, dtype=bool))
         )
         miss = batch.filter(pa.compute.invert(found_arr))
         if miss.num_rows:
-            for name, typ in _NULL_EXTRACT_COLS:
-                miss = miss.append_column(name, pa.nulls(miss.num_rows, typ))
-            miss = miss.append_column(
-                "found", pa.array(np.zeros(miss.num_rows, dtype=bool))
-            )
-            # align column order
+            # align miss rows to the extracted schema with typed nulls
+            for field in extracted.schema:
+                if field.name not in miss.column_names:
+                    if field.name == "found":
+                        miss = miss.append_column(
+                            "found",
+                            pa.array(np.zeros(miss.num_rows, dtype=bool)),
+                        )
+                    else:
+                        miss = miss.append_column(
+                            field.name, pa.nulls(miss.num_rows, field.type)
+                        )
             miss = miss.select(extracted.column_names)
             return pa.concat_tables([extracted, miss], promote_options="default")
         return extracted
+
+
+def _enrich_text(extracted: pa.Table) -> pa.Table:
+    """In-actor text analytics over freshly extracted text: quality
+    scores, language ID, content fingerprint, SimHash and MinHash-band
+    dedup keys. Part of the production extract stage — a training-data
+    crawl computes dedup signatures inline rather than re-reading the
+    corpus later."""
+    from ..functions.textstats import (
+        fingerprint_batch,
+        lang_id_batch,
+        quality_batch,
+    )
+    from ..stages.dedup import MinHasher, simhash_batch
+
+    out = fingerprint_batch(lang_id_batch(quality_batch(extracted)))
+    out = simhash_batch(out)
+    global _MINHASHER
+    if _MINHASHER is None:
+        _MINHASHER = MinHasher(num_perm=32, bands=8, max_shingles=256)
+    return _MINHASHER(out)
+
+
+_MINHASHER = None
 
 
 def _empty_out(batch: pa.Table) -> pa.Table:
@@ -183,11 +217,11 @@ class FetchExtractActor:
         self.inner = FetchExtract(**kwargs)
 
     def process(self, chunk: pa.Table, round_no: int, decay: float,
-                max_depth: int, out_paths: tuple[str, str] | None = None):
-        """Fetch+extract one chunk; optionally write the extracted rows
-        and child-frontier rows straight to per-chunk Parquet parts
-        (``out_paths = (extracted_part, links_part)``) — the resumable
-        round-partitioned layout, written where the data already is.
+                max_depth: int, out_path: str | None = None):
+        """Fetch+extract one chunk; with ``out_path``, write the extracted
+        rows straight to a per-chunk Parquet part (resumable
+        round-partitioned layout, written where the data already is) and
+        return only the child-frontier rows + counters.
         """
         import pyarrow.parquet as pq
 
@@ -205,12 +239,9 @@ class FetchExtractActor:
             "parse_ok": int(ok.sum()),
             "links": links.num_rows,
         }
-        if out_paths is not None:
-            ext_path, links_path = out_paths
-            pq.write_table(extracted, ext_path)
-            if links.num_rows:
-                pq.write_table(links, links_path)
-            return None, None, counts
+        if out_path is not None:
+            pq.write_table(extracted, out_path)
+            return None, links, counts
         return extracted, links, counts
 
 

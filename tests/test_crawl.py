@@ -56,6 +56,7 @@ def test_seen_set_matches_simulator(engine, sim, corpus_sf0001):
     parts = [
         pads.dataset(os.path.join(seen_dir, f)).to_table()["fingerprint"].to_numpy()
         for f in sorted(os.listdir(seen_dir))
+        if f.endswith(".parquet")
     ]
     engine_seen = set(np.concatenate(parts).tolist())
     assert engine_seen == {h & 0xFFFFFFFFFFFFFFFF for h in sim.seen_hashes}
