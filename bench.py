@@ -61,6 +61,9 @@ def run_crawl_bench(sf: float, num_cpus: int) -> dict:
 
     corpus = ensure_corpus(sf)
     out = f"/tmp/siren_ray_runs/bench_crawl_sf{sf:g}_cpus{num_cpus}"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # clean BEFORE timing
     t0 = time.perf_counter()
     res = run_crawl(
         CrawlConfig(

@@ -129,6 +129,40 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
 
 
+class HashedNgramScorer:
+    """fastText-style classifier inference over hashed char-trigram
+    features: doc bytes -> trigram codes (vectorized numpy) -> hashed
+    bag-of-features -> linear layer. Deterministic random weights stand
+    in for a trained quality/topic model; the compute shape (feature
+    hashing + matmul) is the real one. Build once per actor."""
+
+    def __init__(self, n_features: int = 4096, n_classes: int = 64,
+                 seed: int = 17):
+        rng = np.random.RandomState(seed)
+        self.w = rng.standard_normal((n_features, n_classes)).astype(
+            np.float32
+        ) / np.sqrt(n_features)
+        self.n_features = n_features
+
+    def features(self, text: str) -> np.ndarray:
+        b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < 3:
+            return np.zeros(self.n_features, dtype=np.float32)
+        codes = (
+            b[:-2].astype(np.int64) * 65536
+            + b[1:-1].astype(np.int64) * 256
+            + b[2:].astype(np.int64)
+        ) % self.n_features
+        feats = np.bincount(codes, minlength=self.n_features).astype(np.float32)
+        n = np.linalg.norm(feats)
+        return feats / n if n > 0 else feats
+
+    def score_batch(self, texts: list[str]) -> np.ndarray:
+        mat = np.stack([self.features(t or "") for t in texts])
+        logits = mat @ self.w
+        return logits.max(axis=1)  # top-class score per doc
+
+
 def shingles(text: str, k: int = 5) -> list[str]:
     """Word k-shingles for MinHash/Jaccard dedup."""
     words = text.split()

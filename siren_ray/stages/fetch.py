@@ -183,13 +183,21 @@ def _enrich_text(extracted: pa.Table) -> pa.Table:
 
     out = fingerprint_batch(lang_id_batch(quality_batch(extracted)))
     out = simhash_batch(out)
-    global _MINHASHER
+    global _MINHASHER, _SCORER
     if _MINHASHER is None:
         _MINHASHER = MinHasher(num_perm=32, bands=8, max_shingles=256)
-    return _MINHASHER(out)
+        from ..functions.textstats import HashedNgramScorer
+
+        _SCORER = HashedNgramScorer()
+    out = _MINHASHER(out)
+    scores = _SCORER.score_batch(out["text"].to_pylist())
+    return out.append_column(
+        "model_score", pa.array(scores.astype("float64"))
+    )
 
 
 _MINHASHER = None
+_SCORER = None
 
 
 def _empty_out(batch: pa.Table) -> pa.Table:
