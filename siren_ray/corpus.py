@@ -38,8 +38,8 @@ import pyarrow.parquet as pq
 from .util import hash_strings
 
 SEED = 42
-CORPUS_VERSION = 4  # bump to invalidate cached corpora under /tmp
-NUM_BUCKETS = 32
+CORPUS_VERSION = 5  # bump to invalidate cached corpora under /tmp
+NUM_BUCKETS = 128
 NUM_HOSTS = 40
 NUM_HOT_HOSTS = 5  # Zipf head: these hosts own most pages (skew exercise)
 

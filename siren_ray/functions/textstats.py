@@ -158,6 +158,8 @@ class HashedNgramScorer:
         return feats / n if n > 0 else feats
 
     def score_batch(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros(0, dtype=np.float32)
         mat = np.stack([self.features(t or "") for t in texts])
         logits = mat @ self.w
         return logits.max(axis=1)  # top-class score per doc

@@ -78,7 +78,7 @@ class CrawlConfig:
     fetch_concurrency: int = 4
     fetch_batch_size: int = 1024
     cache_buckets: int = 8
-    num_buckets: int = 32
+    num_buckets: int = 128
     scheduler: str = "auto"  # "auto" | "driver" | "distributed"
     driver_threshold: int = 2_000_000  # frontier rows
     resume: bool = False
@@ -230,10 +230,23 @@ class _Crawl:
         if cfg.scheduler == "driver":
             self._fetch_pool()  # actors spawn in background during setup
 
+    _WORKER_ENV = {
+        "env_vars": {
+            # one actor = one core; pthread OpenBLAS ignores the
+            # OMP_NUM_THREADS Ray sets and must be clamped pre-import
+            "OPENBLAS_NUM_THREADS": "1",
+            "MKL_NUM_THREADS": "1",
+            "OMP_NUM_THREADS": "1",
+            "NUMEXPR_NUM_THREADS": "1",
+        }
+    }
+
     def _fetch_pool(self) -> list:
         if self._pool is None:
             self._pool = [
-                FetchExtractActor.remote(**self.fetch_kwargs)
+                FetchExtractActor.options(
+                    runtime_env=self._WORKER_ENV
+                ).remote(**self.fetch_kwargs)
                 for _ in range(self.cfg.fetch_concurrency)
             ]
         return self._pool
@@ -249,10 +262,14 @@ class _Crawl:
         """
         cfg = self.cfg
         n = sel.num_rows
+        # adaptive chunk size: every round should spread over the whole
+        # pool (~4 chunks per actor), capped by fetch_batch_size
+        size = min(cfg.fetch_batch_size,
+                   max(64, -(-n // (pool_size * 4))))
         if cfg.fetch_mode != "bucketed":
             return [
-                (sel.slice(i, cfg.fetch_batch_size), (i // cfg.fetch_batch_size) % pool_size)
-                for i in range(0, n, cfg.fetch_batch_size)
+                (sel.slice(i, size), (i // size) % pool_size)
+                for i in range(0, n, size)
             ]
         buckets = (
             hash_strings(sel["url"].to_pylist()) % cfg.num_buckets
@@ -265,13 +282,12 @@ class _Crawl:
         while i < n:
             b = buckets[i]
             j = i
-            while (
-                j < n
-                and buckets[j] == b
-                and j - i < cfg.fetch_batch_size
-            ):
+            while j < n and buckets[j] == b and j - i < size:
                 j += 1
-            chunks.append((sel.slice(i, j - i), int(b) % pool_size))
+            # contiguous balanced bucket->actor ranges (cache-stable)
+            chunks.append(
+                (sel.slice(i, j - i), int(b) * pool_size // cfg.num_buckets)
+            )
             i = j
         return chunks
 
@@ -354,6 +370,8 @@ class _Crawl:
             n_err = sum(c["errors"] for c in counts)
             n_parse_ok = sum(c["parse_ok"] for c in counts)
             n_links = sum(c["links"] for c in counts)
+            self._busy_s = sum(c.get("busy_s", 0.0) for c in counts)
+            self._write_s = sum(c.get("write_s", 0.0) for c in counts)
         n_next = n_links + def_tbl.num_rows
         t0 = time.perf_counter()
         self._next_frontier = None
@@ -373,6 +391,8 @@ class _Crawl:
             "t_fetch": round(t_fetch, 3),
             "t_write": round(t_write, 3),
             "t_frontier": round(t_frontier, 3),
+            "busy_s": round(getattr(self, "_busy_s", 0.0), 3),
+            "io_s": round(getattr(self, "_write_s", 0.0), 3),
             "frontier": n_frontier,
             "candidates": n_cand,
             "robots_skipped": n_robots,

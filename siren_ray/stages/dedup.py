@@ -80,6 +80,10 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
+        if not texts:
+            return batch.append_column(
+                "minhash_bands", pa.array([], pa.list_(pa.string()))
+            )
         sigs = np.stack(
             [minhash_signature(t or "", self.a, self.b, self.k,
                                self.max_shingles) for t in texts]
@@ -176,7 +180,9 @@ def simhash64(text: str) -> int:
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     vals = np.array([simhash64(t or "") for t in batch[text_col].to_pylist()],
                     dtype=np.uint64)
-    return batch.append_column("simhash", pa.array(vals, pa.uint64()))
+    return batch.append_column(
+        "simhash", pa.array(vals, pa.uint64())
+    )
 
 
 # --- n-gram Jaccard (verification kernel) ---------------------------------

@@ -35,6 +35,38 @@ import ray
 from ..util import hash_strings
 from .extract import extract_batch
 
+def _pin_worker_threads() -> None:
+    """One actor = one core: clamp library thread pools.
+
+    pip numpy ships pthread OpenBLAS, which ignores OMP_NUM_THREADS (the
+    one Ray sets) and sizes its pool to ALL cores — N actors x N BLAS
+    threads thrashed the box (6x core-time inflation at 32 actors).
+    Must run before the first BLAS call in the process.
+    """
+    import os
+
+    for var in ("OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "OMP_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    try:
+        import ctypes
+
+        ctypes.CDLL("libopenblas.so.0", mode=ctypes.RTLD_GLOBAL)
+    except OSError:
+        pass
+    try:  # numpy >= 1.26 bundles openblas accessible via threadpool API
+        from numpy._core import _multiarray_umath  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        import numpy.linalg  # ensure BLAS loaded under the env clamp
+        _ = np.dot(np.ones((2, 2), np.float32), np.ones((2, 2), np.float32))
+    except Exception:
+        pass
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
+
+
 _NULL_EXTRACT_COLS: list[tuple[str, pa.DataType]] = [
     ("kind", pa.string()),
     ("parse_ok", pa.bool_()),
@@ -55,10 +87,11 @@ class FetchExtract:
         *,
         pages_ref=None,
         pages_dir: str | None = None,
-        num_buckets: int = 32,
+        num_buckets: int = 128,
         cache_buckets: int = 8,
         enrich: bool = False,
     ):
+        _pin_worker_threads()
         self.enrich = enrich
         self.num_buckets = num_buckets
         self.cache_buckets = cache_buckets
@@ -231,8 +264,11 @@ class FetchExtractActor:
         round-partitioned layout, written where the data already is) and
         return only the child-frontier rows + counters.
         """
+        import time
+
         import pyarrow.parquet as pq
 
+        t0 = time.perf_counter()
         extracted = self.inner(chunk, round_no=round_no)
         from ..pipelines.frontier import _explode_links  # local import, no cycle at module load
 
@@ -246,9 +282,15 @@ class FetchExtractActor:
             "errors": int((~found).sum()),
             "parse_ok": int(ok.sum()),
             "links": links.num_rows,
+            "busy_s": 0.0,
+            "write_s": 0.0,
         }
+        counts["busy_s"] = time.perf_counter() - t0
         if out_path is not None:
+            tw = time.perf_counter()
             pq.write_table(extracted, out_path)
+            counts["write_s"] = time.perf_counter() - tw
+            counts["busy_s"] = time.perf_counter() - t0
             return None, links, counts
         return extracted, links, counts
 
