@@ -74,7 +74,10 @@ def run_crawl_bench(sf: float, num_cpus: int) -> dict:
             max_rounds=16,
             max_depth=6,
             fetch_mode="bucketed",  # partition-pruned reads, no broadcast
-            fetch_concurrency=max(1, num_cpus - 2),  # headroom: driver+raylet
+            # driver/raylet headroom only matters when the pool would
+            # span every physical core of the box
+            fetch_concurrency=(num_cpus if num_cpus <= 16
+                               else num_cpus - 2),
             fetch_batch_size=512,
             enrich_text=True,  # inline quality/lang-id/dedup-signature stage
             ckpt_every=4,

@@ -84,6 +84,7 @@ class CrawlConfig:
     resume: bool = False
     enrich_text: bool = False  # inline quality/lang-id/fingerprint stage
     ckpt_every: int = 1  # seen-set checkpoint cadence (0 = final only)
+    salt_hosts: int = 0  # >0: salted two-phase host-quota shuffle (skew)
 
     @property
     def pages_dir(self) -> str:
@@ -423,11 +424,18 @@ class _Crawl:
             robots_filter_batch, fn_kwargs={"robots": self.robots},
             batch_format="pyarrow",
         )
-        cand = cand.groupby("host").map_groups(
-            host_quota_rank,
-            fn_kwargs={"robots": self.robots, "round_ms": cfg.round_ms},
-            batch_format="pandas",
-        )
+        if cfg.salt_hosts:
+            from ..stages.politeness import salted_host_quota
+
+            cand = salted_host_quota(
+                cand, self.robots, cfg.round_ms, cfg.salt_hosts
+            )
+        else:
+            cand = cand.groupby("host").map_groups(
+                host_quota_rank,
+                fn_kwargs={"robots": self.robots, "round_ms": cfg.round_ms},
+                batch_format="pandas",
+            )
         cand = cand.materialize()
         n_cand = cand.count()
 

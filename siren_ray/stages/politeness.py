@@ -79,6 +79,71 @@ def robots_filter_batch(batch: pa.Table, robots: dict) -> pa.Table:
     return batch.append_column("robots_ok", pa.array(ok))
 
 
+def salted_host_quota(ds, robots: dict, round_ms: int, num_salts: int = 8):
+    """Two-phase skew-safe variant of the per-host quota stage.
+
+    News-site frontiers are Zipf-skewed by host (SURVEY.md §4 "Skew"):
+    a single hot host's candidates can dwarf every other group in a
+    plain ``groupby(host)``. Phase 1 shuffles on the salted key
+    ``(host, hash(url) % num_salts)`` and keeps only each salted run's
+    top-``quota(h)`` rows — any row in a host's global top-quota is
+    necessarily in its salted run's top-quota, so no winner is lost.
+    Phase 2 merges the capped runs per host (input now bounded by
+    ``quota * num_salts`` rows per host) and assigns the exact
+    ``in_quota`` flags. Results are identical to ``host_quota_rank``
+    (tested), with the hot-host group shrunk by ~num_salts.
+    """
+    import pyarrow as pa
+
+    from ..util import hash_strings
+
+    def _add_salt(t: pa.Table) -> pa.Table:
+        salts = (hash_strings(t["url"].to_pylist()) % num_salts).astype("int64")
+        key = [f"{h}#{s}" for h, s in zip(t["host"].to_pylist(), salts)]
+        return t.append_column("salt_key", pa.array(key, pa.string()))
+
+    def _phase1(df: pd.DataFrame) -> pd.DataFrame:
+        # rows beyond a salted run's top-quota can't be in the host's
+        # global top-quota -> definitely over quota (deferred), and they
+        # skip the phase-2 host shuffle entirely
+        host = df["host"].iloc[0]
+        q = min(host_quota(robots, host, round_ms), 1 << 30)
+        ok = (
+            df["robots_ok"].to_numpy(dtype=bool)
+            if "robots_ok" in df.columns
+            else np.ones(len(df), dtype=bool)
+        )
+        dfo = df[ok].sort_values(["priority", "seq"],
+                                 ascending=[False, True], kind="mergesort")
+        passed = dfo.head(q).assign(salt_pass=True)
+        rejected = dfo.iloc[q:].assign(salt_pass=False)
+        bad = df[~ok].assign(salt_pass=False)
+        return pd.concat([passed, rejected, bad])
+
+    salted = ds.map_batches(_add_salt, batch_format="pyarrow")
+    phase1 = salted.groupby("salt_key").map_groups(
+        _phase1, batch_format="pandas"
+    ).materialize()
+    passed = phase1.map_batches(
+        lambda t: t.filter(t["salt_pass"]), batch_format="pyarrow"
+    )
+    ranked = passed.groupby("host").map_groups(
+        host_quota_rank, fn_kwargs={"robots": robots, "round_ms": round_ms},
+        batch_format="pandas",
+    )
+    def _fail(t: pa.Table) -> pa.Table:
+        ft = t.filter(pa.compute.invert(t["salt_pass"]))
+        return ft.append_column(
+            "in_quota", pa.array([False] * ft.num_rows, pa.bool_())
+        )
+
+    failed = phase1.map_batches(_fail, batch_format="pyarrow")
+    return ranked.union(failed).map_batches(
+        lambda t: t.drop_columns(["salt_key", "salt_pass"]),
+        batch_format="pyarrow",
+    )
+
+
 def host_quota_rank(df: pd.DataFrame, robots: dict, round_ms: int) -> pd.DataFrame:
     """map_groups fn (grouped by host): rank rows by (-priority, seq) and
     mark the first quota(h) as within-quota.

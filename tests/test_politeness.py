@@ -1,0 +1,82 @@
+"""Politeness scheduling: quota spec + salted-shuffle equivalence."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from siren_ray.stages.politeness import (
+    UNLIMITED,
+    host_quota,
+    host_quota_rank,
+    is_disallowed,
+    salted_host_quota,
+)
+
+ROBOTS = {
+    "hot.example.org": (["/private/"], 100),  # quota = round_ms/100
+    "slow.example.org": ([], 1000),
+    "blocked.example.org": (["/"], 0),
+}
+
+
+def test_host_quota():
+    assert host_quota(ROBOTS, "hot.example.org", 1000) == 10
+    assert host_quota(ROBOTS, "slow.example.org", 1000) == 1
+    assert host_quota(ROBOTS, "unknown.example.org", 1000) == UNLIMITED
+    assert host_quota(ROBOTS, "blocked.example.org", 1000) == UNLIMITED
+
+
+def test_is_disallowed():
+    assert is_disallowed(ROBOTS, "hot.example.org", "/private/x")
+    assert not is_disallowed(ROBOTS, "hot.example.org", "/public/x")
+    assert is_disallowed(ROBOTS, "blocked.example.org", "/anything")
+    assert not is_disallowed(ROBOTS, "unknown.example.org", "/x")
+
+
+def _frontier_df(n_hot=500, n_cold=50, seed=3):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_hot):
+        rows.append(("hot.example.org", f"/a/{i}", float(rng.rand()), i))
+    for i in range(n_cold):
+        rows.append((f"cold{i % 7}.example.org", f"/c/{i}",
+                     float(rng.rand()), n_hot + i))
+    df = pd.DataFrame(rows, columns=["host", "path", "priority", "_i"])
+    df["url"] = "https://" + df["host"] + df["path"]
+    df["seq"] = [f"{i:08d}" for i in df["_i"]]
+    df["depth"] = np.int32(1)
+    df["robots_ok"] = [
+        not is_disallowed(ROBOTS, h, p) for h, p in zip(df["host"], df["path"])
+    ]
+    return df.drop(columns=["_i"])
+
+
+def test_host_quota_rank_spec():
+    df = _frontier_df()
+    hot = df[df.host == "hot.example.org"]
+    ranked = host_quota_rank(hot, ROBOTS, 1000)
+    assert int(ranked["in_quota"].sum()) == 10  # quota honored
+    # winners are exactly the top-10 by (priority DESC, seq ASC)
+    top = hot.sort_values(["priority", "seq"], ascending=[False, True]).head(10)
+    assert set(ranked[ranked.in_quota]["url"]) == set(top["url"])
+
+
+def test_salted_host_quota_equivalence(ray_session):
+    import ray.data as rd
+
+    df = _frontier_df(n_hot=800, n_cold=120)
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    plain = (
+        ds.groupby("host")
+        .map_groups(
+            host_quota_rank,
+            fn_kwargs={"robots": ROBOTS, "round_ms": 1000},
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    salted = salted_host_quota(ds, ROBOTS, 1000, num_salts=8).to_pandas()
+    key = lambda d: set(zip(d["url"], d["in_quota"].astype(bool)))
+    assert len(salted) == len(plain) == len(df)
+    assert key(salted) == key(plain)
