@@ -11,9 +11,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "urls_per_sec": ..., "crawl": {...}}
 
---scaling: runs the headline crawl twice in fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both
-throughputs plus scaling efficiency = (thr_32/thr_8) / (32/8).
+--scaling: runs the headline crawl in fresh processes at two parallelism
+levels (default num_cpus=2 then 8, i.e. N and 4N; ``--levels 8,32``
+selects the wider pair) on the same input and reports both throughputs
+plus scaling efficiency = (thr_hi/thr_lo) / (hi/lo), with actor
+busy-core-seconds and utilization as supporting evidence.
 """
 
 from __future__ import annotations
@@ -152,7 +154,7 @@ def main_single(args) -> dict:
     return result
 
 
-def main_scaling(levels=(8, 32), trials: int = 2) -> dict:
+def main_scaling(levels=(2, 8), trials: int = 2) -> dict:
     """Same job on the same input, fresh processes, num_cpus=N then 4N.
 
     Each level runs ``trials`` times and keeps the best throughput (the
@@ -205,7 +207,7 @@ def main_scaling(levels=(8, 32), trials: int = 2) -> dict:
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
-    p.add_argument("--levels", default="8,32")
+    p.add_argument("--levels", default="2,8")
     p.add_argument("--trials", type=int, default=2)
     p.add_argument("--crawl-only", action="store_true")
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
