@@ -49,7 +49,8 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
@@ -77,7 +78,8 @@ def main(argv=None) -> int:
             name.rsplit(".", 1)[-1], cfg.start, cfg.end,
         )
         print(f"{name} completed in {time.perf_counter() - t0:.1f}s -> {path}")
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return rc
 
 

@@ -126,17 +126,25 @@ def parse_apijson(url: str, html: bytes) -> dict:
         data = json.loads(html.decode("utf-8"))
     except (json.JSONDecodeError, UnicodeDecodeError):
         return dict(_EMPTY)
+    if not isinstance(data, dict):
+        return dict(_EMPTY)  # Model(**json) TypeError -> drop (P9)
     story = data.get("StoryContent") or []
+    if not isinstance(story, list) or (story and not isinstance(story[0], dict)):
+        return dict(_EMPTY)
     if not story or "PageNumber" not in data or "Body" not in story[0]:
         return dict(_EMPTY)  # ValidationError -> drop (ht.py:120-123)
     body = story[0]["Body"]
+    if not isinstance(body, str):
+        return dict(_EMPTY)
     heads = story[0].get("Headlines") or []
-    headline = heads[0] if heads else " - no data -"  # ht.py:151-154
+    headline = heads[0] if isinstance(heads, list) and heads else " - no data -"  # ht.py:151-154
+    if not isinstance(headline, str):
+        headline = " - no data -"
     ts = None
     if raw := data.get("Eddate"):
         try:
             ts = datetime.strptime(raw, "%d/%m/%Y")  # ht.py:72-74
-        except ValueError:
+        except (ValueError, TypeError):
             ts = None
     return {
         **_EMPTY,
@@ -155,7 +163,12 @@ def parse_ld(url: str, html: bytes) -> dict:
         data = json.loads(raw, strict=False)
     except json.JSONDecodeError:
         data = {}
-    data["author"] = (data.get("author") or {}).get("name", "-")
+    if not isinstance(data, dict):
+        data = {}
+    author = data.get("author")
+    data["author"] = (
+        author.get("name", "-") if isinstance(author, dict) else "-"
+    )
     data.setdefault("thumbnailUrl", "-")
     data.setdefault("headline", "-")
     links = _related_links(root)

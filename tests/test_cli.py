@@ -1,0 +1,55 @@
+"""CLI lifecycle test (SURVEY.md §3.1/§3.2): config -> registry -> run ->
+projected CSV under the W4 naming scheme."""
+
+import csv
+import os
+
+
+def test_cli_single_scraper(ray_session, corpus_sf0001, tmp_path):
+    from siren_ray.__main__ import main
+
+    rc = main([
+        "--scraper", "online.indiatoday.IndiaTodayOnlineScraper",
+        "--keywords", "suicide",
+        "--start", "2024-02-01", "--end", "2024-05-01",
+        "--out", str(tmp_path),
+        "--sf", "0.001",
+    ])
+    assert rc == 0
+    dirs = os.listdir(tmp_path)
+    assert any("IndiaTodayOnlineScraper_2024-02-01_2024-05-01" in d
+               for d in dirs)
+    outdir = os.path.join(tmp_path, dirs[0])
+    rows = []
+    for f in sorted(os.listdir(outdir)):
+        with open(os.path.join(outdir, f)) as fh:
+            rows.extend(list(csv.DictReader(fh)))
+    assert rows and "url" in rows[0]
+
+
+def test_cli_unknown_scraper(ray_session, tmp_path):
+    from siren_ray.__main__ import main
+
+    rc = main(["--scraper", "does.not.Exist", "--out", str(tmp_path),
+               "--sf", "0.001"])
+    assert rc == 1  # reference prints "Could not find scraper" (__main__.py:157)
+
+
+def test_cli_toml_config(ray_session, corpus_sf0001, tmp_path):
+    from siren_ray.__main__ import main
+
+    cfgfile = tmp_path / "config.toml"
+    cfgfile.write_text(
+        'scraper = "epaper.ht.HTScraper"\n'
+        'keywords = ["suicide", "found dead"]\n'
+        'ignore_keywords = ["suicide bomb"]\n'
+        'start = "2024-02-01"\n'
+        'end = "2024-05-01"\n'
+        'max_concurrency = 50\n'
+        f'corpus_dir = "{corpus_sf0001}"\n'
+        f'out = "{tmp_path}"\n'
+    )
+    rc = main(["--config", str(cfgfile), "--out", str(tmp_path),
+               "--sf", "0.001"])
+    assert rc == 0
+    assert any("HTScraper" in d for d in os.listdir(tmp_path))

@@ -1,0 +1,74 @@
+"""Property-based robustness (hypothesis): the HTML mini-DOM and hashing
+utilities must never crash and must honor their invariants on arbitrary
+inputs — parsers in the fetch hot path see the whole web."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from siren_ray.html_mini import parse_html
+from siren_ray.stages.extract import extract_one
+from siren_ray.util import hash_strings, host_of, hosts_of, path_of, paths_of
+
+text_strategy = st.text(
+    alphabet=string.printable, min_size=0, max_size=300
+)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_parse_html_never_crashes(s):
+    root = parse_html(s)
+    _ = root.text  # text extraction total
+
+
+@given(text_strategy)
+@settings(max_examples=100, deadline=None)
+def test_escaped_text_roundtrip(s):
+    import html as h
+
+    root = parse_html(f"<div id='x'>{h.escape(s)}</div>")
+    node = root.find(id_="x")
+    assert node is not None
+    # html.parser collapses \r\n handling; restrict claim to no-CR strings
+    if "\r" not in s:
+        assert node.text == s
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_extract_one_total_on_garbage(b):
+    for kind_url in (
+        "https://h.example.org/news/1",
+        "https://h.example.org/search/1",
+        "https://h.example.org/api/article/1",
+        "https://h.example.org/tg/1",
+        "https://h.example.org/textview/1/71.html",
+        "https://h.example.org/epaper/Page-1.html",
+        "https://h.example.org/story/1",
+    ):
+        out = extract_one(kind_url, b)
+        assert isinstance(out["text"], str)
+        assert isinstance(out["links"], list)
+
+
+@given(st.lists(st.text(min_size=0, max_size=50), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_hashing_deterministic_and_order_free(strings):
+    a = hash_strings(strings)
+    b = hash_strings(strings)
+    assert (a == b).all()
+    # per-element: hash depends only on the element
+    for i, s in enumerate(strings):
+        assert a[i] == hash_strings([s])[0]
+
+
+@given(st.text(alphabet=string.ascii_lowercase + "./:", max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_host_path_split_consistent(s):
+    url = f"https://{s}"
+    assert host_of(url) == hosts_of([url])[0] or s == ""
+    joined = host_of(url) + path_of(url)
+    if "/" in s:
+        assert url == "https://" + joined
