@@ -131,6 +131,25 @@ def test_bucketed_fetch_same_order(corpus_sf0001, tmp_path_factory, sim):
     assert _engine_order(engine) == sim_order
 
 
+def test_distributed_salted_matches_simulator(
+    corpus_sf0001, tmp_path_factory, sim
+):
+    """Salted host-quota shuffle must not change scheduling decisions."""
+    out = str(tmp_path_factory.mktemp("crawl_salted"))
+    cfg = CrawlConfig(
+        corpus_dir=corpus_sf0001, out_dir=out, fetch_mode="broadcast",
+        scheduler="distributed", budget_per_round=50, round_ms=1000,
+        max_rounds=3, max_depth=6, salt_hosts=4,
+    )
+    engine = run_crawl(cfg)
+    sim_order = [
+        (r, url, seq)
+        for (r, _rank, url, _p, seq, _f) in sim.crawl_order
+        if r < 3
+    ]
+    assert _engine_order(engine) == sim_order
+
+
 def test_distributed_scheduler_matches_simulator(
     corpus_sf0001, tmp_path_factory, sim
 ):
