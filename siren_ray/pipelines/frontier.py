@@ -50,7 +50,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..state.seen import SeenContainsFilter, SeenSet
+from ..state.seen import SeenSet, seen_add_batch, seen_contains_filter
 from ..stages.fetch import FetchExtract, FetchExtractActor, broadcast_pages
 from ..stages.politeness import (
     host_quota,
@@ -122,26 +122,6 @@ def _pick_best(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(["priority", "seq"], ascending=[False, True],
                         kind="mergesort")
     return df.head(1)
-
-
-class _SeenAdd:
-    """map_batches passthrough that registers urls in the seen shards."""
-
-    def __init__(self, shards, num_shards: int):
-        self.shards = shards
-        self.num_shards = num_shards
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
-            hashes = hash_strings(batch["url"].to_pylist())
-            shard_ids = (hashes % self.num_shards).astype(np.int64)
-            refs = []
-            for s in range(self.num_shards):
-                idx = np.nonzero(shard_ids == s)[0]
-                if len(idx):
-                    refs.append(self.shards[s].add.remote(hashes[idx]))
-            ray.get(refs)
-        return batch
 
 
 def _explode_links(batch: pa.Table, decay: float, max_depth: int) -> pa.Table:
@@ -415,10 +395,8 @@ class _Crawl:
             _pick_best, batch_format="pandas"
         )
         cand = cand.map_batches(
-            SeenContainsFilter,
-            fn_constructor_kwargs=self._seen_kwargs,
+            seen_contains_filter, fn_kwargs=self._seen_kwargs,
             batch_format="pyarrow",
-            concurrency=(1, 2),
         )
         cand = cand.map_batches(
             robots_filter_batch, fn_kwargs={"robots": self.robots},
@@ -443,8 +421,8 @@ class _Crawl:
             cand, lambda t: ~np.asarray(t["robots_ok"], dtype=bool)
         )
         n_robots = robots_bad.map_batches(
-            _SeenAdd, fn_constructor_kwargs=self._seen_kwargs,
-            batch_format="pyarrow", concurrency=1,
+            seen_add_batch, fn_kwargs=self._seen_kwargs,
+            batch_format="pyarrow",
         ).count()
 
         eligible = _filter(
@@ -487,8 +465,8 @@ class _Crawl:
 
         fetched = (
             selected.map_batches(
-                _SeenAdd, fn_constructor_kwargs=self._seen_kwargs,
-                batch_format="pyarrow", concurrency=(1, 2),
+                seen_add_batch, fn_kwargs=self._seen_kwargs,
+                batch_format="pyarrow",
             )
             .map_batches(
                 FetchExtract,

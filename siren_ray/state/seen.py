@@ -131,12 +131,49 @@ class SeenSet:
         ])
 
 
-class SeenContainsFilter:
-    """map_batches callable: drop rows whose url is already seen.
+def seen_contains_filter(batch: pa.Table, *, shards: list, num_shards: int,
+                         url_col: str = "url") -> pa.Table:
+    """Stateless map_batches fn: drop rows whose url is already seen.
 
-    Stateless w.r.t. batches; holds shard handles. Used inside a round
-    AFTER within-round dedup, so results don't depend on batch order.
+    Shard actor handles pickle into plain tasks — no per-execution actor
+    pool spin-up. Used inside a round AFTER within-round dedup, so
+    results don't depend on batch order.
     """
+    if batch.num_rows == 0:
+        return batch
+    urls = batch[url_col].to_pylist()
+    hashes = hash_strings(urls)
+    shard_ids = (hashes % num_shards).astype(np.int64)
+    seen = np.zeros(len(urls), dtype=bool)
+    parts = []
+    refs = []
+    for s in range(num_shards):
+        idx = np.nonzero(shard_ids == s)[0]
+        if len(idx):
+            parts.append(idx)
+            refs.append(shards[s].contains.remote(hashes[idx]))
+    for idx, mask in zip(parts, ray.get(refs) if refs else []):
+        seen[idx] = mask
+    return batch.filter(pa.array(~seen))
+
+
+def seen_add_batch(batch: pa.Table, *, shards: list, num_shards: int,
+                   url_col: str = "url") -> pa.Table:
+    """Stateless map_batches passthrough registering urls in the shards."""
+    if batch.num_rows:
+        hashes = hash_strings(batch[url_col].to_pylist())
+        shard_ids = (hashes % num_shards).astype(np.int64)
+        refs = []
+        for s in range(num_shards):
+            idx = np.nonzero(shard_ids == s)[0]
+            if len(idx):
+                refs.append(shards[s].add.remote(hashes[idx]))
+        ray.get(refs)
+    return batch
+
+
+class SeenContainsFilter:
+    """Class form of :func:`seen_contains_filter` (actor-pool variant)."""
 
     def __init__(self, shards: list, num_shards: int, url_col: str = "url"):
         self.shards = shards
@@ -144,19 +181,7 @@ class SeenContainsFilter:
         self.url_col = url_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        urls = batch[self.url_col].to_pylist()
-        hashes = hash_strings(urls)
-        shard_ids = (hashes % self.num_shards).astype(np.int64)
-        seen = np.zeros(len(urls), dtype=bool)
-        parts = []
-        refs = []
-        for s in range(self.num_shards):
-            idx = np.nonzero(shard_ids == s)[0]
-            if len(idx):
-                parts.append(idx)
-                refs.append(self.shards[s].contains.remote(hashes[idx]))
-        for idx, mask in zip(parts, ray.get(refs)):
-            seen[idx] = mask
-        return batch.filter(pa.array(~seen))
+        return seen_contains_filter(
+            batch, shards=self.shards, num_shards=self.num_shards,
+            url_col=self.url_col,
+        )
