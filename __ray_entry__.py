@@ -483,6 +483,15 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_duplicate_pairs(ds, "doc_id")
 
 
+def q_neardup_removed(sf_dir: str):
+    """End-to-end near-dup removal: MinHash+LSH pairs -> union-find
+    clusters -> keep min doc_id per cluster (broadcast loser filter)."""
+    from siren_ray.stages.dedup import remove_near_duplicates
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return remove_near_duplicates(ds, "doc_id")
+
+
 def q_simhash(sf_dir: str):
     from siren_ray.stages.dedup import simhash_batch
 
@@ -605,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
+        "neardup_removed": q_neardup_removed,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "knn_ivf": q_knn_ivf,

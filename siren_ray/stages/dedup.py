@@ -157,6 +157,59 @@ def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
     ).drop_columns(["pair_key"])
 
 
+def neardup_losers(pairs_df, id_a: str = "id_a", id_b: str = "id_b") -> set:
+    """Duplicate-cluster resolution: union-find over candidate pairs,
+    keep the minimum id per cluster, return the losers.
+
+    Pairs are tiny relative to the corpus (LSH output), so clustering is
+    a driver-side reduction; the loser set broadcasts into a filter.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs_df[id_a], pairs_df[id_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    losers = {x for x in parent if find(x) != x}
+    return losers
+
+
+def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
+                           num_perm: int = 64, bands: int = 16, k: int = 5):
+    """End-to-end near-dup removal: MinHash+LSH candidate pairs ->
+    union-find clusters -> drop every non-minimum member.
+
+    The only driver-side data is the pair list (LSH-bounded); the filter
+    is a broadcast set lookup inside map_batches.
+    """
+    import ray
+
+    pairs = minhash_duplicate_pairs(
+        ds, id_col, num_perm=num_perm, bands=bands, k=k, text_col=text_col
+    ).to_pandas()
+    losers_ref = ray.put(neardup_losers(pairs))
+
+    class _Drop:
+        def __init__(self):
+            self.losers = ray.get(losers_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = [i not in self.losers for i in t[id_col].to_pylist()]
+            return t.filter(pa.array(keep))
+
+    return ds.map_batches(_Drop, batch_format="pyarrow", concurrency=(1, 2))
+
+
 # --- SimHash --------------------------------------------------------------
 
 _SIMHASH_MAX_TOKENS = 512  # signature sample cap: bounds memory traffic

@@ -246,3 +246,33 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x00")
+
+
+def test_remove_near_duplicates(ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import neardup_losers, remove_near_duplicates
+
+    base = ("the state capital police report officials said district "
+            "court order health family farmer student school " * 4)
+    texts = {
+        0: base,
+        1: base + " tail",           # near-dup of 0 -> dropped
+        2: "completely different words here now " * 6,
+        3: base + " tail",           # exact dup of 1 -> dropped
+    }
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items()]
+    )
+    kept = remove_near_duplicates(ds, "doc_id").to_pandas()
+    assert set(kept["doc_id"]) == {0, 2}
+
+    import pandas as pd
+
+    losers = neardup_losers(pd.DataFrame({"id_a": [1, 5], "id_b": [2, 6]}))
+    assert losers == {2, 6}
+    # transitive cluster keeps only the minimum
+    losers2 = neardup_losers(
+        pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+    )
+    assert losers2 == {2, 3}
