@@ -7,9 +7,10 @@
 Ray is initialised by the driver BEFORE this module is imported; nothing
 here calls ``ray.init``/``ray.shutdown``.
 
-Numeric-compare notes: float SUMs are cast to integer cents
-(round-half-even on both sides) so accumulation order can't flip the
-value hash; kNN results return (query_id, vec_id) pairs only (cosine
+Numeric-compare notes: float SUMs are cast to integer cents using
+round-half-AWAY-FROM-ZERO on the engine side (``_cents``), matching
+DuckDB's ``round()``, so accumulation order and rounding mode can't flip
+the value hash; kNN results return (query_id, vec_id) pairs only (cosine
 ranking verified in tests, not hashed).
 """
 
@@ -28,6 +29,14 @@ UNION_KEYWORD = "join"
 EXCLUDE_KEYWORD = "merge"
 WINDOW_START = datetime(2024, 1, 10)
 WINDOW_END = datetime(2024, 1, 20)
+
+
+def _cents(values) -> "Any":
+    """value -> integer cents, round-half-away-from-zero (DuckDB round())."""
+    import numpy as np
+
+    v = np.asarray(values, dtype="float64") * 100.0
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype("int64")
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -300,7 +309,7 @@ def q_window_agg(sf_dir: str):
     def _partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         df["day"] = df["ts"].dt.floor("D")
-        df["value_c"] = np.rint(df["value"] * 100).astype("int64")
+        df["value_c"] = _cents(df["value"])
         g = (
             df.groupby(["day", "event_type"], sort=False)
             .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
@@ -342,9 +351,9 @@ def q_lineitem_pricing(sf_dir: str):
 
     def _partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["qty_c"] = np.rint(df["l_quantity"] * 100).astype("int64")
-        df["price_c"] = np.rint(df["l_extendedprice"] * 100).astype("int64")
-        df["disc_c"] = np.rint(df["l_discount"] * 100).astype("int64")
+        df["qty_c"] = _cents(df["l_quantity"])
+        df["price_c"] = _cents(df["l_extendedprice"])
+        df["disc_c"] = _cents(df["l_discount"])
         g = (
             df.groupby(["l_returnflag", "l_linestatus"], sort=False)
             .agg(

@@ -116,12 +116,34 @@ def _filter(ds, fn):
     )
 
 
-def _pick_best(df: pd.DataFrame) -> pd.DataFrame:
+_URL_DEDUP_PARTITIONS = 64
+
+
+def _dedup_urls_distributed(ds):
     """Within-round URL dedup: keep the (priority DESC, seq ASC) winner
-    (D1/D2 semantics, mirror.py:106-108 / ht.py:233-247)."""
-    df = df.sort_values(["priority", "seq"], ascending=[False, True],
-                        kind="mergesort")
-    return df.head(1)
+    per url (D1/D2 semantics, mirror.py:106-108 / ht.py:233-247).
+
+    Hash-partitions on a coarse bucket of the url and dedups each
+    partition VECTORIZED — one pandas call per partition, never per url
+    (per-key ``map_groups`` with group sizes ~1-2 is pure scheduler
+    overhead at frontier scale)."""
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        pk = (hash_strings(t["url"].to_pylist())
+              % _URL_DEDUP_PARTITIONS).astype(np.int64)
+        return t.append_column("_pk", pa.array(pk))
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "priority", "seq"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.drop_duplicates("url", keep="first")
+        return df.drop(columns=["_pk"]).reset_index(drop=True)
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_dedup, batch_format="pandas")
+    )
 
 
 def _explode_links(batch: pa.Table, decay: float, max_depth: int) -> pa.Table:
@@ -326,11 +348,16 @@ class _Crawl:
         n_err = n_parse_ok = n_links = 0
         t_fetch = t_write = 0.0
         next_dir = _round_dir(self.frontier_dir, r + 1)
+        # clear any parts left by an interrupted attempt at this round
+        # (a prior distributed attempt writes UUID-named parts that the
+        # deterministic part-{j} names below would not overwrite)
+        shutil.rmtree(next_dir, ignore_errors=True)
         link_tbls: list[pa.Table] = []
         if n_sel:
             sel = sel_tbl.select(FRONTIER_COLS)
             pool = self._fetch_pool()
             ext_dir = _round_dir(self.extracted_dir, r)
+            shutil.rmtree(ext_dir, ignore_errors=True)
             os.makedirs(ext_dir, exist_ok=True)
             t0 = time.perf_counter()
             lrefs, crefs = [], []
@@ -391,9 +418,7 @@ class _Crawl:
             for a in self._pool:
                 ray.kill(a)
             self._pool = None
-        cand = frontier_ds.groupby("url").map_groups(
-            _pick_best, batch_format="pandas"
-        )
+        cand = _dedup_urls_distributed(frontier_ds)
         cand = cand.map_batches(
             seen_contains_filter, fn_kwargs=self._seen_kwargs,
             batch_format="pyarrow",
@@ -488,7 +513,12 @@ class _Crawl:
                 pa.compute.and_kleene(t["found"], t["parse_ok"]).fill_null(False)
             ),
         ).count()
-        fetched.write_parquet(_round_dir(self.extracted_dir, r))
+        # Ray Data writes UUID-named parts and never overwrites: a re-run
+        # round (resume after crash) must clear the interrupted attempt's
+        # parts or the extracted dataset accumulates stale + new rows.
+        ext_dir = _round_dir(self.extracted_dir, r)
+        shutil.rmtree(ext_dir, ignore_errors=True)
+        fetched.write_parquet(ext_dir)
 
         nxt = fetched.map_batches(
             _explode_links,
@@ -499,8 +529,10 @@ class _Crawl:
             nxt = nxt.union(part.select_columns(FRONTIER_COLS))
         nxt = nxt.materialize()
         n_next = nxt.count()
+        next_dir = _round_dir(self.frontier_dir, r + 1)
+        shutil.rmtree(next_dir, ignore_errors=True)  # same overwrite guarantee
         if n_next:
-            nxt.write_parquet(_round_dir(self.frontier_dir, r + 1))
+            nxt.write_parquet(next_dir)
         return {
             "frontier": frontier_n,
             "candidates": n_cand,
@@ -511,6 +543,24 @@ class _Crawl:
             "parse_ok": n_parse_ok,
             "next_frontier": n_next,
         }
+
+    def _checkpoint_round(self, r: int, ckpt_marker: str) -> None:
+        """Round-stamped seen checkpoint + atomic marker + GC.
+
+        Order matters: (1) write seen_ckpt/r{r}/ completely, (2) atomically
+        point the marker at it (tmp + os.replace), (3) only then delete
+        older round dirs. A crash at any point leaves a marker that names
+        a COMPLETE dir whose content is exactly "end of round marker"."""
+        d = os.path.join(self.seen_ckpt_dir, f"r{r:05d}")
+        self.seen.checkpoint(d)
+        tmp = ckpt_marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(r))
+        os.replace(tmp, ckpt_marker)
+        for name in os.listdir(self.seen_ckpt_dir):
+            if name.startswith("r") and name != f"r{r:05d}":
+                shutil.rmtree(os.path.join(self.seen_ckpt_dir, name),
+                              ignore_errors=True)
 
     # -- main loop ---------------------------------------------------------
     def run(self) -> CrawlResult:
@@ -523,7 +573,11 @@ class _Crawl:
             with open(self.metrics_path) as f:
                 metrics = [json.loads(line) for line in f if line.strip()]
             # resume only from the last round with a seen-set checkpoint;
-            # later rounds are re-run deterministically (outputs overwrite)
+            # later rounds are re-run deterministically (outputs overwrite).
+            # Checkpoints are ROUND-STAMPED dirs and the marker is written
+            # (atomically) only after its dir is complete, so the restored
+            # seen state is exactly "end of round marker" — never newer
+            # (a newer seen set would silently drop re-run rounds' links).
             ckpt_round = -1
             if os.path.exists(ckpt_marker):
                 with open(ckpt_marker) as f:
@@ -531,7 +585,9 @@ class _Crawl:
             metrics = [m for m in metrics if m["round"] <= ckpt_round]
             if metrics:
                 start_round = metrics[-1]["round"] + 1
-                self.seen.restore(self.seen_ckpt_dir)
+                self.seen.restore(
+                    os.path.join(self.seen_ckpt_dir, f"r{ckpt_round:05d}")
+                )
                 with open(self.metrics_path, "w") as f:
                     for m in metrics:
                         f.write(json.dumps(m) + "\n")
@@ -582,10 +638,6 @@ class _Crawl:
                         batch_format="pyarrow",
                     )
                     rec = self._run_round_distributed(r, frontier, frontier_n)
-                if cfg.ckpt_every and (r + 1) % cfg.ckpt_every == 0:
-                    self.seen.checkpoint(self.seen_ckpt_dir)
-                    with open(ckpt_marker, "w") as f:
-                        f.write(str(r))
                 total_fetched += rec["selected"] - rec["fetch_errors"]
                 total_errors += rec["fetch_errors"]
                 rec.update(
@@ -595,15 +647,21 @@ class _Crawl:
                     scheduler="driver" if use_driver else "distributed",
                 )
                 metrics.append(rec)
+                # metrics BEFORE checkpoint/marker: resume treats a round
+                # as complete only when both exist, and the resume filter
+                # keeps metrics <= marker — so a crash between the two
+                # re-runs round r with a seen set that does NOT yet
+                # contain round r's selections (the reverse order would
+                # silently drop the round's link expansions)
                 mf.write(json.dumps(rec) + "\n")
                 mf.flush()
+                if cfg.ckpt_every and (r + 1) % cfg.ckpt_every == 0:
+                    self._checkpoint_round(r, ckpt_marker)
                 r += 1
                 if rec["next_frontier"] == 0:
                     break
             if r > start_round and cfg.ckpt_every != 1:
-                self.seen.checkpoint(self.seen_ckpt_dir)
-                with open(ckpt_marker, "w") as f:
-                    f.write(str(r - 1))
+                self._checkpoint_round(r - 1, ckpt_marker)
 
         return CrawlResult(
             out_dir=cfg.out_dir,

@@ -39,22 +39,20 @@ def read_pages(corpus_dir: str, *, kinds: tuple[str, ...] | None = None,
     (S2 semantics: server-side date filter -> read predicate,
     indiatoday.py:124-136). ``kinds`` prunes by URL-path family.
     """
+    # predicate pushed INTO the Parquet scan: row groups whose warc_ts
+    # statistics fall outside the window are never read (S2 server-side
+    # date filter -> read-level pruning, not a post-read map_batches)
+    expr = None
+    if ts_start is not None:
+        expr = pads.field("warc_ts") > ts_start
+    if ts_end is not None:
+        e = pads.field("warc_ts") < ts_end
+        expr = e if expr is None else expr & e
     ds = rd.read_parquet(
         os.path.join(corpus_dir, "pages"),
         columns=columns,
+        filter=expr,
     )
-    if ts_start is not None or ts_end is not None:
-        def _f(t: pa.Table) -> pa.Table:
-            mask = np.ones(t.num_rows, dtype=bool)
-            ts = t["warc_ts"]
-            if ts_start is not None:
-                mask &= pc.greater(ts, pa.scalar(ts_start)).to_numpy(
-                    zero_copy_only=False)
-            if ts_end is not None:
-                mask &= pc.less(ts, pa.scalar(ts_end)).to_numpy(
-                    zero_copy_only=False)
-            return t.filter(pa.array(mask))
-        ds = ds.map_batches(_f, batch_format="pyarrow")
     if kinds:
         pats = tuple(f"/{k}" for k in _KIND_PATHS(kinds))
         ds = ds.map_batches(
@@ -77,10 +75,31 @@ def _KIND_PATHS(kinds):
     return out
 
 
-def _fetch_urls(urls_ds, corpus_dir: str, *, concurrency: int = 4,
+def make_fetch_kwargs(corpus_dir: str, *, fetch_mode: str = "broadcast",
+                      num_buckets: int = 128, fetch_concurrency: int = 4,
+                      cache_buckets: int | None = None) -> dict:
+    """Build the FetchExtract constructor kwargs ONCE per pipeline.
+
+    ``broadcast``: one corpus read + one ``ray.put``; every fetch stage of
+    the pipeline shares the same object-store ref (round 1 re-read and
+    re-put the corpus per stage — twice per mirror run). ``bucketed``: the
+    100 TB path — actors read only the hash-bucket partitions their
+    batches need (same discipline as CrawlConfig.fetch_mode).
+    """
+    pages_dir = os.path.join(corpus_dir, "pages")
+    if fetch_mode == "broadcast":
+        return {"pages_ref": broadcast_pages(pages_dir)}
+    owned = -(-num_buckets // max(1, fetch_concurrency)) + 1
+    return {
+        "pages_dir": pages_dir,
+        "num_buckets": num_buckets,
+        "cache_buckets": max(cache_buckets or 8, owned),
+    }
+
+
+def _fetch_urls(urls_ds, fetch_kwargs: dict, *, concurrency: int = 4,
                 batch_size: int = 1024):
     """frontier-shaped fetch: urls Dataset -> extracted rows (F2 join)."""
-    pages_ref = broadcast_pages(os.path.join(corpus_dir, "pages"))
 
     def _prep(t: pa.Table) -> pa.Table:
         urls = t["url"].to_pylist()
@@ -96,7 +115,7 @@ def _fetch_urls(urls_ds, corpus_dir: str, *, concurrency: int = 4,
 
     return urls_ds.map_batches(_prep, batch_format="pyarrow").map_batches(
         FetchExtract,
-        fn_constructor_kwargs={"pages_ref": pages_ref},
+        fn_constructor_kwargs=fetch_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
@@ -160,14 +179,17 @@ MIRROR_SPEC = ProjectionSpec(
 
 
 def mirror_pipeline(corpus_dir: str, *, start: datetime, end: datetime,
-                    concurrency: int = 4):
+                    concurrency: int = 4, fetch_mode: str = "broadcast"):
     """Mirror family (S1/P1/P2/Q1/D1/W1, online/mirror.py).
 
     search pages -> link extraction (Pagination dropped) -> article fetch
     -> ld+json parse-or-drop -> strict date window -> exact URL dedup.
+    One corpus ref serves BOTH fetch stages (built once per pipeline).
     """
+    fk = make_fetch_kwargs(corpus_dir, fetch_mode=fetch_mode,
+                           fetch_concurrency=concurrency)
     searches = read_pages(corpus_dir, kinds=("search",), columns=["url"])
-    listed = _fetch_urls(searches, corpus_dir, concurrency=concurrency)
+    listed = _fetch_urls(searches, fk, concurrency=concurrency)
     article_urls = listed.map_batches(_explode_link_col, batch_format="pyarrow")
     # keep only mirror-family article urls (BASE_URL / "news" routing)
     article_urls = article_urls.map_batches(
@@ -176,7 +198,7 @@ def mirror_pipeline(corpus_dir: str, *, start: datetime, end: datetime,
         ),
         batch_format="pyarrow",
     )
-    articles = _fetch_urls(article_urls, corpus_dir, concurrency=concurrency)
+    articles = _fetch_urls(article_urls, fk, concurrency=concurrency)
     ok = articles.map_batches(
         lambda t: t.filter(
             pc.and_kleene(t["found"], t["parse_ok"]).fill_null(False)
@@ -191,14 +213,17 @@ def mirror_pipeline(corpus_dir: str, *, start: datetime, end: datetime,
 
 
 def indiatoday_pipeline(corpus_dir: str, *, start: datetime, end: datetime,
-                        keywords: list[str], concurrency: int = 4):
+                        keywords: list[str], concurrency: int = 4,
+                        fetch_mode: str = "broadcast"):
     """IndiaToday family (S2/P3/Q4, online/indiatoday.py): date predicate
     pushed to the read; body text parsed from Story div; keyword filter."""
+    fk = make_fetch_kwargs(corpus_dir, fetch_mode=fetch_mode,
+                           fetch_concurrency=concurrency)
     arts = read_pages(
         corpus_dir, kinds=("it",), columns=["url", "warc_ts"],
         ts_start=start, ts_end=end,
     )
-    fetched = _fetch_urls(arts.select_columns(["url"]), corpus_dir,
+    fetched = _fetch_urls(arts.select_columns(["url"]), fk,
                           concurrency=concurrency)
     ok = fetched.map_batches(
         lambda t: t.filter(
@@ -212,14 +237,16 @@ def indiatoday_pipeline(corpus_dir: str, *, start: datetime, end: datetime,
 
 
 def ht_pipeline(corpus_dir: str, *, keywords: list[str],
-                concurrency: int = 4):
+                concurrency: int = 4, fetch_mode: str = "broadcast"):
     """HT family (S6/P7/P9/D2/D3/X7, epaper/ht.py): article JSON hydrate,
     pre-fetch ID dedup (seen semantics), first-wins headline dedup."""
+    fk = make_fetch_kwargs(corpus_dir, fetch_mode=fetch_mode,
+                           fetch_concurrency=concurrency)
     partials = read_pages(corpus_dir, kinds=("apijson",), columns=["url"])
     # D2: pre-fetch dedup by article id == url here (ids are unique by
     # construction; the frontier seen-filter covers the general case)
     deduped_pre = dedup_exact(partials, "url", "url")
-    fetched = _fetch_urls(deduped_pre, corpus_dir, concurrency=concurrency)
+    fetched = _fetch_urls(deduped_pre, fk, concurrency=concurrency)
     ok = fetched.map_batches(
         lambda t: t.filter(
             pc.and_kleene(t["found"], t["parse_ok"]).fill_null(False)
@@ -234,14 +261,17 @@ def ht_pipeline(corpus_dir: str, *, keywords: list[str],
 
 
 def telegraph_epaper_pipeline(corpus_dir: str, *, keywords: list[str],
-                              concurrency: int = 4):
+                              concurrency: int = 4,
+                              fetch_mode: str = "broadcast"):
     """TG e-paper family (S9-S11/P6/Q2, epaper/telegraph.py): Page-N pages
     -> show_pop regex links -> textview parse -> keyword containment."""
+    fk = make_fetch_kwargs(corpus_dir, fetch_mode=fetch_mode,
+                           fetch_concurrency=concurrency)
     pages = read_pages(corpus_dir, kinds=("epaper",), columns=["url"])
-    epaper = _fetch_urls(pages, corpus_dir, concurrency=concurrency)
+    epaper = _fetch_urls(pages, fk, concurrency=concurrency)
     tv_urls = epaper.map_batches(_explode_link_col, batch_format="pyarrow")
     tv_urls = dedup_exact(tv_urls, "url", "url")
-    tv = _fetch_urls(tv_urls, corpus_dir, concurrency=concurrency)
+    tv = _fetch_urls(tv_urls, fk, concurrency=concurrency)
     ok = tv.map_batches(
         lambda t: t.filter(
             pc.and_kleene(t["found"], t["parse_ok"]).fill_null(False)
@@ -256,12 +286,15 @@ def telegraph_epaper_pipeline(corpus_dir: str, *, keywords: list[str],
 def toi_pipeline(corpus_dir: str, *, include_any: list[str],
                  exclude_all: list[str] = ("bomb",),
                  start: datetime | None = None,
-                 end: datetime | None = None, concurrency: int = 4):
+                 end: datetime | None = None, concurrency: int = 4,
+                 fetch_mode: str = "broadcast"):
     """TOI family (S5/Q3/W3, epaper/toi.py): boolean include/exclude
     keyword query over article text; hardcoded exclude ["bomb"]
     (toi.py:211-220)."""
+    fk = make_fetch_kwargs(corpus_dir, fetch_mode=fetch_mode,
+                           fetch_concurrency=concurrency)
     arts = read_pages(corpus_dir, kinds=("tg", "it"), columns=["url"])
-    fetched = _fetch_urls(arts, corpus_dir, concurrency=concurrency)
+    fetched = _fetch_urls(arts, fk, concurrency=concurrency)
     ok = fetched.map_batches(
         lambda t: t.filter(
             pc.and_kleene(t["found"], t["parse_ok"]).fill_null(False)

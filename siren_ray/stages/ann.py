@@ -11,7 +11,7 @@ groupby. (Engine addition per the task brief; no reference counterpart.)
 
 from __future__ import annotations
 
-import heapq
+import os
 
 import numpy as np
 import pandas as pd
@@ -25,6 +25,45 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _empty_scores(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+
+_MERGE_PARTITIONS = 16
+
+
+def _merge_topk(partials, k: int, id_col: str):
+    """Per-query top-k merge of per-batch partials, vectorized per hash
+    partition of query_id (one pandas call per partition, not per query;
+    deterministic tie-break (cosine DESC, id ASC))."""
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_qb", pa.array((q % _MERGE_PARTITIONS).astype(np.int64))
+        )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return (
+            df.groupby("query_id", sort=False).head(k)
+            .drop(columns=["_qb"]).reset_index(drop=True)
+        )
+
+    return (
+        partials.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_qb")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
 class _TopKScorer:
     """Actor-pool stage: per-batch cosine top-k against broadcast queries."""
 
@@ -36,6 +75,8 @@ class _TopKScorer:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty blocks occur; argpartition(-1) raises
+            return _empty_scores(self.id_col)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         mat = np.array(batch[self.emb_col].to_pylist(), dtype=np.float32)
         sims = _normalize(mat) @ self.q  # (n, nq)
@@ -77,12 +118,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         concurrency=(1, concurrency),
     )
 
-    def _merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["cosine", id_col], ascending=[False, True],
-                            kind="mergesort")
-        return df.head(k)
-
-    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
+    return _merge_topk(partials, k, id_col)
 
 
 # --- IVF (scale path) -----------------------------------------------------
@@ -119,16 +155,20 @@ class _IVFAssign:
         return batch.append_column("ivf_list", pa.array(lists))
 
 
-def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
-             nprobe: int = 4, id_col: str = "vec_id",
-             emb_col: str = "embedding", train_sample: int = 2048):
-    """IVF approximate top-k: assign vectors to coarse lists once, then
-    score only the ``nprobe`` closest lists per query.
+def ivf_build(ds, index_dir: str, *, n_lists: int = 16,
+              emb_col: str = "embedding", train_sample: int = 2048
+              ) -> np.ndarray:
+    """Build a persisted IVF index: assign every vector to its coarse
+    list and write the assignment Parquet PARTITIONED BY ``ivf_list``, so
+    queries prune at the read (list id = partition directory). Returns
+    the centroid matrix (small; the only driver-side state).
 
-    At scale the assignment is written as a partitioned table and reused
-    across query batches; pruning happens at the read (list id =
-    partition key).
+    This is the 100 TB shape: the assignment pass streams the corpus
+    once; every later query batch reads only ``nprobe``/:attr:`n_lists`
+    of the bytes.
     """
+    import shutil
+
     sample_tbl = ds.limit(train_sample).to_pandas()
     cents = kmeans_fit(np.array(sample_tbl[emb_col].tolist()), n_lists)
     cents_ref = ray.put(cents)
@@ -138,10 +178,54 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    # assignment under assign/ so the parquet scan never sees centroids.npy
+    assigned.write_parquet(os.path.join(index_dir, "assign"),
+                           partition_cols=["ivf_list"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return cents
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             emb_col: str = "embedding", train_sample: int = 2048,
+             index_dir: str | None = None):
+    """IVF approximate top-k: assign vectors to coarse lists once
+    (persisted, partitioned by list), then score ONLY the union of the
+    ``nprobe`` closest lists per query — pruned at the Parquet read, not
+    masked after a full scan.
+    """
+    import tempfile
+
+    if index_dir is None:
+        # fresh scratch index per call; pass index_dir to reuse one across
+        # query batches (the intended at-scale usage)
+        index_dir = tempfile.mkdtemp(prefix="siren_ray_ivf_")
+    cents_path = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(cents_path):
+        cents = np.load(cents_path)
+    else:
+        cents = ivf_build(ds, index_dir, n_lists=n_lists, emb_col=emb_col,
+                          train_sample=train_sample)
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed_lists = sorted({int(x) for x in probe.ravel()})
     probe_sets = [set(map(int, row)) for row in probe]
     queries_ref = ray.put(qn)
+
+    import ray.data as rd
+
+    # partition-pruned read: ONLY the probed ivf_list=N directories are
+    # opened (Ray's fragment filter can't bind hive partition fields, so
+    # the prune is explicit at the path level — same bytes-read win).
+    # Hive inference re-attaches ivf_list (as string) from the dir name;
+    # one read per probed dir (read_parquet path lists reject directories).
+    parts = [
+        rd.read_parquet(p) for lst in probed_lists
+        if os.path.isdir(p := os.path.join(index_dir, "assign",
+                                           f"ivf_list={lst}"))
+    ]
+    pruned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
     class _ProbeScorer:
         def __init__(self):
@@ -149,15 +233,17 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
             self.probe_sets = probe_sets
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_scores(id_col)
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
+            lists = batch["ivf_list"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
             mat = _normalize(np.array(batch[emb_col].to_pylist(),
                                       dtype=np.float32))
             sims = mat @ self.q
             out_q, out_id, out_sim = [], [], []
             for qi, pset in enumerate(self.probe_sets):
-                mask = np.fromiter((int(l) in pset for l in lists), bool,
-                                   count=len(lists))
+                mask = np.isin(lists, list(pset))
                 if not mask.any():
                     continue
                 col = sims[mask, qi]
@@ -176,13 +262,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
                 }
             )
 
-    partials = assigned.map_batches(
+    partials = pruned.map_batches(
         _ProbeScorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 2)
     )
-
-    def _merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["cosine", id_col], ascending=[False, True],
-                            kind="mergesort")
-        return df.head(k)
-
-    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
+    return _merge_topk(partials, k, id_col)

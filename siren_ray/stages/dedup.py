@@ -25,18 +25,40 @@ from ..util import hash_strings
 # --- exact dedup (D1/D3) --------------------------------------------------
 
 
-def dedup_exact(ds, key_col: str, order_col: str):
+_DEDUP_PARTITIONS = 64
+
+
+def dedup_exact(ds, key_col: str, order_col: str,
+                num_partitions: int = _DEDUP_PARTITIONS):
     """First-wins exact dedup: one row per key, winner = min(order_col).
 
-    Hash-partition by key (groupby shuffle), keep the deterministic
-    winner per group — the Ray Data expression of mirror.py:106-108 /
-    ht.py:261-268 with a total order replacing arrival order.
+    Hash-partition by a COARSE bucket of the key (``hash(key) %
+    num_partitions``), then dedup each partition vectorized
+    (``sort_values`` + ``drop_duplicates(keep="first")``) — the Ray Data
+    expression of mirror.py:106-108 / ht.py:261-268 with a total order
+    replacing arrival order. One pandas invocation per partition, never
+    per key: at frontier scale a per-key ``map_groups`` (group size ~1-2)
+    is pathological scheduler load, while this shape moves the same bytes
+    through the same shuffle and does the per-key work inside numpy.
     """
 
-    def _first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(order_col, kind="mergesort").head(1)
+    def _bucket(t: pa.Table) -> pa.Table:
+        keys = [str(x) for x in t[key_col].to_pylist()]
+        pk = (hash_strings(keys) % num_partitions).astype(np.int64)
+        return t.append_column("_pk", pa.array(pk))
 
-    return ds.groupby(key_col).map_groups(_first, batch_format="pandas")
+    sort_cols = [key_col] if order_col == key_col else [key_col, order_col]
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, kind="mergesort")
+        df = df.drop_duplicates(key_col, keep="first")
+        return df.drop(columns=["_pk"]).reset_index(drop=True)
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_dedup, batch_format="pandas")
+    )
 
 
 # --- MinHash --------------------------------------------------------------
@@ -51,6 +73,38 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
+_M32 = np.uint64(0xFFFFFFFF)
+_P61 = np.uint64(_MERSENNE)
+
+
+def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a * b) mod (2^61 - 1) without 128-bit ints, vectorized.
+
+    Split each operand into 32-bit halves and fold the partial products
+    with 2^61 ≡ 1 (mod p). A plain uint64 multiply wraps mod 2^64 BEFORE
+    the reduction, which silently leaves the documented (a*h+b) mod p
+    universal family and degrades min-wise independence.
+    """
+    a = a % _P61
+    b = b % _P61
+    ahi, alo = a >> np.uint64(32), a & _M32
+    bhi, blo = b >> np.uint64(32), b & _M32
+    t = ahi * bhi                      # < 2^58        (a*b = t*2^64 + m*2^32 + lo)
+    m = ahi * blo + bhi * alo          # < 2^62
+    lo = alo * blo                     # < 2^64, exact
+    # 2^64 ≡ 8, m*2^32 = (m>>29)*2^61 + (m&(2^29-1))*2^32 ≡ (m>>29) + ...
+    res = (
+        (t << np.uint64(3))
+        + (m >> np.uint64(29))
+        + ((m & np.uint64((1 << 29) - 1)) << np.uint64(32))
+        + (lo >> np.uint64(61))
+        + (lo & _P61)
+    )
+    res = (res & _P61) + (res >> np.uint64(61))
+    res = (res & _P61) + (res >> np.uint64(61))
+    return np.where(res >= _P61, res - _P61, res)
+
+
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
                       k: int = 5, max_shingles: int | None = None) -> np.ndarray:
     sh = shingles(text, k)
@@ -59,8 +113,10 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
     if max_shingles is not None and len(sh) > max_shingles:
         sh = sh[:max_shingles]  # deterministic prefix sample
     h = hash_strings(sh).astype(np.uint64)
-    # (a*h + b) mod p, vectorized over perms x shingles
-    vals = (a[:, None] * (h[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+    # (a*h + b) mod p, vectorized over perms x shingles; the multiply is a
+    # true 61-bit modmul (see _mulmod61), not a wrapping uint64 product
+    vals = _mulmod61(a[:, None], h[None, :])
+    vals = (vals + b[:, None]) % _P61
     return vals.min(axis=1)
 
 
@@ -100,16 +156,33 @@ class MinHasher:
         )
 
 
+_MAX_BUCKET = 128  # per-band-bucket pair-generation cap (O(n²) guard)
+
+
 def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
                             bands: int = 16, k: int = 5,
-                            text_col: str = "text"):
+                            text_col: str = "text",
+                            max_bucket: int = _MAX_BUCKET):
     """MinHash+LSH candidate pairs: shingle -> minhash -> band -> bucket
     groupby. Returns a Dataset of (id_a, id_b) candidate pairs
     (id_a < id_b), deduplicated.
 
     Shuffle moves only (id, band_key) pairs — signatures, never text.
+    Scale guards: documents too short to shingle are dropped BEFORE
+    hashing (all empty texts share one signature, so one poisoned bucket
+    would otherwise dominate the job), and pair generation within a band
+    bucket is capped at ``max_bucket`` members (smallest ids win,
+    deterministic); overflow is logged per the no-silent-caps rule.
     """
-    sigs = ds.map_batches(
+    too_short = pa.scalar(k)
+
+    def _droppable(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = pc.coalesce(t[text_col], pa.scalar(""))
+        return t.filter(pc.greater_equal(pc.utf8_length(txt), too_short))
+
+    sigs = ds.map_batches(_droppable, batch_format="pyarrow").map_batches(
         MinHasher,
         fn_constructor_kwargs={
             "num_perm": num_perm, "bands": bands, "k": k, "text_col": text_col,
@@ -125,24 +198,43 @@ def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
             for bk in bks:
                 ids.append(i)
                 keys.append(bk)
-        return pa.table({id_col: pa.array(ids),
-                         "band_key": pa.array(keys, pa.string())})
+        t = pa.table({id_col: pa.array(ids),
+                      "band_key": pa.array(keys, pa.string())})
+        pk = (hash_strings(keys) % _DEDUP_PARTITIONS).astype(np.int64)
+        return t.append_column("_pk", pa.array(pk))
 
     exploded = sigs.map_batches(_explode, batch_format="pyarrow")
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        vals = sorted(df[id_col].unique().tolist())
-        if len(vals) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        a, b = [], []
-        # bucket -> pairs; buckets are tiny under honest banding
-        for i in range(len(vals)):
-            for j in range(i + 1, len(vals)):
-                a.append(vals[i])
-                b.append(vals[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        """One invocation per hash PARTITION of band keys (not per bucket):
+        single-member buckets are eliminated vectorized; the python loop
+        only visits buckets that actually collide."""
+        df = df.drop_duplicates([id_col, "band_key"])
+        counts = df["band_key"].value_counts()
+        multi = counts[counts >= 2].index
+        df = df[df["band_key"].isin(multi)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for key, grp in df.groupby("band_key", sort=False):
+            vals = np.sort(grp[id_col].to_numpy())
+            if len(vals) > max_bucket:
+                import logging
 
-    pairs = exploded.groupby("band_key").map_groups(_pairs, batch_format="pandas")
+                logging.getLogger(__name__).warning(
+                    "LSH bucket %s has %d members; capping pair generation "
+                    "at %d (smallest ids kept)", key, len(vals), max_bucket,
+                )
+                vals = vals[:max_bucket]
+            ia, ib = np.triu_indices(len(vals), k=1)
+            out_a.append(vals[ia])
+            out_b.append(vals[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    pairs = exploded.groupby("_pk").map_groups(_pairs, batch_format="pandas")
     return dedup_exact(
         pairs.map_batches(
             lambda t: t.append_column(

@@ -118,6 +118,9 @@ class SeenSet:
         return np.sort(np.concatenate(arrs)) if arrs else np.array([], np.uint64)
 
     def checkpoint(self, directory: str) -> None:
+        import shutil
+
+        shutil.rmtree(directory, ignore_errors=True)  # overwrite cleanly
         os.makedirs(directory, exist_ok=True)
         ray.get([
             s.checkpoint.remote(os.path.join(directory, f"shard={i}.parquet"))

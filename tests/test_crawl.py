@@ -51,8 +51,10 @@ def test_crawl_order_matches_simulator(engine, sim):
 
 
 def test_seen_set_matches_simulator(engine, sim, corpus_sf0001):
-    # engine seen checkpoint = all shard parquet fingerprints
-    seen_dir = os.path.join(engine.out_dir, "seen_ckpt")
+    # engine seen checkpoint = shard fingerprints of the marker's round dir
+    ckpt_root = os.path.join(engine.out_dir, "seen_ckpt")
+    with open(os.path.join(ckpt_root, "ROUND")) as f:
+        seen_dir = os.path.join(ckpt_root, f"r{int(f.read()):05d}")
     parts = [
         pads.dataset(os.path.join(seen_dir, f)).to_table()["fingerprint"].to_numpy()
         for f in sorted(os.listdir(seen_dir))
@@ -117,7 +119,36 @@ def test_resume_from_checkpoint(corpus_sf0001, tmp_path_factory, sim):
     )
     sim_order = [(r, url, seq) for (r, _rank, url, _p, seq, _f) in sim.crawl_order]
     assert got == sim_order
-    assert res2.rounds >= res1.rounds
+
+
+def test_resume_clears_interrupted_round_parts(corpus_sf0001,
+                                               tmp_path_factory, sim):
+    """A crash mid-round leaves partial parquet parts in the round's
+    extracted/ and next-frontier dirs (Ray writes UUID part names and
+    never overwrites). Resume must clear them, or counts and crawl order
+    are corrupted by stale + re-run rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("crawl_crashmid"))
+    base = dict(corpus_dir=corpus_sf0001, out_dir=out,
+                fetch_mode="broadcast", budget_per_round=50, round_ms=1000,
+                max_depth=6, scheduler="distributed")
+    run_crawl(CrawlConfig(max_rounds=3, **base))
+    junk = pa.table({"url": ["https://stale.example/x"], "priority": [9.9],
+                     "seq": ["zzz"], "round": [3], "found": [True]})
+    for d in (os.path.join(out, "extracted", "r00003"),
+              os.path.join(out, "frontier", "r00004")):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(junk, os.path.join(d, "stale-uuid-part.parquet"))
+    run_crawl(CrawlConfig(max_rounds=12, resume=True, **base))
+    t = read_crawl_order(out)
+    got = list(
+        zip(t["round"].to_pylist(), t["url"].to_pylist(), t["seq"].to_pylist())
+    )
+    sim_order = [(r, url, seq) for (r, _rank, url, _p, seq, _f) in sim.crawl_order]
+    assert got == sim_order
+    assert "https://stale.example/x" not in {u for _, u, _s in got}
 
 
 def test_bucketed_fetch_same_order(corpus_sf0001, tmp_path_factory, sim):
