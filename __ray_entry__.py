@@ -590,6 +590,63 @@ def q_scraper_tg_epaper(sf_dir: str):
     return telegraph_epaper_pipeline(corpus, keywords=CK[:2])
 
 
+def q_scraper_newsminute(sf_dir: str):
+    """S3 two-phase offset pagination e2e (online/newsminute.py:44-112)."""
+    from siren_ray.corpus import KEYWORDS as CK
+    from siren_ray.corpus import WINDOW_END, WINDOW_START, ensure_corpus
+    from siren_ray.pipelines.newsminute import newsminute_pipeline
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    return newsminute_pipeline(corpus, start=WINDOW_START, end=WINDOW_END,
+                               keywords=CK[:2])
+
+
+def q_scraper_tg_online(sf_dir: str):
+    """S4 HTML-paginated search e2e (online/telegraph.py:105-150)."""
+    from siren_ray.corpus import KEYWORDS as CK
+    from siren_ray.corpus import WINDOW_END, WINDOW_START, ensure_corpus
+    from siren_ray.pipelines.telegraph_online import telegraph_online_pipeline
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    return telegraph_online_pipeline(corpus, start=WINDOW_START,
+                                     end=WINDOW_END, keywords=CK[:2])
+
+
+def q_scraper_readwhere(sf_dir: str):
+    """S7/S8 publishdates -> issue-search -> parent-field merge e2e
+    (epaper/readwhere/core.py:137-214)."""
+    from siren_ray.corpus import KEYWORDS as CK
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.pipelines.readwhere import readwhere_pipeline
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    return readwhere_pipeline(corpus, "tie", keywords=CK[:3])
+
+
+def q_scraper_readwhere_ocr(sf_dir: str):
+    """S12/P8/T2: pagemeta tile pyramid -> tile fetch -> stateful OCR
+    actor pool -> non-empty filter (epaper/readwhere/ocr.py:140-214)."""
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.pipelines.readwhere import readwhere_ocr_pipeline
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    return readwhere_ocr_pipeline(corpus, "tie")
+
+
+def q_toi_boolean(sf_dir: str):
+    """S5 full boolean query spec (epaper/toi.py:101-147) as a vectorized
+    filter over the documents table (oracle-checked)."""
+    from siren_ray.pipelines.scrapers import ToiQuerySpec, toi_query_filter
+
+    spec = ToiQuerySpec(
+        include_all=("spark",),
+        include_any=("window", "join"),
+        exclude_all=("merge",),
+    )
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return toi_query_filter(ds, spec).select_columns(["doc_id"])
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -620,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": q_lineitem_pricing,
         "broadcast_join": q_broadcast_join,
         "knn_brute": q_knn_brute,
+        "toi_boolean": q_toi_boolean,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -632,6 +690,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scraper_mirror": q_scraper_mirror,
         "scraper_ht": q_scraper_ht,
         "scraper_tg_epaper": q_scraper_tg_epaper,
+        "scraper_newsminute": q_scraper_newsminute,
+        "scraper_tg_online": q_scraper_tg_online,
+        "scraper_readwhere": q_scraper_readwhere,
+        "scraper_readwhere_ocr": q_scraper_readwhere_ocr,
     }
 
 
@@ -718,6 +780,13 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join": (
             "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "toi_boolean": (
+            "SELECT doc_id FROM documents "
+            "WHERE contains(lower(text), 'spark') "
+            "AND (contains(lower(text), 'window') "
+            "OR contains(lower(text), 'join')) "
+            "AND NOT contains(lower(text), 'merge')"
         ),
         "knn_brute": (
             "WITH q AS (SELECT vec_id AS query_rank, embedding FROM ("

@@ -38,7 +38,7 @@ import pyarrow.parquet as pq
 from .util import hash_strings
 
 SEED = 42
-CORPUS_VERSION = 5  # bump to invalidate cached corpora under /tmp
+CORPUS_VERSION = 6  # bump to invalidate cached corpora under /tmp
 NUM_BUCKETS = 128
 NUM_HOSTS = 40
 NUM_HOT_HOSTS = 5  # Zipf head: these hosts own most pages (skew exercise)
@@ -97,8 +97,11 @@ def host_of_index(i: int) -> str:
 
 
 _PATHS = {
+    # epaper is ISSUE-structured (v6): main row i = its issue's Page-1;
+    # Page-2..totalpages are extra corpus rows (S10 page-count discovery,
+    # reference epaper/telegraph.py:46-49 `#totalpages` + range(2, pages+1))
     "search": "/search/{i}",
-    "epaper": "/epaper/Page-{i}.html",
+    "epaper": "/epaper/{i}/Page-1.html",
     "textview": "/textview/{i}/71.html",
     "apijson": "/api/article/{i}",
     "ld": "/news/{i}",
@@ -187,6 +190,43 @@ def _indices_of_kind(kind: str, n: int, rng: random.Random, count: int) -> list[
 _ARTICLE_KINDS = ("ld", "it", "tg")
 
 
+def epaper_totalpages(i: int) -> int:
+    """Deterministic per-issue page count (S10 `#totalpages` value)."""
+    return _rng(i * 2 + 3).randint(2, 5)
+
+
+def _gen_epaper_extra(i: int, p: int, n: int) -> dict:
+    """Page-p (p >= 2) of epaper issue ``i``: its own show_pop textview
+    links, same `#totalpages`, no sibling links (only Page-1 discovers
+    siblings — the reference expands from the first page's count)."""
+    rng = _rng((i << 8) ^ (p * 0x9E37) ^ 0xE9)
+    host = host_of_index(i)
+    url = f"https://{host}/epaper/{i}/Page-{p}.html"
+    total = epaper_totalpages(i)
+    k = rng.randint(2, 8)
+    targets = _indices_of_kind("textview", n, rng, k)
+    pops = "\n".join(
+        f"""<div class="thumb" onclick="show_pop('{rng.randrange(10**6)}','{t}','71')">page</div>"""
+        for t in targets
+    )
+    body = f'<input id="totalpages" type="hidden" value="{total}">\n{pops}'
+    links = [f"https://{host}/textview/{t}/71.html" for t in targets]
+    return _finish(i, url, ts_of_index(i), body, "", lang_of_index(i), links,
+                   full_doc=True)
+
+
+def _gen_rows(i: int, n: int) -> list[dict]:
+    """All corpus rows derived from main index ``i`` (main page + any
+    per-issue extras), still a pure function of (SEED, i)."""
+    main = _gen_page(i, n)
+    if kind_of_index(i) != "epaper":
+        return [main]
+    return [main] + [
+        _gen_epaper_extra(i, p, n)
+        for p in range(2, epaper_totalpages(i) + 1)
+    ]
+
+
 def _gen_page(i: int, n: int) -> dict:
     rng = _rng(i)
     kind = kind_of_index(i)
@@ -223,7 +263,7 @@ def _gen_page(i: int, n: int) -> dict:
         text = ""
 
     elif kind == "epaper":
-        total = rng.randint(2, 24)
+        total = epaper_totalpages(i)
         k = rng.randint(3, 10)
         targets = _indices_of_kind("textview", n, rng, k)
         pops = "\n".join(
@@ -236,7 +276,12 @@ def _gen_page(i: int, n: int) -> dict:
         # Reference semantics (epaper/telegraph.py:51-59): the textview URL is
         # built from the paper's OWN base url; if the target article lives on a
         # different host this is a dead link -> fetch-error row (F4).
-        links = [f"https://{host}/textview/{t}/71.html" for t in targets]
+        # S10: Page-1 additionally discovers its sibling pages 2..totalpages
+        # (epaper/telegraph.py:46-49,70-73 `#totalpages` + range(2, pages+1)).
+        links = [f"https://{host}/textview/{t}/71.html" for t in targets] + [
+            f"https://{host}/epaper/{i}/Page-{p}.html"
+            for p in range(2, total + 1)
+        ]
         text = ""
 
     elif kind == "textview":
@@ -385,6 +430,276 @@ def _finish(i, url, ts, body, text, lang, links, *, full_doc):
     }
 
 
+# --------------------------------------------------------------------------
+# aux API families (constant-size, appended after the n main rows):
+# NewsMinute offset-paginated search (S3, online/newsminute.py:44-96),
+# Telegraph-online HTML-paginated search (S4, online/telegraph.py:105-150),
+# Readwhere publishdates/issue-search/pagemeta/tiles (S7/S8/S12,
+# epaper/readwhere/core.py:137-182,72-117, ocr.py:140-151).
+# --------------------------------------------------------------------------
+
+NM_HOST = "newsminute.example.org"
+NM_PAGE_SIZE = 100
+TGO_HOST = _HOSTS[0]  # Zipf head: plenty of same-host tg articles
+TGO_PAGE_SIZE = 20
+
+# Readwhere papers: BASE_URL stand-in hosts + the reference's edition
+# config tables verbatim (config-only subclassing surface, SURVEY.md §2.9;
+# tie.py:8-19, tnie.py:8-43 (subset), tribune.py:7-22 (subset)).
+READWHERE_PAPERS: dict[str, tuple[str, dict[str, str]]] = {
+    "tie": (
+        "epaper.indianexpress.example.org",
+        {"271": "CHANDIGARH", "336": "KOLKATA", "10015": "JAIPUR",
+         "433": "LUCKNOW", "300": "AHMEDABAD", "266": "PUNE",
+         "236": "MUMBAI", "226": "DELHI"},
+    ),
+    "tnie": (
+        "epaper.newindianexpress.example.org",
+        {"6539": "Kollam", "3469": "Kozhikode", "11447": "Kannur",
+         "3353": "Chennai", "3381": "Hyderabad", "3357": "Bengaluru"},
+    ),
+    "tribune": (
+        "epaper.tribuneindia.example.org",
+        {"702": "Jalandhar Edition", "684": "Bathinda Edition",
+         "109": "Ludhiana Tribune", "106": "The Tribune"},
+    ),
+}
+# corpus generates data for the first N_GEN_EDITIONS editions per paper;
+# the reference's scrape() quirk only ever consumes the FIRST
+# (`tasks.append(task); break`, readwhere/core.py:196-203) — the second
+# exists so conformance tests can assert the quirk is reproduced.
+N_GEN_EDITIONS = 2
+
+
+def _slug(kw: str) -> str:
+    return kw.replace(" ", "-")
+
+
+def _aux_rng(*parts) -> random.Random:
+    h = 0x5AF3
+    for p in parts:
+        for ch in str(p):
+            h = (h * 131 + ord(ch)) & 0xFFFFFFFF
+    return random.Random((SEED << 20) ^ h)
+
+
+def _aux_ts(rng: random.Random) -> datetime:
+    return TS_START + timedelta(seconds=rng.randrange(_TS_SECONDS))
+
+
+def _aux_row(url: str, ts: datetime, payload: bytes, lang: str = "en") -> dict:
+    return {"url": url, "warc_ts": ts, "html": payload, "text": "",
+            "lang": lang, "links": []}
+
+
+# -- NewsMinute ------------------------------------------------------------
+
+def nm_total(kw: str) -> int:
+    return 300 + _aux_rng("nmtotal", kw).randrange(10) * 100 + 37
+
+
+def nm_url(kw: str, offset: int) -> str:
+    # stand-in for BASE_URL % {"q": f'"{kw}"', "limit": 100, "offset": o}
+    # (newsminute.py:63-68) — params path-encoded for corpus lookup
+    return (f"https://{NM_HOST}/nmapi/advanced-search/"
+            f"{_slug(kw)}/{offset}")
+
+
+def _nm_article(rng: random.Random, kw: str, offset: int, j: int) -> dict:
+    ts = _aux_ts(rng)
+    cards = []
+    for _c in range(rng.randint(1, 3)):
+        stories = [{"text": _sentence(rng, kw if rng.random() < 0.3 else None)}
+                   for _s in range(rng.randint(1, 4))]
+        cards.append({"story-elements": stories})
+    return {
+        "url": f"https://{NM_HOST}/story/{_slug(kw)}-{offset}-{j}",
+        "author-name": f"NM Author {rng.randrange(40)}",
+        "headline": f"NM {kw} {offset}+{j} " + _sentence(rng),
+        "subheadline": _sentence(rng) if rng.random() > 0.3 else None,
+        "published-at": ts.strftime("%Y-%m-%dT%H:%M:%S"),
+        "cards": cards,
+    }
+
+
+def nm_flatten_text(article: dict) -> str:
+    """Analytic golden for P4 (newsminute.py:31-35)."""
+    return "\n".join(
+        story.get("text", "")
+        for card in article["cards"]
+        for story in card["story-elements"]
+    )
+
+
+def gen_nm_pages() -> list[dict]:
+    rows = []
+    for kw in KEYWORDS:
+        total = nm_total(kw)
+        for offset in range(0, ((total // NM_PAGE_SIZE) + 1) * NM_PAGE_SIZE,
+                            NM_PAGE_SIZE):
+            rng = _aux_rng("nm", kw, offset)
+            if offset > 0 and rng.random() < 0.08:
+                payload = {"error": "rate limited"}  # newsminute.py:74-75
+            else:
+                items = [_nm_article(rng, kw, offset, j)
+                         for j in range(rng.randint(3, 8))]
+                payload = {"total": total, "items": items}
+            rows.append(_aux_row(nm_url(kw, offset), _aux_ts(rng),
+                                 json.dumps(payload).encode()))
+    return rows
+
+
+# -- Telegraph online search ----------------------------------------------
+
+def tgo_total(kw: str) -> int:
+    return 60 + _aux_rng("tgototal", kw).randrange(10) * TGO_PAGE_SIZE + 3
+
+
+def tgo_url(kw: str, page: int) -> str:
+    return f"https://{TGO_HOST}/tgsearch/{_slug(kw)}/{page}"
+
+
+def gen_tgo_pages(n: int) -> list[dict]:
+    rows = []
+    lo, hi = next((lo, hi) for name, lo, hi in _KINDS if name == "tg")
+    blocks = max(1, n // 1000)
+    for kw in KEYWORDS:
+        total = tgo_total(kw)
+        for page in range(0, total // TGO_PAGE_SIZE + 1):
+            rng = _aux_rng("tgo", kw, page)
+            hrefs = []
+            # same-host tg articles only (the reference joins hrefs onto
+            # its own BASE_URL, online/telegraph.py:142-145)
+            for _ in range(rng.randint(3, 6)):
+                for _try in range(200):
+                    idx = rng.randrange(blocks) * 1000 + rng.randrange(lo, hi)
+                    if idx < n and host_of_index(idx) == TGO_HOST:
+                        hrefs.append(f"/tg/{idx}")
+                        break
+            if rng.random() < 0.3:  # dead link -> F4 fetch-error row
+                hrefs.append(f"/tg/{n + rng.randrange(10_000)}")
+            lis = "".join(
+                f'<li><a href="{h}">{html_escape_mod.escape(_sentence(rng))}'
+                "</a></li>"
+                for h in hrefs
+            )
+            body = (
+                f'<div class="searchresult">About results for {kw}: {total}'
+                f'</div><ul class="storylisting">{lis}</ul>'
+            )
+            html = f"<html><head></head><body>{body}</body></html>"
+            rows.append(_aux_row(tgo_url(kw, page), _aux_ts(rng),
+                                 html.encode()))
+    return rows
+
+
+# -- Readwhere -------------------------------------------------------------
+
+def rw_publishdates_url(host: str, edition_id: str, start: datetime,
+                        end: datetime) -> str:
+    # readwhere/core.py:169-172 (X3 epoch seconds)
+    return (f"https://{host}/viewer/publishdates/{edition_id}/"
+            f"{int(start.timestamp())}/{int(end.timestamp())}/json")
+
+
+def rw_search_url(host: str, issue_id: int, kw: str) -> str:
+    return f"https://{host}/search/issue/{issue_id}/{kw}"
+
+
+def rw_pagemeta_url(host: str, issue_id: int) -> str:
+    # exact query constants from readwhere/ocr.py:142-148
+    return (f"https://{host}/pagemeta/get/{issue_id}/1-50"
+            "?type=newspaper&user=2341985"
+            "&crypt=313581a5b8d413a08e027161b18e2921857250ef&key=1711454980")
+
+
+def rw_tile_url(host: str, issue_id: int, pagenum: int, cx: int) -> str:
+    return f"https://{host}/tiles/{issue_id}/{pagenum}/{cx}.jpg"
+
+
+def rw_issues(paper: str, edition_id: str) -> list[dict]:
+    """Issues of an edition inside the canonical window (the publishdates
+    endpoint is server-side filtered; the corpus embodies the filtered
+    response for the canonical window)."""
+    rng = _aux_rng("rwissues", paper, edition_id)
+    span = int((WINDOW_END - WINDOW_START).total_seconds()) - 3600
+    out = []
+    for k in range(rng.randint(4, 7)):
+        ts = WINDOW_START + timedelta(seconds=1800 + rng.randrange(span))
+        out.append({"id": int(edition_id) * 100 + k,
+                    "published": ts.strftime("%Y-%m-%dT%H:%M:%S")})
+    return out
+
+
+def gen_readwhere_pages() -> list[dict]:
+    rows = []
+    for paper, (host, editions) in READWHERE_PAPERS.items():
+        for ed_id, _ed_name in list(editions.items())[:N_GEN_EDITIONS]:
+            issues = rw_issues(paper, ed_id)
+            rng0 = _aux_rng("rwpd", paper, ed_id)
+            rows.append(_aux_row(
+                rw_publishdates_url(host, ed_id, WINDOW_START, WINDOW_END),
+                _aux_ts(rng0), json.dumps(issues).encode(),
+            ))
+            for issue in issues:
+                iid = issue["id"]
+                for kw in KEYWORDS:
+                    rng = _aux_rng("rwsearch", paper, iid, kw)
+                    if rng.random() < 0.1:
+                        payload = {"status": False}
+                    else:
+                        data = []
+                        for j in range(rng.randint(0, 4)):
+                            data.append({
+                                "id": f"doc-{iid}-{j}",
+                                "pageNum": rng.randint(1, 24),
+                                "excerpt": _sentence(
+                                    rng, kw if rng.random() < 0.6 else None),
+                                "issue_id": iid,
+                                "title_id": rng.randrange(10**4),
+                                "published": "1970-01-01T00:00:00",
+                            })
+                        payload = {"status": True, "numFound": len(data),
+                                   "start": 0, "to": len(data), "data": data}
+                    rows.append(_aux_row(rw_search_url(host, iid, kw),
+                                         _aux_ts(rng),
+                                         json.dumps(payload).encode()))
+                # pagemeta + tiles (S12 tile pyramid; only level2 is real)
+                rngm = _aux_rng("rwmeta", paper, iid)
+                pages = {}
+                for pg in range(1, rngm.randint(2, 4) + 1):
+                    chunks = []
+                    for cx in range(rngm.randint(3, 6)):
+                        turl = rw_tile_url(host, iid, pg, cx)
+                        chunks.append({
+                            "tx": cx % 3 * 512, "ty": cx // 3 * 512,
+                            "width": 512, "height": 512, "url": turl,
+                        })
+                        has_text = rngm.random() < 0.6
+                        payload_b = bytes([1 if has_text else 2]) + \
+                            rngm.randbytes(47)
+                        rows.append(_aux_row(turl, _aux_ts(rngm), payload_b))
+                    empty = {"width": 0, "height": 0, "chunks": []}
+                    pages[str(pg)] = {
+                        "key": f"K{iid}-{pg}", "pagenum": pg,
+                        "levels": {
+                            "thumbs": empty, "level0": empty,
+                            "leveldefault": empty, "level1": empty,
+                            "header": empty,
+                            "level2": {"width": 1536, "height": 1024,
+                                       "chunks": chunks},
+                        },
+                    }
+                rows.append(_aux_row(rw_pagemeta_url(host, iid),
+                                     _aux_ts(rngm),
+                                     json.dumps(pages).encode()))
+    return rows
+
+
+def gen_aux_pages(n: int) -> list[dict]:
+    return gen_nm_pages() + gen_tgo_pages(n) + gen_readwhere_pages()
+
+
 _PAGES_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -397,11 +712,10 @@ _PAGES_SCHEMA = pa.schema(
 )
 
 
-def _gen_batch(batch: pa.Table, n: int) -> pa.Table:
-    rows = [_gen_page(int(i), n) for i in batch["id"].to_pylist()]
+def _pages_table(rows: list[dict]) -> pa.Table:
     urls = [r["url"] for r in rows]
     buckets = (hash_strings(urls) % NUM_BUCKETS).astype(np.int32)
-    pages = pa.table(
+    return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
@@ -411,17 +725,26 @@ def _gen_batch(batch: pa.Table, n: int) -> pa.Table:
             "bucket": pa.array(buckets),
         }
     )
-    return pages
 
 
-def _gen_links_batch(batch: pa.Table, n: int) -> pa.Table:
-    rows = [_gen_page(int(i), n) for i in batch["id"].to_pylist()]
+def _links_table(rows: list[dict]) -> pa.Table:
     return pa.table(
         {
             "url": pa.array([r["url"] for r in rows], pa.string()),
-            "links": pa.array([r["links"] for r in rows], pa.list_(pa.string())),
+            "links": pa.array([r["links"] for r in rows],
+                              pa.list_(pa.string())),
         }
     )
+
+
+def _gen_batch(batch: pa.Table, n: int) -> pa.Table:
+    rows = [r for i in batch["id"].to_pylist() for r in _gen_rows(int(i), n)]
+    return _pages_table(rows)
+
+
+def _gen_links_batch(batch: pa.Table, n: int) -> pa.Table:
+    rows = [r for i in batch["id"].to_pylist() for r in _gen_rows(int(i), n)]
+    return _links_table(rows)
 
 
 def gen_seeds(n: int, num_seeds: int | None = None) -> pa.Table:
@@ -492,14 +815,17 @@ def ensure_corpus(sf: float, root: str | None = None) -> str:
         shutil.rmtree(d)
     n = n_for_sf(sf)
     os.makedirs(d, exist_ok=True)
-    ds = rd.range(n)
-    ds.map_batches(
+    aux = gen_aux_pages(n)  # constant-size API families, driver-side
+    ds = rd.range(n).map_batches(
         _gen_batch, batch_format="pyarrow", batch_size=2000, fn_kwargs={"n": n}
-    ).write_parquet(os.path.join(d, "pages"), partition_cols=["bucket"])
+    ).union(rd.from_arrow(_pages_table(aux)))
+    ds.write_parquet(os.path.join(d, "pages"), partition_cols=["bucket"])
     rd.range(n).map_batches(
         _gen_links_batch, batch_format="pyarrow", batch_size=2000,
         fn_kwargs={"n": n},
-    ).write_parquet(os.path.join(d, "links"))
+    ).union(rd.from_arrow(_links_table(aux))).write_parquet(
+        os.path.join(d, "links")
+    )
     pq.write_table(gen_seeds(n), os.path.join(d, "seeds.parquet"))
     pq.write_table(gen_robots(), os.path.join(d, "robots.parquet"))
     with open(params_path, "w") as f:

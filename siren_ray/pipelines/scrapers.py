@@ -22,9 +22,11 @@ import pyarrow.dataset as pads
 import ray
 import ray.data as rd
 
+from dataclasses import dataclass
+
 from ..functions.project import ProjectionSpec, project_batch
 from ..stages.dedup import dedup_exact
-from ..stages.fetch import FetchExtract, broadcast_pages
+from ..stages.fetch import FetchExtract, FetchRaw, broadcast_pages
 from ..util import hosts_of, paths_of
 import os
 
@@ -122,6 +124,19 @@ def _fetch_urls(urls_ds, fetch_kwargs: dict, *, concurrency: int = 4,
     )
 
 
+def fetch_raw(urls_ds, fetch_kwargs: dict, *, concurrency: int = 2,
+              batch_size: int = 1024):
+    """Lookup-only fetch (html + found, no extract) — the hydration stage
+    for API-JSON families parsed by dedicated multi-record parsers."""
+    return urls_ds.map_batches(
+        FetchRaw,
+        fn_constructor_kwargs=fetch_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
 def _explode_link_col(batch: pa.Table) -> pa.Table:
     """search-page rows -> one row per discovered article url (S1 fan-out)."""
     out = []
@@ -163,6 +178,83 @@ def keyword_filter(ds, cols: list[str], keywords: list[str],
         for vals in lowered:
             for ex in exs:
                 keep &= ~np.fromiter((ex in v for v in vals), bool, count=n)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+@dataclass(frozen=True)
+class ToiQuerySpec:
+    """The TOI POST boolean search body (S5, epaper/toi.py:101-147):
+    allOfThese / exactPhrase / anyOfThese / excludeThese / byline /
+    location. Server-side in the reference; the engine expresses it as a
+    vectorized lowercase-substring predicate (Q2/Q3 conventions), with
+    byline/location matched against their own columns."""
+
+    include_all: tuple[str, ...] = ()
+    include_exact: str = ""
+    include_any: tuple[str, ...] = ()
+    exclude_all: tuple[str, ...] = ()
+    byline: str = ""
+    location: str = ""
+
+
+def toi_query_filter(ds, spec: ToiQuerySpec, *, text_cols=("text",),
+                     byline_col: str | None = None,
+                     location_col: str | None = None):
+    """Vectorized boolean-query filter over ``text_cols``.
+
+    Match rule (engine semantics for the opaque server-side search):
+    every ``include_all`` term present AND ``include_exact`` present (if
+    set) AND any ``include_any`` term present (if any given) AND no
+    ``exclude_all`` term present; ``byline``/``location`` are substring
+    matches on their own columns. All matching is lowercased substring
+    (X9, epaper/telegraph.py:82-84).
+    """
+    all_of = tuple(s.lower() for s in spec.include_all if s)
+    exact = spec.include_exact.lower()
+    any_of = tuple(s.lower() for s in spec.include_any if s)
+    excl = tuple(s.lower() for s in spec.exclude_all if s)
+
+    def _col(t: pa.Table, c: str) -> list[str]:
+        # cast first: an all-null block arrives as null-typed and breaks
+        # coalesce/utf8_lower otherwise
+        arr = pc.cast(t[c], pa.string())
+        return pc.utf8_lower(pc.coalesce(arr, pa.scalar(""))).to_pylist()
+
+    def _hay(t: pa.Table, cols) -> list[list[str]]:
+        return [_col(t, c) for c in cols]
+
+    def _f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hays = _hay(t, text_cols)
+
+        def contains(term: str) -> np.ndarray:
+            m = np.zeros(n, dtype=bool)
+            for vals in hays:
+                m |= np.fromiter((term in v for v in vals), bool, count=n)
+            return m
+
+        keep = np.ones(n, dtype=bool)
+        for term in all_of:
+            keep &= contains(term)
+        if exact:
+            keep &= contains(exact)
+        if any_of:
+            m = np.zeros(n, dtype=bool)
+            for term in any_of:
+                m |= contains(term)
+            keep &= m
+        for term in excl:
+            keep &= ~contains(term)
+        if spec.byline and byline_col:
+            vals = _col(t, byline_col)
+            kw = spec.byline.lower()
+            keep &= np.fromiter((kw in v for v in vals), bool, count=n)
+        if spec.location and location_col:
+            vals = _col(t, location_col)
+            kw = spec.location.lower()
+            keep &= np.fromiter((kw in v for v in vals), bool, count=n)
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_f, batch_format="pyarrow")
@@ -260,16 +352,47 @@ def ht_pipeline(corpus_dir: str, *, keywords: list[str],
     )
 
 
+def _keep_urls_containing(ds, pat: str):
+    return ds.map_batches(
+        lambda t: t.filter(
+            pa.array([pat in u for u in t["url"].to_pylist()])
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def telegraph_epaper_pipeline(corpus_dir: str, *, keywords: list[str],
                               concurrency: int = 4,
                               fetch_mode: str = "broadcast"):
-    """TG e-paper family (S9-S11/P6/Q2, epaper/telegraph.py): Page-N pages
-    -> show_pop regex links -> textview parse -> keyword containment."""
+    """TG e-paper family (S9-S11/P6/Q2/X10, epaper/telegraph.py).
+
+    Two-phase, as the reference runs it (telegraph.py:34-78): fetch each
+    issue's Page-1, read ``#totalpages`` and expand to sibling pages
+    2..N (S10); every page's ``show_pop`` regex yields textview links
+    (S11); textview parse (P6) then keyword containment (Q2).
+    """
     fk = make_fetch_kwargs(corpus_dir, fetch_mode=fetch_mode,
                            fetch_concurrency=concurrency)
-    pages = read_pages(corpus_dir, kinds=("epaper",), columns=["url"])
-    epaper = _fetch_urls(pages, fk, concurrency=concurrency)
-    tv_urls = epaper.map_batches(_explode_link_col, batch_format="pyarrow")
+    page1 = _keep_urls_containing(
+        read_pages(corpus_dir, kinds=("epaper",), columns=["url"]),
+        "/Page-1.html",
+    )
+    ep1 = _fetch_urls(page1, fk, concurrency=concurrency)
+    # materialize the link tables (urls only — tiny even at scale): each
+    # phase's fetch actor pool then executes ALONE instead of three pools
+    # + a sort shuffle coexisting in one graph (deadlocks small clusters)
+    links1 = ep1.map_batches(
+        _explode_link_col, batch_format="pyarrow"
+    ).materialize()
+    # S10 expansion: sibling Page-2..N discovered from Page-1's count
+    sibling_pages = _keep_urls_containing(links1, "/epaper/")
+    ep_rest = _fetch_urls(sibling_pages, fk, concurrency=concurrency)
+    links_rest = ep_rest.map_batches(
+        _explode_link_col, batch_format="pyarrow"
+    ).materialize()
+    tv_urls = _keep_urls_containing(links1, "/textview/").union(
+        _keep_urls_containing(links_rest, "/textview/")
+    )
     tv_urls = dedup_exact(tv_urls, "url", "url")
     tv = _fetch_urls(tv_urls, fk, concurrency=concurrency)
     ok = tv.map_batches(
@@ -283,14 +406,16 @@ def telegraph_epaper_pipeline(corpus_dir: str, *, keywords: list[str],
     )
 
 
-def toi_pipeline(corpus_dir: str, *, include_any: list[str],
+def toi_pipeline(corpus_dir: str, *, include_any: list[str] = (),
                  exclude_all: list[str] = ("bomb",),
                  start: datetime | None = None,
                  end: datetime | None = None, concurrency: int = 4,
-                 fetch_mode: str = "broadcast"):
-    """TOI family (S5/Q3/W3, epaper/toi.py): boolean include/exclude
-    keyword query over article text; hardcoded exclude ["bomb"]
-    (toi.py:211-220)."""
+                 fetch_mode: str = "broadcast",
+                 spec: ToiQuerySpec | None = None):
+    """TOI family (S5/Q3/W3, epaper/toi.py): boolean query over article
+    text. ``scrape()`` uses include_any=[term] + hardcoded exclude
+    ["bomb"] (toi.py:211-220); pass ``spec`` for the full query surface
+    (allOfThese/exactPhrase/anyOfThese/excludeThese/byline/location)."""
     fk = make_fetch_kwargs(corpus_dir, fetch_mode=fetch_mode,
                            fetch_concurrency=concurrency)
     arts = read_pages(corpus_dir, kinds=("tg", "it"), columns=["url"])
@@ -303,8 +428,11 @@ def toi_pipeline(corpus_dir: str, *, include_any: list[str],
     )
     if start is not None and end is not None:
         ok = date_window_filter(ok, "published_ts", start, end)
-    return keyword_filter(
-        ok, ["text", "title"], include_any, exclude=list(exclude_all)
+    if spec is None:
+        spec = ToiQuerySpec(include_any=tuple(include_any),
+                            exclude_all=tuple(exclude_all))
+    return toi_query_filter(
+        ok, spec, text_cols=("text", "title"), byline_col="author",
     ).select_columns(["url", "title", "text", "published_ts"])
 
 

@@ -5,12 +5,18 @@ globbing ``siren/scrapers/**/*.py`` and collecting ``__all__``
 an explicit registry mapping those keys to pipeline factories; a user of
 the reference looks up the same name and gets the Ray-Data pipeline.
 
+All 14 reference keys are present (dummy 1, online.mirror 3,
+online.indiatoday 1, online.telegraph 1, online.newsminute 1, epaper.ht 1,
+epaper.telegraph 1, epaper.toi 1, epaper.readwhere 4).
+
 Each factory has signature ``(corpus_dir, *, start, end, keywords) ->
 ray.data.Dataset``; families that ignore an argument accept and drop it
 (matching BaseScraper's uniform ctor, core/scraper.py:67-84).
 """
 
 from __future__ import annotations
+
+from datetime import datetime
 
 from ..corpus import WINDOW_END, WINDOW_START
 from ..pipelines import scrapers as S
@@ -41,21 +47,85 @@ def _toi(corpus_dir, *, start=None, end=None, keywords=("suicide",)):
 
 def _tg_online(corpus_dir, *, start=WINDOW_START, end=WINDOW_END,
                keywords=("suicide",)):
-    # online Telegraph shares the TG article shape; date window applied
-    return S.toi_pipeline(corpus_dir, include_any=list(keywords),
-                          exclude_all=(), start=start, end=end)
+    from ..pipelines.telegraph_online import telegraph_online_pipeline
+
+    return telegraph_online_pipeline(corpus_dir, start=start, end=end,
+                                     keywords=list(keywords))
+
+
+def _newsminute(corpus_dir, *, start=WINDOW_START, end=WINDOW_END,
+                keywords=("suicide",)):
+    from ..pipelines.newsminute import newsminute_pipeline
+
+    return newsminute_pipeline(corpus_dir, start=start, end=end,
+                               keywords=list(keywords))
+
+
+def _readwhere(paper: str, ocr: bool = False):
+    def factory(corpus_dir, *, start=WINDOW_START, end=WINDOW_END,
+                keywords=("suicide",)):
+        from ..pipelines import readwhere as RW
+
+        fn = RW.readwhere_ocr_pipeline if ocr else RW.readwhere_pipeline
+        return fn(corpus_dir, paper, start=start, end=end,
+                  keywords=list(keywords))
+
+    return factory
+
+
+def _pune_mirror(corpus_dir, *, start=WINDOW_START, end=WINDOW_END,
+                 keywords=()):
+    """S13: the reference's PuneMirror scraper is DISABLED (an early
+    ``return []`` before the local-JSON read, mirror.py:159-167) — the
+    faithful pipeline is an empty result with the article schema."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "headline": pa.array([], pa.string()),
+                "author": pa.array([], pa.string()),
+                "published_ts": pa.array([], pa.timestamp("us")),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+
+
+def _dummy(corpus_dir, *, start=None, end=None, keywords=()):
+    """The reference's no-IO smoke scraper (dummy.py:15-22): two fixed
+    records. The reference stamps ``datetime.now()``; the engine pins a
+    fixed timestamp (deterministic-output divergence, documented)."""
+    import ray.data as rd
+
+    ts = datetime(2024, 1, 1)
+    return rd.from_items(
+        [
+            {"data": "Dummy Sample A", "date": ts},
+            {"data": "Dummy Sample B", "date": ts},
+        ]
+    )
 
 
 PIPELINES = {
+    "dummy.DummyScraper": _dummy,
     # online editions
     "online.mirror.MumbaiMirrorOnlineScraper": _mirror,
     "online.mirror.BangaloreMirrorOnlineScraper": _mirror,
+    "online.mirror.PuneMirrorOnlineScraper": _pune_mirror,
     "online.indiatoday.IndiaTodayOnlineScraper": _indiatoday,
     "online.telegraph.TelegraphOnlineScraper": _tg_online,
+    "online.newsminute.NMScraper": _newsminute,
     # e-papers
     "epaper.ht.HTScraper": _ht,
     "epaper.telegraph.TGScraper": _tg_epaper,
     "epaper.toi.TOIScraper": _toi,
+    "epaper.readwhere.tie.TIEScraper": _readwhere("tie"),
+    "epaper.readwhere.tie.TIEScraperOCR": _readwhere("tie", ocr=True),
+    "epaper.readwhere.tnie.TNIEScraper": _readwhere("tnie"),
+    "epaper.readwhere.tribune.TribuneScraper": _readwhere("tribune"),
 }
 
 

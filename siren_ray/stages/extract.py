@@ -57,6 +57,14 @@ IMAGE_REGEX = re.compile(r"show_pop\('(\d+)','(\d+)','(\d+)'\)")
 TG_DATE_REGEX = re.compile(r"Published (\d{2}\.\d{2}\.\d{2}), (\d{2}:\d{2}) (\w{2})")
 
 KIND_PATTERNS = (
+    # aux API families first (they contain generic substrings like
+    # "/search/"); no generic parser — dedicated pipelines consume them
+    ("/nmapi/", "nmapi"),
+    ("/tgsearch/", "tgsearch"),
+    ("/search/issue/", "rwsearch"),
+    ("/viewer/publishdates/", "rwdates"),
+    ("/pagemeta/", "rwmeta"),
+    ("/tiles/", "tile"),
     ("/search/", "search"),
     ("/epaper/", "epaper"),
     ("/textview/", "textview"),
@@ -100,12 +108,23 @@ def parse_search(url: str, html: bytes) -> dict:
 
 
 def parse_epaper(url: str, html: bytes) -> dict:
+    """S10/S11 (epaper/telegraph.py:34-78): show_pop links on every page;
+    Page-1 additionally reads ``#totalpages`` and discovers its sibling
+    pages ``range(2, pages + 1)`` (the reference expands only from the
+    first page's count, telegraph.py:70-73)."""
     raw = html.decode("utf-8", errors="replace")
     host = host_of(url)
     links = []
     for m in IMAGE_REGEX.finditer(raw):
         _paper_id, article_id, z = m.groups()
         links.append(f"https://{host}/textview/{article_id}/{z}.html")
+    if url.endswith("/Page-1.html"):
+        total = 0
+        if (el := parse_html(html).find(id_="totalpages")) is not None:
+            if (v := el.get("value")) is not None:
+                total = int(v)
+        base = url[: -len("Page-1.html")]
+        links.extend(f"{base}Page-{p}.html" for p in range(2, total + 1))
     return {**_EMPTY, "parse_ok": True, "links": links}
 
 

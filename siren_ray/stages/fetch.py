@@ -201,6 +201,30 @@ class FetchExtract:
         return extracted
 
 
+class FetchRaw(FetchExtract):
+    """Lookup-only corpus join: rows out with ``html:binary`` + ``found``
+    (no per-kind extraction). For pipelines whose parsing is NOT the
+    generic extract flow — the API-JSON families (NewsMinute S3,
+    Readwhere S7/S8/S12) and HTML search pages parsed by dedicated
+    multi-record parsers (Telegraph online S4)."""
+
+    def _fetch_extract(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "html", pa.nulls(0, pa.binary())
+            ).append_column("found", pa.nulls(0, pa.bool_()))
+        urls = batch["url"].to_pylist()
+        htmls = (
+            self._lookup_broadcast(urls)
+            if self.mode == "broadcast"
+            else self._lookup_bucketed(urls)
+        )
+        found = np.array([h is not None for h in htmls], dtype=bool)
+        return batch.append_column(
+            "html", pa.array(htmls, pa.binary())
+        ).append_column("found", pa.array(found))
+
+
 def _enrich_text(extracted: pa.Table) -> pa.Table:
     """In-actor text analytics over freshly extracted text: quality
     scores, language ID, content fingerprint, SimHash and MinHash-band
