@@ -103,6 +103,97 @@ def run_crawl_bench(sf: float, num_cpus: int) -> dict:
     }
 
 
+def run_dedup_frontier_bench(n: int = 1_000_000) -> dict:
+    """Distributed within-round URL dedup on a >=1M-row synthetic
+    frontier (the VERDICT r1 'done' bar for killing per-key map_groups):
+    hash-partitioned, vectorized per-partition — one pandas call per
+    partition instead of one per URL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.pipelines.frontier import _dedup_urls_distributed
+
+    rng = np.random.RandomState(7)
+    ids = rng.randint(0, n // 2, size=n)  # ~2 rows per url on average
+    urls = pa.array([f"https://h{i % 97}.example.org/p/{i}" for i in ids])
+    tbl = pa.table(
+        {
+            "url": urls,
+            "host": pa.array([f"h{i % 97}.example.org" for i in ids]),
+            "path": pa.array([f"/p/{i}" for i in ids]),
+            "priority": pa.array(rng.rand(n)),
+            "depth": pa.array(np.zeros(n, dtype=np.int32)),
+            "seq": pa.array([f"{j:09d}" for j in range(n)]),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(64)
+    t0 = time.perf_counter()
+    out_rows = _dedup_urls_distributed(ds).count()
+    wall = time.perf_counter() - t0
+    return {
+        "rows_in": n,
+        "rows_out": out_rows,
+        "wall_s": round(wall, 3),
+        "rows_per_sec": round(n / wall, 0),
+    }
+
+
+def run_ivf_bench(sf_dir: str) -> dict:
+    """IVF partition pruning evidence: probed-directory bytes vs the full
+    assignment, plus query wall time."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siren_ray.stages.ann import ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))[:5]
+    queries = np.array(
+        [qt["embedding"][int(i)].as_py() for i in order], dtype=np.float32
+    )
+    index_dir = tempfile.mkdtemp(prefix="siren_ray_ivf_bench_")
+    ds = rd.read_parquet(emb_path)
+    # build (timed separately from the probe)
+    t0 = time.perf_counter()
+    ivf_topk(ds, queries, k=10, n_lists=64, nprobe=4,
+             index_dir=index_dir).count()
+    build_and_query_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ivf_topk(ds, queries, k=10, n_lists=64, nprobe=4,
+             index_dir=index_dir).count()  # warm index: probe only
+    query_s = time.perf_counter() - t0
+
+    def _dir_bytes(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files)
+        return total
+
+    assign = os.path.join(index_dir, "assign")
+    full = _dir_bytes(assign)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :4]
+    probed = sum(
+        _dir_bytes(os.path.join(assign, f"ivf_part={int(x)}"))
+        for x in set(probe.ravel().tolist())
+        if os.path.isdir(os.path.join(assign, f"ivf_part={int(x)}"))
+    )
+    return {
+        "build_and_query_s": round(build_and_query_s, 3),
+        "warm_query_s": round(query_s, 3),
+        "full_index_bytes": full,
+        "probed_bytes": probed,
+        "probed_fraction": round(probed / full, 3) if full else None,
+    }
+
+
 def run_query_bench(sf_dir: str) -> dict:
     import __ray_entry__ as entrymod
 
@@ -138,6 +229,10 @@ def main_single(args) -> dict:
     _init_ray(args.num_cpus)
     crawl = run_crawl_bench(sf, args.num_cpus)
     queries = {} if args.crawl_only else run_query_bench(sf_dir)
+    extras = {}
+    if not args.crawl_only:
+        extras["dedup_frontier_1m"] = run_dedup_frontier_bench()
+        extras["ivf_pruning"] = run_ivf_bench(sf_dir)
     result = {
         "metric": "crawl_fetch_extract_wall",
         "value": crawl["wall_s"],
@@ -147,6 +242,7 @@ def main_single(args) -> dict:
         "num_cpus": args.num_cpus,
         "urls_per_sec": crawl["urls_per_sec"],
         "crawl": crawl,
+        **extras,
     }
     import ray
 

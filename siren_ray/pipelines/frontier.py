@@ -146,33 +146,60 @@ def _dedup_urls_distributed(ds):
     )
 
 
-def _explode_links(batch: pa.Table, decay: float, max_depth: int) -> pa.Table:
-    """links list<string> -> child frontier rows (vectorized explode)."""
-    out_url: list[str] = []
-    out_pri: list[float] = []
-    out_depth: list[int] = []
-    out_seq: list[str] = []
-    for ls, pri, depth, seq in zip(
-        batch["links"].to_pylist(),
-        batch["priority"].to_pylist(),
-        batch["depth"].to_pylist(),
-        batch["seq"].to_pylist(),
-    ):
-        if not ls or depth + 1 > max_depth:
-            continue
-        for idx, u in enumerate(ls):
-            out_url.append(u)
-            out_pri.append(pri * decay)
-            out_depth.append(depth + 1)
-            out_seq.append(f"{seq}{idx:05d}")
+def _empty_frontier() -> pa.Table:
     return pa.table(
         {
-            "url": pa.array(out_url, pa.string()),
-            "host": pa.array(hosts_of(out_url), pa.string()),
-            "path": pa.array(paths_of(out_url), pa.string()),
-            "priority": pa.array(out_pri, pa.float64()),
-            "depth": pa.array(out_depth, pa.int32()),
-            "seq": pa.array(out_seq, pa.string()),
+            "url": pa.array([], pa.string()),
+            "host": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "priority": pa.array([], pa.float64()),
+            "depth": pa.array([], pa.int32()),
+            "seq": pa.array([], pa.string()),
+        }
+    )
+
+
+def _explode_links(batch: pa.Table, decay: float, max_depth: int) -> pa.Table:
+    """links list<string> -> child frontier rows.
+
+    Fully vectorized: Arrow ``list_flatten``/``list_parent_indices`` for
+    the explode, numpy for the per-child index, one ``binary_join`` for
+    the ``parent_seq + {idx:05d}`` seq assignment — no Python loop over
+    rows or links in this hot path."""
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return _empty_frontier()
+    depth = batch["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = pc.list_value_length(batch["links"]).to_numpy(
+        zero_copy_only=False)
+    lengths = np.nan_to_num(lengths.astype("float64")).astype(np.int64)
+    mask = (lengths > 0) & (depth + 1 <= max_depth)
+    if not mask.any():
+        return _empty_frontier()
+    sub = batch.filter(pa.array(mask)).combine_chunks()
+    links = sub["links"].combine_chunks()
+    flat = pc.list_flatten(links)
+    parent = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+    sub_lengths = lengths[mask]
+    starts = np.concatenate(([0], np.cumsum(sub_lengths)[:-1]))
+    child_idx = np.arange(len(parent)) - np.repeat(starts, sub_lengths)
+    pri = sub["priority"].to_numpy(zero_copy_only=False)[parent] * decay
+    dep = (sub["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
+           [parent] + 1).astype(np.int32)
+    parent_seq = pc.take(sub["seq"].combine_chunks(), pa.array(parent))
+    # astype(str) sizes to the widest value; zfill(5) == f"{idx:05d}"
+    idx_str = pa.array(np.char.zfill(child_idx.astype(str), 5))
+    seqs = pc.binary_join_element_wise(parent_seq, idx_str, "")
+    urls = flat.to_pylist()
+    return pa.table(
+        {
+            "url": pc.cast(flat, pa.string()),
+            "host": pa.array(hosts_of(urls), pa.string()),
+            "path": pa.array(paths_of(urls), pa.string()),
+            "priority": pa.array(pri, pa.float64()),
+            "depth": pa.array(dep, pa.int32()),
+            "seq": pc.cast(seqs, pa.string()),
         }
     )
 

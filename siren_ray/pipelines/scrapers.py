@@ -167,17 +167,21 @@ def keyword_filter(ds, cols: list[str], keywords: list[str],
     def _f(t: pa.Table) -> pa.Table:
         n = t.num_rows
         keep = np.zeros(n, dtype=bool)
-        lowered = []
-        for c in cols:
-            lowered.append(
-                pc.utf8_lower(pc.coalesce(t[c], pa.scalar(""))).to_pylist()
-            )
-        for vals in lowered:
+        # fully Arrow: utf8_lower + match_substring kernels, no per-row
+        # Python in this hot path
+        lowered = [
+            pc.utf8_lower(pc.coalesce(pc.cast(t[c], pa.string()),
+                                      pa.scalar("")))
+            for c in cols
+        ]
+        for col in lowered:
             for kw in kws:
-                keep |= np.fromiter((kw in v for v in vals), bool, count=n)
-        for vals in lowered:
+                keep |= pc.match_substring(col, kw).to_numpy(
+                    zero_copy_only=False)
+        for col in lowered:
             for ex in exs:
-                keep &= ~np.fromiter((ex in v for v in vals), bool, count=n)
+                keep &= ~pc.match_substring(col, ex).to_numpy(
+                    zero_copy_only=False)
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_f, batch_format="pyarrow")
@@ -216,23 +220,21 @@ def toi_query_filter(ds, spec: ToiQuerySpec, *, text_cols=("text",),
     any_of = tuple(s.lower() for s in spec.include_any if s)
     excl = tuple(s.lower() for s in spec.exclude_all if s)
 
-    def _col(t: pa.Table, c: str) -> list[str]:
+    def _col(t: pa.Table, c: str):
         # cast first: an all-null block arrives as null-typed and breaks
         # coalesce/utf8_lower otherwise
         arr = pc.cast(t[c], pa.string())
-        return pc.utf8_lower(pc.coalesce(arr, pa.scalar(""))).to_pylist()
-
-    def _hay(t: pa.Table, cols) -> list[list[str]]:
-        return [_col(t, c) for c in cols]
+        return pc.utf8_lower(pc.coalesce(arr, pa.scalar("")))
 
     def _f(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        hays = _hay(t, text_cols)
+        hays = [_col(t, c) for c in text_cols]
 
         def contains(term: str) -> np.ndarray:
             m = np.zeros(n, dtype=bool)
-            for vals in hays:
-                m |= np.fromiter((term in v for v in vals), bool, count=n)
+            for col in hays:
+                m |= pc.match_substring(col, term).to_numpy(
+                    zero_copy_only=False)
             return m
 
         keep = np.ones(n, dtype=bool)
@@ -248,13 +250,13 @@ def toi_query_filter(ds, spec: ToiQuerySpec, *, text_cols=("text",),
         for term in excl:
             keep &= ~contains(term)
         if spec.byline and byline_col:
-            vals = _col(t, byline_col)
-            kw = spec.byline.lower()
-            keep &= np.fromiter((kw in v for v in vals), bool, count=n)
+            keep &= pc.match_substring(
+                _col(t, byline_col), spec.byline.lower()
+            ).to_numpy(zero_copy_only=False)
         if spec.location and location_col:
-            vals = _col(t, location_col)
-            kw = spec.location.lower()
-            keep &= np.fromiter((kw in v for v in vals), bool, count=n)
+            keep &= pc.match_substring(
+                _col(t, location_col), spec.location.lower()
+            ).to_numpy(zero_copy_only=False)
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_f, batch_format="pyarrow")

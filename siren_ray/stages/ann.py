@@ -179,9 +179,16 @@ def ivf_build(ds, index_dir: str, *, n_lists: int = 16,
         concurrency=(1, 2),
     )
     shutil.rmtree(index_dir, ignore_errors=True)
-    # assignment under assign/ so the parquet scan never sees centroids.npy
+    # assignment under assign/ so the parquet scan never sees centroids.npy.
+    # The list id is BOTH the partition dir (ivf_part=N -> path-level
+    # pruning) and a regular data column (ivf_list -> probed files read in
+    # ONE read_parquet call; per-dataset read setup dominated at small k)
+    assigned = assigned.map_batches(
+        lambda t: t.append_column("ivf_part", t["ivf_list"]),
+        batch_format="pyarrow",
+    )
     assigned.write_parquet(os.path.join(index_dir, "assign"),
-                           partition_cols=["ivf_list"])
+                           partition_cols=["ivf_part"])
     np.save(os.path.join(index_dir, "centroids.npy"), cents)
     return cents
 
@@ -215,17 +222,20 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
 
     import ray.data as rd
 
-    # partition-pruned read: ONLY the probed ivf_list=N directories are
-    # opened (Ray's fragment filter can't bind hive partition fields, so
-    # the prune is explicit at the path level — same bytes-read win).
-    # Hive inference re-attaches ivf_list (as string) from the dir name;
-    # one read per probed dir (read_parquet path lists reject directories).
-    parts = [
-        rd.read_parquet(p) for lst in probed_lists
-        if os.path.isdir(p := os.path.join(index_dir, "assign",
-                                           f"ivf_list={lst}"))
-    ]
-    pruned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    # partition-pruned read: ONLY files under the probed ivf_part=N
+    # directories are opened (Ray's fragment filter can't bind hive
+    # partition fields, so the prune is explicit at the path level —
+    # same bytes-read win). One read call over the pruned file list; the
+    # row-level list id comes from the duplicated ivf_list data column.
+    files = []
+    for lst in probed_lists:
+        p = os.path.join(index_dir, "assign", f"ivf_part={lst}")
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+    pruned = rd.read_parquet(files)
 
     class _ProbeScorer:
         def __init__(self):

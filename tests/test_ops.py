@@ -139,6 +139,25 @@ def test_jaccard():
     assert jaccard("a b c d e", "v w x y z") == 0.0
 
 
+def test_minhash_family_no_uint64_wrap():
+    """The (a*h + b) mod p family must be EXACT in uint64: numpy result ==
+    Python big-int arithmetic for every (perm, shingle) cell."""
+    import numpy as np
+
+    from siren_ray.stages.dedup import _MERSENNE, _minhash_params
+    from siren_ray.util import hash_strings
+
+    a, b = _minhash_params(64)
+    assert int(a.max()) < 1 << 31
+    sh = [f"shingle-{i}" for i in range(200)]
+    h = hash_strings(sh).astype(np.uint64) >> np.uint64(32)
+    vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    for pi in range(0, 64, 7):
+        for si in range(0, 200, 31):
+            expect = (int(a[pi]) * int(h[si]) + int(b[pi])) % _MERSENNE
+            assert int(vals[pi, si]) == expect
+
+
 def test_minhash_finds_near_duplicates(ray_session):
     import ray.data as rd
 

@@ -106,6 +106,25 @@ def test_tg_epaper_pipeline(ray_session, corpus_tables):
     assert set(got["url"]) == expected
 
 
+def test_read_pages_pushdown_is_in_the_scan(ray_session, corpus_tables):
+    """The date predicate lives INSIDE read_parquet (row-group pruning at
+    the scan), not in a post-read map_batches stage."""
+    from siren_ray.pipelines.scrapers import read_pages
+
+    ds = read_pages(corpus_tables["dir"], columns=["url", "warc_ts"],
+                    ts_start=WINDOW_START, ts_end=WINDOW_END)
+    dag = ds._logical_plan.dag  # single Read op, no post-read filter stage
+    assert dag.name == "ReadParquet" and not dag.input_dependencies
+    got = ds.to_pandas()
+    expected = sum(
+        1 for _u, (ts, _t, _h) in corpus_tables["pages"].items()
+        if WINDOW_START < ts < WINDOW_END
+    )
+    assert len(got) == expected
+    assert got["warc_ts"].between(WINDOW_START, WINDOW_END,
+                                  inclusive="neither").all()
+
+
 def test_indiatoday_pipeline_predicate_pushdown(ray_session, corpus_tables):
     from siren_ray.pipelines.scrapers import indiatoday_pipeline
 
