@@ -434,6 +434,48 @@ def q_broadcast_join(sf_dir: str):
     )
 
 
+def q_connected_components(sf_dir: str):
+    """Distributed connected components (min-label propagation, no
+    driver-side graph state) over the exact-duplicate-text chain graph:
+    docs sharing a text form a path; cluster = min doc_id. The SQL oracle
+    is the window-min per text partition."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from siren_ray.stages.dedup import connected_components
+    from siren_ray.util import hash_strings
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        pk = (hash_strings([str(x) for x in t["text"].to_pylist()]) % 64)
+        return t.append_column("_pk", pa.array(pk.astype("int64")))
+
+    def _chain_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text", "doc_id"], kind="mergesort")
+        ids = df["doc_id"].to_numpy()
+        same = df["text"].to_numpy()[:-1] == df["text"].to_numpy()[1:]
+        return pd.DataFrame(
+            {"id_a": ids[:-1][same].astype("int64"),
+             "id_b": ids[1:][same].astype("int64")}
+        )
+
+    edges = (
+        docs.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_chain_edges, batch_format="pandas")
+    )
+    nodes = docs.map_batches(
+        lambda t: pa.table({"id": t["doc_id"]}), batch_format="pyarrow"
+    )
+    out = connected_components(edges, nodes)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["id"], "cluster": t["cluster"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_knn_brute(sf_dir: str):
     """ANN baseline: exact cosine top-10 for 5 query vectors (pairs only;
     ranking tie-break (cosine DESC, vec_id ASC))."""
@@ -678,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": q_broadcast_join,
         "knn_brute": q_knn_brute,
         "toi_boolean": q_toi_boolean,
+        "connected_components": q_connected_components,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -787,6 +830,10 @@ def oracle_sql() -> dict[str, str]:
             "AND (contains(lower(text), 'window') "
             "OR contains(lower(text), 'join')) "
             "AND NOT contains(lower(text), 'merge')"
+        ),
+        "connected_components": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster "
+            "FROM documents"
         ),
         "knn_brute": (
             "WITH q AS (SELECT vec_id AS query_rank, embedding FROM ("

@@ -139,6 +139,77 @@ def test_jaccard():
     assert jaccard("a b c d e", "v w x y z") == 0.0
 
 
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find on a random
+    graph with chains, triangles and singletons."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import connected_components, neardup_losers
+
+    n = 160
+    edges = []
+    # stars and triangles (small diameter keeps iterations test-friendly;
+    # deep chains only stretch the iteration count, not the semantics)
+    for start in range(0, 120, 4):
+        edges.append((start, start + 1))
+        edges.append((start, start + 2))
+        if start % 8 == 0:
+            edges.append((start + 1, start + 2))
+    # merge three star pairs (diameter 3: multi-hop propagation exercised)
+    for start in (0, 40, 80):
+        edges.append((start + 2, start + 5))
+    edf = pd.DataFrame(edges, columns=["id_a", "id_b"]).astype("int64")
+    edges_ds = rd.from_pandas(edf)
+    nodes_ds = rd.from_items([{"id": i} for i in range(n)])
+    got = connected_components(edges_ds, nodes_ds,
+                               num_partitions=8).to_pandas()
+    got = dict(zip(got["id"], got["cluster"]))
+
+    # reference: union-find (keep-min roots)
+    losers = neardup_losers(edf)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    expect = {i: find(i) for i in range(n)}
+    assert got == expect
+    # loser set consistency with the driver path
+    assert {i for i, c in got.items() if c != i} == losers
+
+
+def test_hash_antijoin(ray_session):
+    """Raw-task hash anti-join drops exactly the listed keys and keeps
+    full rows; empty key side is a no-op."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import hash_antijoin
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(50), "val": [f"v{i}" for i in range(50)]}
+    ).astype({"doc_id": "int64"}))
+    keys = rd.from_pandas(
+        pd.DataFrame({"id": [3, 7, 7, 41, 999]}).astype("int64")
+    )
+    out = hash_antijoin(left, keys, "doc_id", num_partitions=4).to_pandas()
+    assert set(out["doc_id"]) == set(range(50)) - {3, 7, 41}
+    assert dict(zip(out["doc_id"], out["val"]))[5] == "v5"
+
+    none = rd.from_pandas(pd.DataFrame({"id": pd.Series(dtype="int64")}))
+    out2 = hash_antijoin(left, none, "doc_id", num_partitions=4).to_pandas()
+    assert len(out2) == 50
+
+
 def test_minhash_family_no_uint64_wrap():
     """The (a*h + b) mod p family must be EXACT in uint64: numpy result ==
     Python big-int arithmetic for every (perm, shingle) cell."""
@@ -285,6 +356,13 @@ def test_remove_near_duplicates(ray_session):
     )
     kept = remove_near_duplicates(ds, "doc_id").to_pandas()
     assert set(kept["doc_id"]) == {0, 2}
+
+    # the distributed path (CC + hash_antijoin, no driver-side pairs or
+    # loser set) keeps exactly the same documents
+    kept_dist = remove_near_duplicates(
+        ds, "doc_id", method="distributed", num_partitions=4
+    ).to_pandas()
+    assert set(kept_dist["doc_id"]) == {0, 2}
 
     import pandas as pd
 
