@@ -469,11 +469,29 @@ def q_connected_components(sf_dir: str):
     nodes = docs.map_batches(
         lambda t: pa.table({"id": t["doc_id"]}), batch_format="pyarrow"
     )
-    out = connected_components(edges, nodes)
+    # 16 partitions ~ sqrt of the sf0.1 doc count: P^2 shard objects per
+    # iteration is the fixed cost, so P tracks data size, not cluster size
+    out = connected_components(edges, nodes, num_partitions=16)
     return out.map_batches(
         lambda t: pa.table({"doc_id": t["id"], "cluster": t["cluster"]}),
         batch_format="pyarrow",
     )
+
+
+def q_cosine_pairs(sf_dir: str):
+    """Exact all-pairs cosine similarity join (block-pair matmul tasks):
+    every unordered (id_a < id_b) pair with cosine >= 0.3. Ground truth
+    for the LSH near-dup paths; float64 on both sides (the oracle casts
+    the float32 lists to DOUBLE[]) so the threshold decision agrees."""
+    import os
+
+    import ray.data as rd
+
+    from siren_ray.stages.ann import cosine_pairs_exact
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return cosine_pairs_exact(ds, threshold=0.3, num_blocks=8)
 
 
 def q_knn_brute(sf_dir: str):
@@ -557,8 +575,10 @@ def q_embedding_neardup(sf_dir: str):
     from siren_ray.stages.dedup import embedding_neardup_pairs
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    # low threshold so random test embeddings yield non-trivial pairs
-    return embedding_neardup_pairs(ds, threshold=0.2)
+    # low threshold so random test embeddings yield non-trivial pairs;
+    # probes=1 multi-probe (recall ~3x single-probe on planted near-dups,
+    # see test_embedding_multiprobe_recall)
+    return embedding_neardup_pairs(ds, threshold=0.2, probes=1)
 
 
 def q_knn_ivf(sf_dir: str):
@@ -721,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": q_knn_brute,
         "toi_boolean": q_toi_boolean,
         "connected_components": q_connected_components,
+        "cosine_pairs": q_cosine_pairs,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -834,6 +855,12 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster "
             "FROM documents"
+        ),
+        "cosine_pairs": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]) >= 0.3"
         ),
         "knn_brute": (
             "WITH q AS (SELECT vec_id AS query_rank, embedding FROM ("

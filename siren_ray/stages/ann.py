@@ -276,3 +276,61 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
         _ProbeScorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 2)
     )
     return _merge_topk(partials, k, id_col)
+
+
+def cosine_pairs_exact(ds, id_col: str = "vec_id", emb_col: str = "embedding",
+                       *, threshold: float = 0.9, num_blocks: int = 16):
+    """Exact all-pairs cosine similarity join: every unordered pair with
+    cosine >= threshold, as (id_a < id_b) rows.
+
+    Block-decomposed: vectors split into B blocks; each of the
+    B(B+1)/2 block pairs is one raw Ray task doing a single float64
+    matmul, so the O(n^2) work distributes evenly and no task holds more
+    than two blocks. This is deliberately the EXACT kernel — ground
+    truth for recall evaluation of the LSH paths
+    (:func:`siren_ray.stages.dedup.embedding_neardup_pairs`) and the
+    SQL-oracle-checkable member of the similarity family; at corpus
+    scale the LSH/IVF paths answer the same question in sub-quadratic
+    time. Math in float64 so the threshold decision agrees with a
+    double-precision SQL oracle; pick thresholds away from the data's
+    similarity values (the driver's hash compare is exact).
+    """
+    import ray.data as rd
+
+    @ray.remote
+    def _prep(tbl: pa.Table):
+        if tbl.num_rows == 0 or id_col not in tbl.schema.names:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty((0, 1), dtype=np.float64))
+        ids = np.asarray(tbl[id_col], dtype=np.int64)
+        mat = _normalize(np.array(tbl[emb_col].to_pylist(),
+                                  dtype=np.float64))
+        return ids, mat
+
+    @ray.remote
+    def _block_pair(prep_i, prep_j, same: bool):
+        ids_i, mat_i = prep_i
+        ids_j, mat_j = prep_j
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if not len(ids_i) or not len(ids_j):
+            return empty
+        sims = mat_i @ mat_j.T
+        if same:
+            ia, ib = np.triu_indices(len(ids_i), k=1)
+            keep = sims[ia, ib] >= threshold
+            a, b = ids_i[ia[keep]], ids_j[ib[keep]]
+        else:
+            ia, ib = np.nonzero(sims >= threshold)
+            a, b = ids_i[ia], ids_j[ib]
+        return pa.table({"id_a": pa.array(np.minimum(a, b), pa.int64()),
+                         "id_b": pa.array(np.maximum(a, b), pa.int64())})
+
+    preps = [_prep.remote(b)
+             for b in ds.repartition(num_blocks).to_arrow_refs()]
+    parts = [
+        _block_pair.remote(preps[i], preps[j], i == j)
+        for i in range(len(preps))
+        for j in range(i, len(preps))
+    ]
+    return rd.from_arrow_refs(parts)

@@ -578,12 +578,22 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 def embedding_neardup_pairs(ds, id_col: str = "vec_id",
                             emb_col: str = "embedding",
                             threshold: float = 0.95,
-                            n_planes: int = 12, seed: int = 11):
+                            n_planes: int = 12, seed: int = 11,
+                            probes: int = 0):
     """Near-duplicate vectors by cosine similarity, LSH-bucketed.
 
     Random-hyperplane signatures (computed vectorized per batch) bucket
     candidates; exact cosine verifies within each bucket. Only (id, sig,
     vector) rows shuffle; buckets stay small.
+
+    ``probes=0`` is single-probe: pairs whose signatures differ in any
+    bit are MISSED (recall loss grows with n_planes and with how close
+    the pair sits to a hyperplane). ``probes=1`` multi-probes by also
+    emitting each vector into its ``n_planes`` one-bit-flip buckets, so
+    any pair within signature Hamming distance <= 2 shares a bucket —
+    at a (1 + n_planes)x replication cost in shuffle bytes and a global
+    pair-dedup pass (pairs can now meet in several buckets). Measure
+    recall against :func:`siren_ray.stages.ann.cosine_pairs_exact`.
     """
 
     class Signer:
@@ -618,7 +628,9 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
         df = df[df["lsh_sig"].isin(counts[counts >= 2].index)]
         out = []
         for _sig, grp in df.groupby("lsh_sig", sort=False):
-            mat = np.array(grp[emb_col].tolist(), dtype=np.float32)
+            # float64: the threshold decision must agree with the exact
+            # kernel (ann.cosine_pairs_exact) used as recall ground truth
+            mat = np.array(grp[emb_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (mat / norms) @ (mat / norms).T
@@ -644,8 +656,29 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
             "_pk", pa.array((sig % _DEDUP_PARTITIONS).astype(np.int64))
         )
 
+    def _explode_probes(t: pa.Table) -> pa.Table:
+        """Each row also enters its one-bit-flip buckets: a pair at
+        signature Hamming distance <= 2 meets where a's flip equals b's
+        flip (or either's original)."""
+        sig = np.asarray(t["lsh_sig"], dtype=np.int64)
+        n = len(sig)
+        if n == 0:
+            return t
+        flips = np.concatenate(
+            [[0], (1 << np.arange(n_planes))]
+        ).astype(np.int64)
+        idx = np.repeat(np.arange(n), len(flips))
+        sigs = (sig[:, None] ^ flips[None, :]).reshape(-1)
+        out = t.take(pa.array(idx))
+        return out.set_column(
+            out.schema.get_field_index("lsh_sig"), "lsh_sig",
+            pa.array(sigs, pa.int64()),
+        )
+
     sigs = ds.map_batches(Signer, batch_format="pyarrow", concurrency=(1, 2))
-    return (
+    if probes:
+        sigs = sigs.map_batches(_explode_probes, batch_format="pyarrow")
+    pairs = (
         sigs.map_batches(_bucket, batch_format="pyarrow")
         .groupby("_pk")
         .map_groups(
@@ -653,3 +686,19 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
             batch_format="pandas",
         )
     )
+    if probes:
+        # the same pair can verify in several probe buckets
+        pairs = dedup_exact(
+            pairs.map_batches(
+                lambda t: t.append_column(
+                    "pair_key",
+                    pa.array([f"{x}|{y}" for x, y in
+                              zip(t["id_a"].to_pylist(),
+                                  t["id_b"].to_pylist())]),
+                ),
+                batch_format="pyarrow",
+            ),
+            "pair_key",
+            "id_a",
+        ).drop_columns(["pair_key"])
+    return pairs

@@ -210,6 +210,46 @@ def test_hash_antijoin(ray_session):
     assert len(out2) == 50
 
 
+def test_embedding_multiprobe_recall(ray_session):
+    """probes=1 (one-bit-flip buckets) strictly improves recall over
+    single-probe hyperplane LSH on planted near-dup pairs, with the
+    exact block-matmul join as ground truth; both emit only true pairs
+    (verification is exact) and single-probe pairs are a subset."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.ann import cosine_pairs_exact
+    from siren_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((150, 32)).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # |noise|^2 = 0.04^2 * 32 = 0.05 -> cosine ~ 1/sqrt(1.05) ~ 0.975
+    jit = base + 0.04 * rng.standard_normal(base.shape)
+    vecs = np.concatenate([base, jit])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(300, dtype="int64"),
+         "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    ds = rd.from_pandas(df)
+    truth = cosine_pairs_exact(ds, threshold=0.95, num_blocks=4).to_pandas()
+    truth = set(zip(truth["id_a"], truth["id_b"]))
+    assert len(truth) >= 100  # planted pairs survive the threshold
+
+    def pairs(probes):
+        p = embedding_neardup_pairs(ds, threshold=0.95,
+                                    probes=probes).to_pandas()
+        return set(zip(p["id_a"], p["id_b"]))
+
+    s0, s1 = pairs(0), pairs(1)
+    assert s0 <= truth and s1 <= truth
+    assert s0 <= s1
+    r0, r1 = len(s0) / len(truth), len(s1) / len(truth)
+    # deterministic (seeded data + seeded planes): measured ~0.3 vs ~0.9
+    assert r1 > r0
+    assert r1 >= 0.7
+
+
 def test_minhash_family_no_uint64_wrap():
     """The (a*h + b) mod p family must be EXACT in uint64: numpy result ==
     Python big-int arithmetic for every (perm, shingle) cell."""
