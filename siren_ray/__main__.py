@@ -9,6 +9,7 @@ registered pipeline (§3.2 run_all), outputs routed per-pipeline (W6).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -64,6 +65,11 @@ def main(argv=None) -> int:
     corpus = cfg.corpus_dir or ensure_corpus(args.sf)
     names = list(PIPELINES) if cfg.scraper == "all" else [cfg.scraper]
     rc = 0
+    # W6/T4: outputs route into a folder named for the scraper class
+    # (cloud.py:70-78 — Drive folder per origin, created on first use and
+    # cached); the local analog is out/<OriginClass>/ with a seen-cache so
+    # makedirs runs once per origin per run
+    made_folders: set[str] = set()
     for name in names:
         factory = get_pipeline(name)
         if factory is None:
@@ -73,9 +79,14 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         ds = factory(corpus, start=cfg.start, end=cfg.end,
                      keywords=cfg.keywords or ("suicide",))
+        origin = name.rsplit(".", 1)[-1]
+        folder = os.path.join(cfg.out or ".", origin)
+        if folder not in made_folders:
+            os.makedirs(folder, exist_ok=True)
+            made_folders.add(folder)
         path = write_projected_csv(
-            ds, ProjectionSpec(), cfg.out or ".",
-            name.rsplit(".", 1)[-1], cfg.start, cfg.end,
+            ds, ProjectionSpec(), folder,
+            origin, cfg.start, cfg.end,
         )
         print(f"{name} completed in {time.perf_counter() - t0:.1f}s -> {path}")
     if owns_ray:

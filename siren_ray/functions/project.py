@@ -59,6 +59,52 @@ def project_batch(batch: pa.Table, spec: ProjectionSpec) -> pa.Table:
     return pa.table(dict(zip(headers, cols)))
 
 
+def write_routed_parquet(ds, out_dir: str,
+                         partition_cols: tuple[str, ...] = ("origin",)):
+    """W6 at the data level: route rows into one folder per partition
+    value with the native hive-partitioned Parquet write
+    (``out_dir/col=value/part-*.parquet``) — the Ray-Data analog of the
+    reference's per-origin Drive folders (cloud.py:70-78). Partition
+    values come from the data, so a multi-scraper union routes itself;
+    a failed run skips finished partitions on retry (resumable layout).
+    Keep partition columns low-cardinality (origin/scraper/date, not
+    url)."""
+    ds.write_parquet(out_dir, partition_cols=list(partition_cols))
+    return out_dir
+
+
+def flatten_struct(batch: pa.Table, struct_col: str, *,
+                   keep_parent: bool = True,
+                   child_order: tuple[str, ...] | None = None) -> pa.Table:
+    """W3 wide-row struct flatten (epaper/toi.py:228-240): widen a struct
+    column into top-level columns appended AFTER the parent's fields, in
+    the struct's declared field order (or ``child_order``).
+
+    The reference's TOI writer emits ``Article.model_fields`` followed by
+    ``Edition.model_fields`` — the ``edition_details`` struct column
+    itself stays in the row (``keep_parent=True``) and its four fields
+    (date, edition_code, publication_code, edition_name) become columns;
+    the generic W1 projector then serializes the whole wide row. A child
+    name colliding with an existing column is an error (the reference
+    would silently duplicate the CSV header)."""
+    import pyarrow.compute as pc
+
+    arr = batch[struct_col]
+    typ = arr.type
+    names = list(child_order) if child_order else [
+        typ.field(i).name for i in range(typ.num_fields)
+    ]
+    out = batch if keep_parent else batch.drop_columns([struct_col])
+    for name in names:
+        if name in out.column_names:
+            raise ValueError(
+                f"flatten_struct: child field {name!r} collides with an "
+                "existing column"
+            )
+        out = out.append_column(name, pc.struct_field(arr, name))
+    return out
+
+
 def output_filename(name: str, start: datetime, end: datetime,
                     fmt: str = "%Y-%m-%d", ext: str = "csv") -> str:
     """W4 (scraper.py:144-155); TOI variant uses fmt="%d-%m-%Y"

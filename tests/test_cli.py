@@ -16,10 +16,13 @@ def test_cli_single_scraper(ray_session, corpus_sf0001, tmp_path):
         "--sf", "0.001",
     ])
     assert rc == 0
-    dirs = os.listdir(tmp_path)
+    # W6: outputs route into a per-origin folder (cloud.py:70-78 analog)
+    assert os.listdir(tmp_path) == ["IndiaTodayOnlineScraper"]
+    origin_dir = os.path.join(tmp_path, "IndiaTodayOnlineScraper")
+    dirs = os.listdir(origin_dir)
     assert any("IndiaTodayOnlineScraper_2024-02-01_2024-05-01" in d
                for d in dirs)
-    outdir = os.path.join(tmp_path, dirs[0])
+    outdir = os.path.join(origin_dir, dirs[0])
     rows = []
     for f in sorted(os.listdir(outdir)):
         with open(os.path.join(outdir, f)) as fh:

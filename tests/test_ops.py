@@ -83,6 +83,81 @@ def test_projection_sorted_default_and_include_exclude():
     assert out.column_names == ["a", "c", "z"]  # sorted, deterministic
 
 
+def test_flatten_struct_wide_row():
+    """W3 (toi.py:228-240): Article fields then flattened Edition fields,
+    struct column kept, projector serializes the wide row."""
+    import pyarrow as pa
+
+    from siren_ray.functions.project import (
+        MISSING,
+        ProjectionSpec,
+        flatten_struct,
+        project_batch,
+    )
+
+    ed_type = pa.struct([
+        ("date", pa.string()),
+        ("edition_code", pa.string()),
+        ("publication_code", pa.string()),
+        ("edition_name", pa.string()),
+    ])
+    batch = pa.table({
+        "title": pa.array(["t1", "t2"]),
+        "body": pa.array(["b1", "b2"]),
+        "edition_details": pa.array(
+            [{"date": "2024-01-02", "edition_code": "E1",
+              "publication_code": "TOI", "edition_name": "Mumbai"},
+             {"date": "2024-01-03", "edition_code": "E2",
+              "publication_code": "TOI", "edition_name": "Delhi"}],
+            ed_type),
+    })
+    wide = flatten_struct(batch, "edition_details")
+    # parent fields first (struct kept), children appended in declared order
+    assert wide.column_names == [
+        "title", "body", "edition_details",
+        "date", "edition_code", "publication_code", "edition_name",
+    ]
+    assert wide["edition_name"].to_pylist() == ["Mumbai", "Delhi"]
+
+    # collision with an existing column is an error, not a dup header
+    with pytest.raises(ValueError):
+        flatten_struct(wide, "edition_details")
+
+    # generic projector serializes the wide row; missing -> "- no data -"
+    spec = ProjectionSpec(fields=(
+        "title", "body", "page", "date", "edition_name",
+    ))
+    out = project_batch(wide.drop_columns(["edition_details"]), spec)
+    assert out.column_names == ["title", "body", "page", "date",
+                                "edition_name"]
+    assert out["page"].to_pylist() == [MISSING, MISSING]
+
+
+def test_write_routed_parquet(ray_session, tmp_path):
+    """W6: rows route into one hive folder per origin value; re-read
+    recovers the full set per partition."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from siren_ray.functions.project import write_routed_parquet
+
+    ds = rd.from_items(
+        [{"origin": ["HTScraper", "TOIScraper"][i % 2], "n": i}
+         for i in range(10)]
+    )
+    out = str(tmp_path / "routed")
+    write_routed_parquet(ds, out, ("origin",))
+    import os
+
+    subdirs = sorted(os.listdir(out))
+    assert subdirs == ["origin=HTScraper", "origin=TOIScraper"]
+    back = pads.dataset(out, partitioning="hive").to_table()
+    assert back.num_rows == 10
+    ht = back.filter(
+        pa.compute.equal(back["origin"], "HTScraper"))["n"].to_pylist()
+    assert sorted(ht) == [0, 2, 4, 6, 8]
+
+
 def test_output_filename():
     from siren_ray.functions.project import output_filename
 
