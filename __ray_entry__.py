@@ -446,7 +446,8 @@ def q_connected_components(sf_dir: str):
     from siren_ray.stages.dedup import connected_components
     from siren_ray.util import hash_strings
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    # one read serves both the edge build and the node list
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"]).materialize()
 
     def _bucket(t: pa.Table) -> pa.Table:
         pk = (hash_strings([str(x) for x in t["text"].to_pylist()]) % 64)

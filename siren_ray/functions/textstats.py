@@ -54,14 +54,21 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_punct = pc.cast(
         pc.count_substring_regex(col, pattern=r"[^\w\s]"), pa.int64()
     )
-    texts = col.to_pylist()
-    stop_ratio = np.zeros(len(texts))
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        words = t.lower().split()
-        if words:
-            stop_ratio[i] = sum(w in _STOPWORDS for w in words) / len(words)
+    # stopword ratio fully in Arrow/numpy: lower -> whitespace split ->
+    # flat membership -> per-doc bincount (was a per-row Python loop over
+    # every word — the second-hottest enrichment kernel)
+    n_rows = batch.num_rows
+    words = pc.utf8_split_whitespace(pc.utf8_lower(col))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    flat = words.flatten()
+    isstop = pc.is_in(
+        flat, value_set=pa.array(sorted(_STOPWORDS))
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_words = np.bincount(parent, minlength=n_rows)
+    n_stop = np.bincount(parent, weights=isstop, minlength=n_rows)
+    stop_ratio = np.divide(n_stop, np.maximum(n_words, 1))
     nc = n_chars.to_numpy(zero_copy_only=False).astype(float)
     punct_ratio = np.divide(
         n_punct.to_numpy(zero_copy_only=False),
@@ -143,24 +150,39 @@ class HashedNgramScorer:
             np.float32
         ) / np.sqrt(n_features)
         self.n_features = n_features
+        # per-actor feature-matrix buffer, grown to the largest batch and
+        # reused: the hot loop allocates NO fresh large arrays per batch
+        # (fresh pages are also the expensive case on hosts that lazily
+        # fault guest memory — see BASELINE.md)
+        self._buf = np.zeros((0, n_features), dtype=np.float32)
 
-    def features(self, text: str) -> np.ndarray:
+    def features(self, text: str, out: np.ndarray | None = None) -> np.ndarray:
+        if out is None:
+            out = np.zeros(self.n_features, dtype=np.float32)
         b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
         if len(b) < 3:
-            return np.zeros(self.n_features, dtype=np.float32)
+            out[:] = 0.0
+            return out
         codes = (
             b[:-2].astype(np.int64) * 65536
             + b[1:-1].astype(np.int64) * 256
             + b[2:].astype(np.int64)
         ) % self.n_features
-        feats = np.bincount(codes, minlength=self.n_features).astype(np.float32)
-        n = np.linalg.norm(feats)
-        return feats / n if n > 0 else feats
+        feats = np.bincount(codes, minlength=self.n_features)
+        np.copyto(out, feats, casting="unsafe")
+        n = np.linalg.norm(out)
+        if n > 0:
+            out /= n
+        return out
 
     def score_batch(self, texts: list[str]) -> np.ndarray:
         if not texts:
             return np.zeros(0, dtype=np.float32)
-        mat = np.stack([self.features(t or "") for t in texts])
+        if self._buf.shape[0] < len(texts):
+            self._buf = np.zeros((len(texts), self.n_features), np.float32)
+        mat = self._buf[:len(texts)]
+        for i, t in enumerate(texts):
+            self.features(t or "", out=mat[i])
         logits = mat @ self.w
         return logits.max(axis=1)  # top-class score per doc
 

@@ -82,14 +82,47 @@ _M32 = np.uint64(0xFFFFFFFF)
 _P61 = np.uint64(_MERSENNE)
 
 
+_POLY = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier: bijective mod 2^64
+
+
+def shingle_hashes(text: str, k: int = 5,
+                   max_shingles: int | None = None) -> np.ndarray:
+    """Word-k-gram hashes WITHOUT materializing shingle strings: hash
+    each word once, then combine every k-window of word hashes with a
+    position-weighted polynomial in uint64 (wrap-around is fine for the
+    item hash — the exact (a*h+b) mod p family applies on top). The
+    " ".join shingle construction was the dominant minhash cost
+    (~320 us/doc of the 492 us/doc total on ~5.6 kB docs). Windowing
+    mirrors :func:`siren_ray.functions.textstats.shingles`: fewer than k
+    words hash as one all-words shingle; ``max_shingles`` keeps a
+    deterministic prefix."""
+    words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    if max_shingles is not None and len(words) > max_shingles + k - 1:
+        words = words[:max_shingles + k - 1]  # only the sampled prefix
+    wh = hash_strings(words).astype(np.uint64)
+    kk = min(k, len(wh))
+    n_sh = len(wh) - kk + 1
+    if max_shingles is not None:
+        n_sh = min(n_sh, max_shingles)
+    weights = np.empty(kk, dtype=np.uint64)
+    w = _POLY
+    for j in range(kk):
+        weights[j] = w
+        w = w * _POLY
+    out = np.zeros(n_sh, dtype=np.uint64)
+    for j in range(kk):
+        out += wh[j:j + n_sh] * weights[j]
+    return out
+
+
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
                       k: int = 5, max_shingles: int | None = None) -> np.ndarray:
-    sh = shingles(text, k)
-    if not sh:
+    sh = shingle_hashes(text, k, max_shingles)
+    if not len(sh):
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    if max_shingles is not None and len(sh) > max_shingles:
-        sh = sh[:max_shingles]  # deterministic prefix sample
-    h = hash_strings(sh).astype(np.uint64) >> np.uint64(32)  # top 32 bits
+    h = sh >> np.uint64(32)  # top 32 bits
     # exact (a*h + b) mod p: a < 2^31 and h < 2^32 keep the product under
     # 2^63, so uint64 arithmetic never wraps before the reduction
     # (tests/test_ops assert equality with Python big-int arithmetic)
@@ -115,22 +148,33 @@ class MinHasher:
         texts = batch[self.text_col].to_pylist()
         if not texts:
             return batch.append_column(
-                "minhash_bands", pa.array([], pa.list_(pa.string()))
+                "minhash_bands", pa.array([], pa.list_(pa.int64()))
             )
         sigs = np.stack(
             [minhash_signature(t or "", self.a, self.b, self.k,
                                self.max_shingles) for t in texts]
         )
-        band_keys = []
-        for row in sigs:
-            keys = []
-            for bnd in range(self.bands):
-                seg = row[bnd * self.rows_per_band:(bnd + 1) * self.rows_per_band]
-                keys.append(f"{bnd}:" + "-".join(map(str, seg)))
-            band_keys.append(keys)
-        return batch.append_column(
-            "minhash_bands", pa.array(band_keys, pa.list_(pa.string()))
-        )
+        # int64 band keys, fully vectorized: each band's signature segment
+        # combines via a position-weighted polynomial in uint64 (identity
+        # within a band is what matters; 64-bit collisions are the same
+        # false-positive class LSH already has and the n-gram verify
+        # kernel screens). Int keys keep the LSH shuffle free of the
+        # previous "0:123-456-..." string building — smaller bytes moved,
+        # cheaper groupby.
+        segs = sigs.reshape(len(texts), self.bands, self.rows_per_band)
+        weights = np.empty(self.rows_per_band, dtype=np.uint64)
+        w = _POLY
+        for j in range(self.rows_per_band):
+            weights[j] = w
+            w = w * _POLY
+        keys = (segs * weights[None, None, :]).sum(axis=2, dtype=np.uint64)
+        keys += (np.arange(self.bands, dtype=np.uint64)[None, :]
+                 + np.uint64(1)) * np.uint64(0xD1B54A32D192ED03)
+        flat = pa.array(keys.reshape(-1).view(np.int64), pa.int64())
+        bands_col = pa.FixedSizeListArray.from_arrays(
+            flat, self.bands
+        ).cast(pa.list_(pa.int64()))
+        return batch.append_column("minhash_bands", bands_col)
 
 
 _MAX_BUCKET = 128  # per-band-bucket pair-generation cap (O(n²) guard)
@@ -169,16 +213,18 @@ def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
     )
 
     def _explode(batch: pa.Table) -> pa.Table:
-        ids, keys = [], []
-        for i, bks in zip(batch[id_col].to_pylist(),
-                          batch["minhash_bands"].to_pylist()):
-            for bk in bks:
-                ids.append(i)
-                keys.append(bk)
-        t = pa.table({id_col: pa.array(ids),
-                      "band_key": pa.array(keys, pa.string())})
-        pk = (hash_strings(keys) % _DEDUP_PARTITIONS).astype(np.int64)
-        return t.append_column("_pk", pa.array(pk))
+        import pyarrow.compute as pc
+
+        bands_col = batch["minhash_bands"].combine_chunks()
+        lengths = pc.list_value_length(bands_col).to_numpy(
+            zero_copy_only=False)
+        idx = np.repeat(np.arange(batch.num_rows), lengths)
+        flat = bands_col.flatten()
+        keys = np.asarray(flat, dtype=np.int64)
+        t = pa.table({id_col: batch[id_col].take(pa.array(idx)),
+                      "band_key": flat})
+        pk = keys % _DEDUP_PARTITIONS  # numpy %: non-negative result
+        return t.append_column("_pk", pa.array(pk, pa.int64()))
 
     exploded = sigs.map_batches(_explode, batch_format="pyarrow")
 
@@ -212,18 +258,32 @@ def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
                              "id_b": np.concatenate(out_b)})
 
     pairs = exploded.groupby("_pk").map_groups(_pairs, batch_format="pandas")
-    return dedup_exact(
-        pairs.map_batches(
-            lambda t: t.append_column(
-                "pair_key",
-                pa.array([f"{x}|{y}" for x, y in
-                          zip(t["id_a"].to_pylist(), t["id_b"].to_pylist())]),
-            ),
-            batch_format="pyarrow",
-        ),
-        "pair_key",
-        "id_a",
-    ).drop_columns(["pair_key"])
+    return dedup_pairs(pairs)
+
+
+def dedup_pairs(pairs_ds, num_partitions: int = _DEDUP_PARTITIONS):
+    """Exact (id_a, id_b) pair dedup: hash-partition on id_a, one
+    vectorized ``drop_duplicates`` per partition. No string pair keys
+    (a hashed key risks silent pair loss at 1e10-pair scale; two-column
+    exact dedup costs the same shuffle). Extra columns (e.g. cosine)
+    ride along; the kept row per pair is deterministic (full sort)."""
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"], dtype=np.int64)
+        return t.append_column(
+            "_pk", pa.array(a % num_partitions, pa.int64())
+        )
+
+    def _dd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(list(df.columns), kind="mergesort")
+        df = df.drop_duplicates(["id_a", "id_b"], keep="first")
+        return df.drop(columns=["_pk"]).reset_index(drop=True)
+
+    return (
+        pairs_ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_dd, batch_format="pandas")
+    )
 
 
 def neardup_losers(pairs_df, id_a: str = "id_a", id_b: str = "id_b") -> set:
@@ -688,17 +748,5 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
     )
     if probes:
         # the same pair can verify in several probe buckets
-        pairs = dedup_exact(
-            pairs.map_batches(
-                lambda t: t.append_column(
-                    "pair_key",
-                    pa.array([f"{x}|{y}" for x, y in
-                              zip(t["id_a"].to_pylist(),
-                                  t["id_b"].to_pylist())]),
-                ),
-                batch_format="pyarrow",
-            ),
-            "pair_key",
-            "id_a",
-        ).drop_columns(["pair_key"])
+        pairs = dedup_pairs(pairs)
     return pairs
