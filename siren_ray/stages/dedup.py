@@ -85,8 +85,22 @@ _P61 = np.uint64(_MERSENNE)
 _POLY = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier: bijective mod 2^64
 
 
+def word_hashes(text: str, max_words: int | None = None) -> np.ndarray:
+    """Per-word 64-bit hashes of the (prefix-capped) whitespace tokens —
+    the shared tokenize+hash pass that simhash and MinHash both consume
+    (one split + one hash per doc instead of one per kernel). Prefix
+    capping commutes with sharing: every consumer takes a prefix slice."""
+    words = text.split()
+    if max_words is not None and len(words) > max_words:
+        words = words[:max_words]
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    return hash_strings(words).astype(np.uint64)
+
+
 def shingle_hashes(text: str, k: int = 5,
-                   max_shingles: int | None = None) -> np.ndarray:
+                   max_shingles: int | None = None,
+                   wh: np.ndarray | None = None) -> np.ndarray:
     """Word-k-gram hashes WITHOUT materializing shingle strings: hash
     each word once, then combine every k-window of word hashes with a
     position-weighted polynomial in uint64 (wrap-around is fine for the
@@ -95,13 +109,15 @@ def shingle_hashes(text: str, k: int = 5,
     (~320 us/doc of the 492 us/doc total on ~5.6 kB docs). Windowing
     mirrors :func:`siren_ray.functions.textstats.shingles`: fewer than k
     words hash as one all-words shingle; ``max_shingles`` keeps a
-    deterministic prefix."""
-    words = text.split()
-    if not words:
+    deterministic prefix. ``wh`` supplies precomputed word hashes (must
+    cover at least the ``max_shingles + k - 1`` prefix)."""
+    cap = None if max_shingles is None else max_shingles + k - 1
+    if wh is None:
+        wh = word_hashes(text, cap)
+    elif cap is not None and len(wh) > cap:
+        wh = wh[:cap]
+    if not len(wh):
         return np.empty(0, dtype=np.uint64)
-    if max_shingles is not None and len(words) > max_shingles + k - 1:
-        words = words[:max_shingles + k - 1]  # only the sampled prefix
-    wh = hash_strings(words).astype(np.uint64)
     kk = min(k, len(wh))
     n_sh = len(wh) - kk + 1
     if max_shingles is not None:
@@ -118,8 +134,9 @@ def shingle_hashes(text: str, k: int = 5,
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
-                      k: int = 5, max_shingles: int | None = None) -> np.ndarray:
-    sh = shingle_hashes(text, k, max_shingles)
+                      k: int = 5, max_shingles: int | None = None,
+                      wh: np.ndarray | None = None) -> np.ndarray:
+    sh = shingle_hashes(text, k, max_shingles, wh=wh)
     if not len(sh):
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
     h = sh >> np.uint64(32)  # top 32 bits
@@ -144,15 +161,19 @@ class MinHasher:
         self.text_col = text_col
         self.max_shingles = max_shingles
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table,
+                 wh_list: list | None = None) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         if not texts:
             return batch.append_column(
                 "minhash_bands", pa.array([], pa.list_(pa.int64()))
             )
+        if wh_list is None:
+            wh_list = [None] * len(texts)
         sigs = np.stack(
             [minhash_signature(t or "", self.a, self.b, self.k,
-                               self.max_shingles) for t in texts]
+                               self.max_shingles, wh=w)
+             for t, w in zip(texts, wh_list)]
         )
         # int64 band keys, fully vectorized: each band's signature segment
         # combines via a position-weighted polynomial in uint64 (identity
@@ -599,13 +620,11 @@ def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
 _SIMHASH_MAX_TOKENS = 512  # signature sample cap: bounds memory traffic
 
 
-def simhash64(text: str) -> int:
-    toks = text.split()
-    if not toks:
+def simhash64(text: str, wh: np.ndarray | None = None) -> int:
+    h = word_hashes(text, _SIMHASH_MAX_TOKENS) if wh is None else (
+        wh[:_SIMHASH_MAX_TOKENS] if len(wh) > _SIMHASH_MAX_TOKENS else wh)
+    if not len(h):
         return 0
-    if len(toks) > _SIMHASH_MAX_TOKENS:
-        toks = toks[:_SIMHASH_MAX_TOKENS]
-    h = hash_strings(toks).astype(np.uint64)
     # uint8 bit expansion (unpackbits) keeps temporaries 8x smaller than
     # an int64 bit matrix — matters when 32 actors run this concurrently
     bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1)
@@ -614,8 +633,13 @@ def simhash64(text: str) -> int:
     return int.from_bytes(np.packbits(out_bits).tobytes(), "little")
 
 
-def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    vals = np.array([simhash64(t or "") for t in batch[text_col].to_pylist()],
+def simhash_batch(batch: pa.Table, text_col: str = "text",
+                  wh_list: list | None = None) -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    if wh_list is None:
+        wh_list = [None] * len(texts)
+    vals = np.array([simhash64(t or "", wh=w)
+                     for t, w in zip(texts, wh_list)],
                     dtype=np.uint64)
     return batch.append_column(
         "simhash", pa.array(vals, pa.uint64())

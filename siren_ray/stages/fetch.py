@@ -236,18 +236,23 @@ def _enrich_text(extracted: pa.Table) -> pa.Table:
         lang_id_batch,
         quality_batch,
     )
-    from ..stages.dedup import MinHasher, simhash_batch
+    from ..stages.dedup import MinHasher, simhash_batch, word_hashes
 
     out = fingerprint_batch(lang_id_batch(quality_batch(extracted)))
-    out = simhash_batch(out)
     global _MINHASHER, _SCORER
     if _MINHASHER is None:
         _MINHASHER = MinHasher(num_perm=32, bands=8, max_shingles=256)
         from ..functions.textstats import HashedNgramScorer
 
         _SCORER = HashedNgramScorer()
-    out = _MINHASHER(out)
-    scores = _SCORER.score_batch(out["text"].to_pylist())
+    # one tokenize+hash pass feeds BOTH signature kernels (simhash takes
+    # the 512-word prefix, minhash the 260-word shingle prefix — outputs
+    # are bit-identical to the per-kernel paths)
+    texts = out["text"].to_pylist()
+    wh = [word_hashes(t or "", 512) for t in texts]
+    out = simhash_batch(out, wh_list=wh)
+    out = _MINHASHER(out, wh_list=wh)
+    scores = _SCORER.score_batch(texts)
     return out.append_column(
         "model_score", pa.array(scores.astype("float64"))
     )
