@@ -609,6 +609,31 @@ def q_lang_id(sf_dir: str):
     ).select_columns(["doc_id", "lang_pred"])
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Video-shaped pipeline: frame-sample binary blobs (row explosion +
+    metadata carry) -> per-frame feature extraction in an actor pool
+    (fixed-dim normalized vectors). Codec-free deterministic kernels;
+    the Ray plumbing (flat-map shape, actor init-once, payload dropped
+    after embed) is the production shape."""
+    import ray.data as rd
+
+    from siren_ray.stages.multimodal import (
+        BinaryFeatures,
+        frame_sample,
+        make_tiles,
+    )
+
+    tiles = rd.from_arrow(make_tiles(30))
+    frames = tiles.map_batches(
+        frame_sample, fn_kwargs={"n_frames": 3, "frame_size": 16},
+        batch_format="pyarrow",
+    )
+    return frames.map_batches(
+        BinaryFeatures, fn_constructor_kwargs={"data_col": "frame"},
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 2),
+    ).select_columns(["page_id", "url", "frame_idx", "frame_offset"])
+
+
 def q_ocr_tiles(sf_dir: str):
     """Multimodal actor-pool stage (P8/T2 shape, fake OCR engine)."""
     import ray.data as rd
@@ -752,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "lang_id": q_lang_id,
         "ocr_tiles": q_ocr_tiles,
+        "multimodal_frames": q_multimodal_frames,
         "scraper_mirror": q_scraper_mirror,
         "scraper_ht": q_scraper_ht,
         "scraper_tg_epaper": q_scraper_tg_epaper,

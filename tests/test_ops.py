@@ -447,10 +447,64 @@ def test_ocr_actor_pool(ray_session):
 
 
 def test_decode_stub_raises():
-    from siren_ray.stages.multimodal import decode_image_stub
+    from siren_ray.stages.multimodal import (
+        decode_image_stub,
+        resize_image_stub,
+    )
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x00")
+    with pytest.raises(NotImplementedError):
+        resize_image_stub(b"\x00", 64, 64)
+
+
+def test_binary_features_stage(ray_session):
+    """Feature-extract actor stage: fixed-dim normalized vectors, payload
+    dropped, deterministic across actors."""
+    import ray.data as rd
+
+    from siren_ray.stages.multimodal import BinaryFeatures, make_tiles
+
+    tiles = rd.from_arrow(make_tiles(6))
+    out = tiles.map_batches(
+        BinaryFeatures, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 2),
+    ).to_pandas()
+    assert "data" not in out.columns and "features" in out.columns
+    vecs = np.array(out["features"].tolist(), dtype=np.float32)
+    assert vecs.shape == (72, 256)
+    norms = np.linalg.norm(vecs, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
+    # deterministic: same blob -> same vector regardless of actor
+    out2 = rd.from_arrow(make_tiles(6)).map_batches(
+        BinaryFeatures, batch_format="pyarrow", batch_size=8,
+        concurrency=(1, 2),
+    ).to_pandas()
+    a = {u: v for u, v in zip(out["url"], out["features"])}
+    b = {u: v for u, v in zip(out2["url"], out2["features"])}
+    assert all(np.allclose(a[u], b[u]) for u in a)
+
+
+def test_frame_sample():
+    """Frame sampling: even spacing, metadata carry, short/null blobs."""
+    import pyarrow as pa
+
+    from siren_ray.stages.multimodal import frame_sample
+
+    batch = pa.table({
+        "vid": pa.array([1, 2, 3], pa.int64()),
+        "data": pa.array([bytes(range(100)), b"abc", None], pa.binary()),
+    })
+    out = frame_sample(batch, n_frames=4, frame_size=16)
+    # blob 1: 4 frames; blob 2 (3 bytes): 1 truncated frame; null: none
+    assert out["vid"].to_pylist() == [1, 1, 1, 1, 2]
+    assert out["frame_idx"].to_pylist() == [0, 1, 2, 3, 0]
+    offs = out["frame_offset"].to_pylist()
+    assert offs[0] == 0 and offs[3] == 84  # last frame ends at blob end
+    frames = out["frame"].to_pylist()
+    assert frames[0] == bytes(range(16))
+    assert frames[3] == bytes(range(84, 100))
+    assert frames[4] == b"abc"
 
 
 def test_remove_near_duplicates(ray_session):
