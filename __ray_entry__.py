@@ -434,6 +434,23 @@ def q_broadcast_join(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """Per-user sessionization of the event stream (30-min inactivity
+    gap): one hash shuffle on user bucket, vectorized diff+cumsum per
+    partition. Oracle = lag/sum window functions."""
+    import os
+
+    import ray.data as rd
+
+    from siren_ray.stages.events import sessionize
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id"])
+    return sessionize(ev, gap_s=1800).select_columns(
+        ["event_id", "user_id", "session_seq"]
+    )
+
+
 def q_connected_components(sf_dir: str):
     """Distributed connected components (min-label propagation, no
     driver-side graph state) over the exact-duplicate-text chain graph:
@@ -768,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "toi_boolean": q_toi_boolean,
         "connected_components": q_connected_components,
         "cosine_pairs": q_cosine_pairs,
+        "sessionize": q_sessionize,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -888,6 +906,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
             "b.embedding::DOUBLE[]) >= 0.3"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT event_id, user_id, ts, CASE WHEN "
+            "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > "
+            "INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT event_id, user_id, sum(new_s) OVER (PARTITION BY "
+            "user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS session_seq FROM g"
         ),
         "knn_brute": (
             "WITH q AS (SELECT vec_id AS query_rank, embedding FROM ("

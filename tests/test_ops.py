@@ -325,6 +325,35 @@ def test_embedding_multiprobe_recall(ray_session):
     assert r1 >= 0.7
 
 
+def test_sessionize_boundaries(ray_session):
+    """Gap exactly == threshold does NOT break (strict >); user change
+    always does; ties order by event_id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.events import sessionize
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: gaps 1800s (no break), 1801s (break)
+        (0, base, 1),
+        (1, base + pd.Timedelta(seconds=1800), 1),
+        (2, base + pd.Timedelta(seconds=1800 + 1801), 1),
+        # user 2: single event
+        (3, base, 2),
+        # user 7 (same partition as 1 mod small P): tie on ts
+        (4, base, 7),
+        (5, base, 7),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"]).astype(
+        {"event_id": "int64", "user_id": "int64"}
+    )
+    out = sessionize(rd.from_pandas(df), gap_s=1800,
+                     num_partitions=3).to_pandas()
+    got = dict(zip(out["event_id"], out["session_seq"]))
+    assert got == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1, 5: 1}
+
+
 def test_minhash_family_no_uint64_wrap():
     """The (a*h + b) mod p family must be EXACT in uint64: numpy result ==
     Python big-int arithmetic for every (perm, shingle) cell."""
