@@ -599,6 +599,21 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(ds, threshold=0.2, probes=1)
 
 
+def q_embedding_neardup_removed(sf_dir: str):
+    """Driver-free vector dedup: multi-probe LSH pairs -> distributed
+    connected components -> hash anti-join (keep min vec_id per
+    cluster)."""
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import remove_embedding_neardups
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return remove_embedding_neardups(
+        ds, threshold=0.2, probes=1, num_partitions=16
+    ).select_columns(["vec_id"])
+
+
 def q_knn_ivf(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -796,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "ocr_tiles": q_ocr_tiles,
         "multimodal_frames": q_multimodal_frames,
+        "embedding_neardup_removed": q_embedding_neardup_removed,
         "scraper_mirror": q_scraper_mirror,
         "scraper_ht": q_scraper_ht,
         "scraper_tg_epaper": q_scraper_tg_epaper,
@@ -912,9 +928,9 @@ def oracle_sql() -> dict[str, str]:
             "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > "
             "INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_s FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
-            "SELECT event_id, user_id, sum(new_s) OVER (PARTITION BY "
+            "SELECT event_id, user_id, CAST(sum(new_s) OVER (PARTITION BY "
             "user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
-            "AS session_seq FROM g"
+            "AS BIGINT) AS session_seq FROM g"
         ),
         "knn_brute": (
             "WITH q AS (SELECT vec_id AS query_rank, embedding FROM ("

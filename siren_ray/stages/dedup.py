@@ -774,3 +774,31 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
         # the same pair can verify in several probe buckets
         pairs = dedup_pairs(pairs)
     return pairs
+
+
+def remove_embedding_neardups(ds, id_col: str = "vec_id",
+                              emb_col: str = "embedding", *,
+                              threshold: float = 0.95,
+                              n_planes: int = 12, probes: int = 1,
+                              num_partitions: int = 64):
+    """Drop near-duplicate VECTORS, keeping the minimum id per duplicate
+    cluster — the embedding analog of
+    :func:`remove_near_duplicates(method="distributed")`: multi-probe
+    LSH pairs -> distributed connected components -> hash anti-join.
+    Nothing touches the driver; output row order is partition-major."""
+    pairs = embedding_neardup_pairs(
+        ds, id_col, emb_col, threshold=threshold, n_planes=n_planes,
+        probes=probes,
+    )
+    nodes = ds.map_batches(
+        lambda t: pa.table({"id": t[id_col]}), batch_format="pyarrow"
+    )
+    cc = connected_components(pairs, nodes, num_partitions=num_partitions)
+    losers = cc.map_batches(
+        lambda t: pa.table({"id": t["id"]}).filter(
+            pa.array(np.asarray(t["id"], dtype=np.int64)
+                     != np.asarray(t["cluster"], dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_antijoin(ds, losers, id_col, num_partitions=num_partitions)

@@ -324,6 +324,19 @@ def test_embedding_multiprobe_recall(ray_session):
     assert r1 > r0
     assert r1 >= 0.7
 
+    # end-to-end removal: LSH pairs -> CC -> anti-join keeps exactly one
+    # member per found cluster (the minimum id)
+    from siren_ray.stages.dedup import remove_embedding_neardups
+
+    kept = remove_embedding_neardups(
+        ds, threshold=0.95, probes=1, num_partitions=4
+    ).to_pandas()
+    kept_ids = set(kept["vec_id"])
+    assert len(kept_ids) == 300 - len({max(p) for p in s1})
+    for a, b in s1:
+        assert not (a in kept_ids and b in kept_ids)
+        assert a in kept_ids or b in kept_ids
+
 
 def test_sessionize_boundaries(ray_session):
     """Gap exactly == threshold does NOT break (strict >); user change
