@@ -295,6 +295,41 @@ def q_pagination_expand(sf_dir: str):
     )
 
 
+def q_approx_distinct(sf_dir: str):
+    """HLL count-distinct over events.user_id (mergeable sketch;
+    rows-only — approximate by design, accuracy bound unit-tested)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.relational import approx_distinct
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    r = approx_distinct(ev, "user_id")
+    return pa.table({"estimate": pa.array([round(r["estimate"])],
+                                          pa.int64())})
+
+
+def q_grouped_topk(sf_dir: str):
+    """Top-3 orders per customer by (o_totalprice DESC, o_orderkey ASC):
+    per-batch prune -> hash-partitioned vectorized finish. Oracle =
+    row_number() window."""
+    import os
+
+    import ray.data as rd
+
+    from siren_ray.stages.relational import grouped_topk
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return grouped_topk(orders, "o_custkey", "o_totalprice", 3,
+                        tie_col="o_orderkey")
+
+
 def q_window_agg(sf_dir: str):
     """Tumbling-window aggregate (day windows over the events stream):
     partial per-batch aggregation, then a small merge groupby. (The
@@ -801,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "cosine_pairs": q_cosine_pairs,
         "sessionize": q_sessionize,
+        "grouped_topk": q_grouped_topk,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -812,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_tiles": q_ocr_tiles,
         "multimodal_frames": q_multimodal_frames,
         "embedding_neardup_removed": q_embedding_neardup_removed,
+        "approx_distinct": q_approx_distinct,
         "scraper_mirror": q_scraper_mirror,
         "scraper_ht": q_scraper_ht,
         "scraper_tg_epaper": q_scraper_tg_epaper,
@@ -922,6 +959,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
             "b.embedding::DOUBLE[]) >= 0.3"
+        ),
+        "grouped_topk": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, row_number() "
+            "OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, "
+            "o_orderkey) AS rn FROM orders) WHERE rn <= 3"
         ),
         "sessionize": (
             "WITH g AS (SELECT event_id, user_id, ts, CASE WHEN "

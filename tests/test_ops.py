@@ -338,6 +338,50 @@ def test_embedding_multiprobe_recall(ray_session):
         assert a in kept_ids or b in kept_ids
 
 
+def test_approx_distinct(ray_session):
+    """HLL estimate within ~5% of exact on 60k values / 20k uniques;
+    register merge across datasets equals the union sketch."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import approx_distinct
+
+    ids = np.arange(60_000) % 20_000
+    ds = rd.from_pandas(pd.DataFrame({"u": [f"user-{i}" for i in ids]}))
+    r = approx_distinct(ds, "u")
+    assert abs(r["estimate"] - 20_000) / 20_000 < 0.05
+
+    # mergeability: sketch(A) merged with sketch(B) == sketch(A ∪ B)
+    a = approx_distinct(
+        rd.from_pandas(pd.DataFrame({"u": [f"user-{i}" for i in range(0, 10_000)]})), "u")
+    b = approx_distinct(
+        rd.from_pandas(pd.DataFrame({"u": [f"user-{i}" for i in range(5_000, 15_000)]})), "u")
+    both = approx_distinct(
+        rd.from_pandas(pd.DataFrame({"u": [f"user-{i}" for i in range(0, 15_000)]})), "u")
+    merged = np.maximum(a["registers"], b["registers"])
+    assert np.array_equal(merged, both["registers"])
+
+
+def test_grouped_topk(ray_session):
+    """Per-group top-k: ties break on tie_col ASC, groups smaller than k
+    keep all rows, string group keys route correctly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import grouped_topk
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "a", "b", "c", "c"],
+        "v": [5.0, 9.0, 9.0, 1.0, 2.0, 3.0, 3.0],
+        "id": [10, 11, 12, 13, 20, 30, 31],
+    }).astype({"id": "int64"})
+    out = grouped_topk(rd.from_pandas(df), "g", "v", 2, tie_col="id",
+                       num_partitions=4).to_pandas()
+    got = {(r.g, r.id) for r in out.itertuples()}
+    # a: 9.0@11 (tie, lower id), 9.0@12; b: all; c: both ties
+    assert got == {("a", 11), ("a", 12), ("b", 20), ("c", 30), ("c", 31)}
+
+
 def test_sessionize_boundaries(ray_session):
     """Gap exactly == threshold does NOT break (strict >); user change
     always does; ties order by event_id."""
