@@ -295,6 +295,65 @@ def q_pagination_expand(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: exactly 50 events per
+    event_type, chosen by md5(event_id) order — an engine-independent
+    pseudo-random order both DuckDB and hashlib compute identically, so
+    the sample is exact-oracle-checkable (unlike rand()). Reuses
+    grouped_topk (per-batch prune -> partition finish)."""
+    import hashlib as _hl
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.relational import grouped_topk
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type"])
+
+    def _md5(t: pa.Table) -> pa.Table:
+        hs = [_hl.md5(str(x).encode()).hexdigest()
+              for x in t["event_id"].to_pylist()]
+        return t.append_column("h", pa.array(hs, pa.string()))
+
+    out = grouped_topk(
+        ev.map_batches(_md5, batch_format="pyarrow"),
+        "event_type", "h", 50, ascending=True, tie_col="event_id",
+    )
+    return out.select_columns(["event_id", "event_type"])
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each event picks the latest order of the same
+    customer at-or-before the event time (backward, tie-inclusive).
+    Engine = one tagged-union shuffle + per-partition merge_asof;
+    oracle = DuckDB ASOF LEFT JOIN. The joined value is the matched
+    ORDER DATE (tie-deterministic), not an arbitrary tied row id."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.relational import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: pa.table({"user_id": t["o_custkey"],
+                            "ts": t["o_orderdate"],
+                            "o_date": t["o_orderdate"]}),
+        batch_format="pyarrow",
+    )
+    return asof_join(ev, orders, on="ts", by="user_id",
+                     right_cols=("o_date",)).select_columns(
+        ["event_id", "user_id", "ts", "o_date"]
+    )
+
+
 def q_approx_distinct(sf_dir: str):
     """HLL count-distinct over events.user_id (mergeable sketch;
     rows-only — approximate by design, accuracy bound unit-tested)."""
@@ -837,6 +896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": q_cosine_pairs,
         "sessionize": q_sessionize,
         "grouped_topk": q_grouped_topk,
+        "asof_join": q_asof_join,
+        "stratified_sample": q_stratified_sample,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -959,6 +1020,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
             "b.embedding::DOUBLE[]) >= 0.3"
+        ),
+        "stratified_sample": (
+            "SELECT event_id, event_type FROM ("
+            "SELECT event_id, event_type, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY "
+            "md5(CAST(event_id AS VARCHAR)), event_id) AS rn "
+            "FROM events) WHERE rn <= 50"
+        ),
+        "asof_join": (
+            "SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS o_date "
+            "FROM events e ASOF LEFT JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "grouped_topk": (
             "SELECT o_custkey, o_orderkey, o_totalprice FROM ("

@@ -105,3 +105,79 @@ def approx_distinct(ds, col: str, *, precision: int = 12) -> dict:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return {"estimate": float(est), "registers": regs}
+
+
+def asof_join(left_ds, right_ds, *, on: str, by: str,
+              right_cols: tuple[str, ...] | None = None,
+              suffix: str = "_r",
+              num_partitions: int = _TOPK_PARTITIONS):
+    """As-of join: for each left row, attach the LATEST right row of the
+    same ``by`` key whose ``on`` value is <= the left's (backward
+    search, ties take the right row; left rows with no match keep
+    nulls). The operator Ray Data lacks as a single call (SQL: ASOF
+    JOIN).
+
+    Scale shape: both sides hash-co-partition on ``by % P`` via a tagged
+    union through ONE sort shuffle, then each partition runs a single
+    vectorized ``pd.merge_asof`` (sorted merge, O(n log n) per
+    partition, never per key). ``by`` must be int64 and ``on`` mutually
+    comparable (timestamps or numerics), and both must carry the SAME
+    column names on both sides — rename before calling (merge_asof
+    semantics). Non-shared columns are null-padded so the tagged union
+    has one schema.
+    """
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    lnames = list(lschema.names)
+    combined = list(zip(lschema.names, lschema.types))
+    combined += [
+        (n, t) for n, t in zip(rschema.names, rschema.types)
+        if n not in lnames
+    ]
+
+    def _tag(side: int):
+        def _fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for name, typ in combined:
+                cols[name] = (t[name] if name in t.column_names
+                              else pa.nulls(t.num_rows, typ))
+            out = pa.table(cols)
+            u = np.asarray(t[by], dtype=np.int64)
+            return (
+                out.append_column("_pk", pa.array(u % num_partitions,
+                                                  pa.int64()))
+                .append_column("_side", pa.array(
+                    np.full(t.num_rows, side, dtype=np.int64), pa.int64()))
+            )
+        return _fn
+
+    lcols = set(lnames)
+    rkeep = list(right_cols) if right_cols is not None else None
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pk"])
+        left = df[df["_side"] == 0].drop(columns=["_side"])
+        right = df[df["_side"] == 1].drop(columns=["_side"])
+        left = left[[c for c in left.columns if c in lcols]]
+        rcols = rkeep if rkeep is not None else [
+            c for c in right.columns if c not in lcols or c in (on, by)
+        ]
+        right = right[list(dict.fromkeys([by, on] + rcols))].dropna(
+            subset=[on])
+        left = left.sort_values(on, kind="mergesort")
+        right = right.sort_values(on, kind="mergesort")
+        out = pd.merge_asof(left, right, on=on, by=by,
+                            direction="backward", suffixes=("", suffix))
+        # the null-padded union floats left-side int columns (right rows
+        # carry nulls there); left rows themselves have no nulls, so the
+        # cast back is exact
+        for name, typ in combined:
+            if name in lcols and name in out.columns and \
+                    pa.types.is_integer(typ):
+                out[name] = out[name].astype("int64")
+        return out.reset_index(drop=True)
+
+    tagged = left_ds.map_batches(_tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(_tag(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("_pk").map_groups(_join, batch_format="pandas")

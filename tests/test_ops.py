@@ -338,6 +338,37 @@ def test_embedding_multiprobe_recall(ray_session):
         assert a in kept_ids or b in kept_ids
 
 
+def test_asof_join(ray_session):
+    """Backward as-of: latest right <= left per key; exact ts matches
+    included; keys with no earlier right row get nulls; left int dtypes
+    survive the null-padded union."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import asof_join
+
+    left = pd.DataFrame({
+        "id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "k": pd.array([1, 1, 2, 9], dtype="int64"),
+        "t": pd.to_datetime(["2024-01-05", "2024-01-10",
+                             "2024-01-05", "2024-01-05"]),
+    })
+    right = pd.DataFrame({
+        "k": pd.array([1, 1, 2], dtype="int64"),
+        "t": pd.to_datetime(["2024-01-01", "2024-01-10", "2024-01-06"]),
+        "val": pd.array([100, 200, 300], dtype="int64"),
+    })
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="t", by="k", right_cols=("val",),
+                    num_partitions=3).to_pandas()
+    got = {r.id: (None if pd.isna(r.val) else int(r.val))
+           for r in out.itertuples()}
+    # id1: k=1, t=01-05 -> 100; id2: exact match 01-10 -> 200;
+    # id3: k=2 right is LATER (01-06 > 01-05) -> null; id4: k=9 -> null
+    assert got == {1: 100, 2: 200, 3: None, 4: None}
+    assert out["id"].dtype == "int64" and out["k"].dtype == "int64"
+
+
 def test_approx_distinct(ray_session):
     """HLL estimate within ~5% of exact on 60k values / 20k uniques;
     register merge across datasets equals the union sketch."""
