@@ -295,6 +295,27 @@ def q_pagination_expand(sf_dir: str):
     )
 
 
+def q_range_join(sf_dir: str):
+    """Banded non-equi range join: per event, count orders dated within
+    the trailing 7 days (no key equality). Right rows replicate into the
+    constant number of time bands their window overlaps; each partition
+    resolves the interval with two vectorized searchsorted calls."""
+    import os
+
+    import ray.data as rd
+
+    from siren_ray.stages.relational import range_join_count
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderdate"])
+    return range_join_count(
+        ev, orders, left_ts="ts", right_ts="o_orderdate",
+        width_s=7 * 86400.0,
+    ).select_columns(["event_id", "n_matches"])
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling: exactly 50 events per
     event_type, chosen by md5(event_id) order — an engine-independent
@@ -898,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": q_grouped_topk,
         "asof_join": q_asof_join,
         "stratified_sample": q_stratified_sample,
+        "range_join": q_range_join,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -1020,6 +1042,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
             "b.embedding::DOUBLE[]) >= 0.3"
+        ),
+        "range_join": (
+            "SELECT e.event_id, count(o.o_orderdate) AS n_matches "
+            "FROM events e LEFT JOIN orders o ON o.o_orderdate "
+            "BETWEEN e.ts - INTERVAL 7 DAY AND e.ts "
+            "GROUP BY e.event_id"
         ),
         "stratified_sample": (
             "SELECT event_id, event_type FROM ("

@@ -267,6 +267,9 @@ def run_query_bench(sf_dir: str) -> dict:
         "count_by_group",
         "simhash",
         "connected_components",
+        "sessionize",
+        "grouped_topk",
+        "asof_join",
     ]
     qs = entrymod.queries()
     out = {}

@@ -181,3 +181,116 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
         right_ds.map_batches(_tag(1), batch_format="pyarrow")
     )
     return tagged.groupby("_pk").map_groups(_join, batch_format="pandas")
+
+
+def range_join_count(left_ds, right_ds, *, left_ts: str,
+                     right_ts: str, width_s: float,
+                     band_s: float | None = None,
+                     num_partitions: int = _TOPK_PARTITIONS):
+    """Banded range join (non-equi): for each left row, COUNT right rows
+    with ``left_ts - width_s <= right_ts <= left_ts`` — no key equality
+    anywhere, the second custom-join shape the brief names beside as-of.
+
+    Scale shape: time is cut into bands of ``band_s`` seconds (default =
+    ``width_s``); each left row lands in its own band, each right row is
+    REPLICATED into every band its ``[right_ts, right_ts + width_s]``
+    influence window overlaps (ceil(width/band)+1 copies, a constant),
+    bands co-partition by ``band % P``, and each partition resolves its
+    interval predicate with one vectorized ``searchsorted`` pair over the
+    sorted right timestamps — O((n+m) log m) per partition, no
+    cross-product. Returns (left columns..., n_matches int64).
+    """
+    if band_s is None:
+        band_s = width_s
+    band_ns = np.int64(band_s * 1e9)
+    width_ns = np.int64(width_s * 1e9)
+
+    def _ts_ns(t: pa.Table, col: str) -> np.ndarray:
+        return np.asarray(
+            t[col].cast(pa.timestamp("ns")).to_numpy(zero_copy_only=False)
+        ).view(np.int64)
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        ts = _ts_ns(t, left_ts)
+        band = ts // band_ns
+        return (
+            t.append_column("_band", pa.array(band, pa.int64()))
+            .append_column("_pk", pa.array((band % num_partitions),
+                                           pa.int64()))
+            .append_column("_side", pa.array(
+                np.zeros(t.num_rows, dtype=np.int64), pa.int64()))
+            .append_column("_rts", pa.array(
+                np.zeros(t.num_rows, dtype=np.int64), pa.int64()))
+            .append_column("_lts", pa.array(ts, pa.int64()))
+        )
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        ts = _ts_ns(t, right_ts)
+        lo = ts // band_ns
+        hi = (ts + width_ns) // band_ns
+        reps = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows), reps)
+        # band sequence per replica: lo[i] .. hi[i]
+        offs = np.arange(len(idx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        band = lo[idx] + offs
+        rts = ts[idx]
+        n = len(idx)
+        out = pa.table({
+            "_band": pa.array(band, pa.int64()),
+            "_pk": pa.array(band % num_partitions, pa.int64()),
+            "_side": pa.array(np.ones(n, dtype=np.int64), pa.int64()),
+            "_rts": pa.array(rts, pa.int64()),
+            "_lts": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+        })
+        return out
+
+    lnames = list(left_ds.schema().names)
+    ltypes = list(left_ds.schema().types)
+
+    def _pad_left(t: pa.Table) -> pa.Table:
+        return t  # left already carries its own columns
+
+    def _pad_right(t: pa.Table) -> pa.Table:
+        # add left's columns as nulls so the union has one schema
+        for name, typ in zip(lnames, ltypes):
+            t = t.append_column(name, pa.nulls(t.num_rows, typ))
+        return t
+
+    tagged = left_ds.map_batches(_tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(
+            lambda t: _pad_right(_tag_right(t)), batch_format="pyarrow"
+        )
+    )
+
+    def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+        out_parts = []
+        for _band, grp in df.groupby("_band", sort=False):
+            left = grp[grp["_side"] == 0]
+            right = grp[grp["_side"] == 1]
+            if not len(left):
+                continue
+            rts = np.sort(right["_rts"].to_numpy())
+            lts = left["_lts"].to_numpy()
+            # right rows replicated into this band; count those with
+            # lts - width <= rts <= lts
+            n = (np.searchsorted(rts, lts, side="right")
+                 - np.searchsorted(rts, lts - width_ns, side="left"))
+            res = left[lnames].copy()
+            # null-padded union floats left int columns; left rows have
+            # no nulls, so the cast back is exact
+            for name, typ in zip(lnames, ltypes):
+                if pa.types.is_integer(typ):
+                    res[name] = res[name].astype("int64")
+            res["n_matches"] = n.astype("int64")
+            out_parts.append(res)
+        if not out_parts:
+            return pd.DataFrame(
+                {**{c: pd.Series(dtype="object") for c in lnames},
+                 "n_matches": pd.Series(dtype="int64")}
+            )
+        return pd.concat(out_parts, ignore_index=True)
+
+    return (
+        tagged.groupby("_pk").map_groups(_resolve, batch_format="pandas")
+    )

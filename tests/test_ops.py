@@ -338,7 +338,37 @@ def test_embedding_multiprobe_recall(ray_session):
         assert a in kept_ids or b in kept_ids
 
 
-def test_asof_join(ray_session):
+def test_range_join_count(ray_session):
+    """Inclusive [ts-width, ts] window, counts across band boundaries,
+    zero-match rows kept with 0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import range_join_count
+
+    left = pd.DataFrame({
+        "id": pd.array([1, 2, 3], dtype="int64"),
+        "t": pd.to_datetime(["2024-01-10 00:00:00",
+                             "2024-01-10 12:00:00",
+                             "2024-03-01 00:00:00"]),
+    })
+    right = pd.DataFrame({
+        "rt": pd.to_datetime([
+            "2024-01-08 00:00:00",   # == id1 window start (inclusive)
+            "2024-01-10 00:00:00",   # == id1 ts (inclusive), within id2
+            "2024-01-10 12:00:00",   # after id1, == id2 ts (inclusive)
+            "2024-01-07 23:59:59",   # outside id1's 2d window by 1 s
+        ]),
+    })
+    out = range_join_count(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_ts="t", right_ts="rt", width_s=2 * 86400.0,
+        band_s=86400.0, num_partitions=3,
+    ).to_pandas()
+    got = dict(zip(out["id"], out["n_matches"]))
+    # id1 [01-08, 01-10]: rt1, rt2; id2 [01-08 12:00, 01-10 12:00]:
+    # rt2, rt3; id3: none
+    assert got == {1: 2, 2: 2, 3: 0}
     """Backward as-of: latest right <= left per key; exact ts matches
     included; keys with no earlier right row get nulls; left int dtypes
     survive the null-padded union."""
