@@ -270,6 +270,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "sessionize",
         "grouped_topk",
         "asof_join",
+        "range_join",
     ]
     qs = entrymod.queries()
     out = {}
