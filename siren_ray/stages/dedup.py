@@ -43,9 +43,16 @@ def dedup_exact(ds, key_col: str, order_col: str,
     """
 
     def _bucket(t: pa.Table) -> pa.Table:
-        keys = [str(x) for x in t[key_col].to_pylist()]
-        pk = (hash_strings(keys) % num_partitions).astype(np.int64)
-        return t.append_column("_pk", pa.array(pk))
+        col = t[key_col]
+        if pa.types.is_integer(col.type):
+            pk = np.asarray(col, dtype=np.int64) % num_partitions
+        else:
+            # string keys: to_pylist already yields str — no per-row str()
+            keys = col.to_pylist()
+            if keys and not isinstance(keys[0], str):
+                keys = [str(x) for x in keys]
+            pk = (hash_strings(keys) % num_partitions).astype(np.int64)
+        return t.append_column("_pk", pa.array(pk, pa.int64()))
 
     sort_cols = [key_col] if order_col == key_col else [key_col, order_col]
 
