@@ -197,6 +197,34 @@ def run_dedup_frontier_bench(n: int = 1_000_000) -> dict:
     }
 
 
+def run_seen_bench(n: int = 10_000_000) -> dict:
+    """10^7 fingerprints through FingerprintTable.test_and_set (the
+    VERDICT r2 'done' bar for replacing the Python-set seen shards):
+    vectorized open-addressing, reporting rows/s and bytes/entry."""
+    import numpy as np
+
+    from siren_ray.state.seen import FingerprintTable
+
+    rng = np.random.default_rng(42)
+    # ~2 occurrences per unique fingerprint, like a crawl frontier
+    hashes = rng.integers(0, n // 2, size=n, dtype=np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    t = FingerprintTable()
+    t0 = time.perf_counter()
+    batch = 65536
+    for i in range(0, n, batch):
+        t.test_and_set(hashes[i : i + batch])
+    wall = time.perf_counter() - t0
+    return {
+        "rows_in": n,
+        "unique": len(t),
+        "wall_s": round(wall, 3),
+        "rows_per_sec": round(n / wall, 0),
+        "bytes_per_entry": round(t.nbytes() / len(t), 1),
+    }
+
+
 def run_ivf_bench(sf_dir: str) -> dict:
     """IVF partition pruning evidence: probed-directory bytes vs the full
     assignment, plus query wall time."""
@@ -297,6 +325,7 @@ def main_single(args) -> dict:
     if not args.crawl_only:
         extras["dedup_frontier_1m"] = run_dedup_frontier_bench()
         extras["ivf_pruning"] = run_ivf_bench(sf_dir)
+        extras["seen_10m"] = run_seen_bench()
     result = {
         "metric": "crawl_fetch_extract_wall",
         "value": crawl["wall_s"],
