@@ -549,6 +549,52 @@ def q_broadcast_join(sf_dir: str):
     )
 
 
+def q_hash_join(sf_dir: str):
+    """General distributed equi-join where BOTH sides shuffle (no
+    broadcast: lineitem ⋈ orders on orderkey via raw-task hash
+    co-partitioning, one all-to-all exchange, one vectorized pandas
+    merge per partition — siren_ray.stages.relational.hash_join), then
+    a partial-combined group count per order priority. Integer cents
+    keep the float sum order-independent."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.relational import hash_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       how="inner", broadcast=False)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["qty_c"] = _cents(df["l_quantity"])
+        g = (
+            df.groupby("o_orderpriority", sort=False)
+            .agg(sum_qty_c=("qty_c", "sum"), n_rows=("qty_c", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [df["o_orderpriority"].iloc[0]],
+                "sum_qty_c": [int(df["sum_qty_c"].sum())],
+                "n_rows": [int(df["n_rows"].sum())],
+            }
+        )
+
+    return (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
 def q_sessionize(sf_dir: str):
     """Per-user sessionization of the event stream (30-min inactivity
     gap): one hash shuffle on user bucket, vectorized diff+cumsum per
@@ -911,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": q_window_agg,
         "lineitem_pricing": q_lineitem_pricing,
         "broadcast_join": q_broadcast_join,
+        "hash_join": q_hash_join,
         "knn_brute": q_knn_brute,
         "toi_boolean": q_toi_boolean,
         "connected_components": q_connected_components,
@@ -1021,6 +1068,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c, "
             "count(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "hash_join": (
+            "SELECT o.o_orderpriority, "
+            "CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT)"
+            " AS sum_qty_c, count(*) AS n_rows "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderpriority"
         ),
         "broadcast_join": (
             "SELECT c_mktsegment, count(*) AS n_orders FROM orders "

@@ -292,6 +292,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "minhash_pairs",
         "knn_brute",
         "broadcast_join",
+        "hash_join",
         "count_by_group",
         "simhash",
         "connected_components",

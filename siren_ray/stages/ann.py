@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..util import embedding_matrix
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -36,6 +38,25 @@ def _empty_scores(id_col: str) -> pa.Table:
 
 
 _MERGE_PARTITIONS = 16
+
+
+def _topk_partial(sims: np.ndarray, ids: np.ndarray, k: int,
+                  id_col: str) -> pa.Table:
+    """Vectorized per-batch top-k over ALL query columns at once:
+    one argpartition along axis 0 (no per-query Python loop). Rows with
+    sim == -inf (probe-masked) are dropped from the output."""
+    n, nq = sims.shape
+    kk = min(k, n)
+    top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+    rows = top.T.ravel()
+    qs = np.repeat(np.arange(nq, dtype=np.int64), kk)
+    vals = sims[rows, qs]
+    keep = vals > -np.inf
+    return pa.table({
+        "query_id": pa.array(qs[keep], pa.int64()),
+        id_col: pa.array(ids[rows[keep]].astype(np.int64), pa.int64()),
+        "cosine": pa.array(vals[keep].astype(np.float64), pa.float64()),
+    })
 
 
 def _merge_topk(partials, k: int, id_col: str):
@@ -78,24 +99,9 @@ class _TopKScorer:
         if batch.num_rows == 0:  # empty blocks occur; argpartition(-1) raises
             return _empty_scores(self.id_col)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        mat = np.array(batch[self.emb_col].to_pylist(), dtype=np.float32)
-        sims = _normalize(mat) @ self.q  # (n, nq)
-        k = min(self.k, len(ids))
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k]
-            for j in top:
-                out_q.append(qi)
-                out_id.append(int(ids[j]))
-                out_sim.append(float(col[j]))
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                self.id_col: pa.array(out_id, pa.int64()),
-                "cosine": pa.array(out_sim, pa.float64()),
-            }
-        )
+        mat = embedding_matrix(batch[self.emb_col], dtype=np.float32)
+        sims = (_normalize(mat) @ self.q).astype(np.float64)  # (n, nq)
+        return _topk_partial(sims, ids, self.k, self.id_col)
 
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
@@ -149,8 +155,10 @@ class _IVFAssign:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _normalize(np.array(batch[self.emb_col].to_pylist(),
-                                  dtype=np.float32))
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_list", pa.array([], pa.int32()))
+        mat = _normalize(embedding_matrix(batch[self.emb_col],
+                                          dtype=np.float32))
         lists = np.argmax(mat @ self.cents, axis=1).astype(np.int32)
         return batch.append_column("ivf_list", pa.array(lists))
 
@@ -169,7 +177,20 @@ def ivf_build(ds, index_dir: str, *, n_lists: int = 16,
     """
     import shutil
 
-    sample_tbl = ds.limit(train_sample).to_pandas()
+    # UNIFORM random training sample, not a prefix: ds.limit() reads the
+    # first file(s), which on partitioned data is one domain/day shard —
+    # biased centroids -> skewed lists -> pruning stops helping.
+    # random_sample is a per-block vectorized Bernoulli draw (no shuffle,
+    # deterministic under the seed); the expected draw is 1.25x
+    # train_sample and ALL drawn rows train, so no prefix re-enters.
+    n = ds.count()
+    if n > train_sample:
+        frac = min(1.0, (1.25 * train_sample) / n)
+        sample_tbl = ds.random_sample(frac, seed=7).to_pandas()
+        if len(sample_tbl) < max(n_lists, train_sample // 4):
+            sample_tbl = ds.limit(train_sample).to_pandas()  # unlucky draw
+    else:
+        sample_tbl = ds.to_pandas()
     cents = kmeans_fit(np.array(sample_tbl[emb_col].tolist()), n_lists)
     cents_ref = ray.put(cents)
     assigned = ds.map_batches(
@@ -217,8 +238,13 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     probed_lists = sorted({int(x) for x in probe.ravel()})
-    probe_sets = [set(map(int, row)) for row in probe]
+    # (n_lists, nq) membership lookup: allowed[list, q] — one fancy-index
+    # per batch instead of a per-query isin loop
+    probe_mask = np.zeros((len(cents), len(qn)), dtype=bool)
+    probe_mask[probe.ravel(),
+               np.repeat(np.arange(len(qn)), probe.shape[1])] = True
     queries_ref = ray.put(qn)
+    probe_mask_ref = ray.put(probe_mask)
 
     import ray.data as rd
 
@@ -240,7 +266,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
     class _ProbeScorer:
         def __init__(self):
             self.q = ray.get(queries_ref).T
-            self.probe_sets = probe_sets
+            self.probe_mask = ray.get(probe_mask_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
@@ -248,29 +274,13 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             lists = batch["ivf_list"].to_numpy(zero_copy_only=False).astype(
                 np.int64)
-            mat = _normalize(np.array(batch[emb_col].to_pylist(),
-                                      dtype=np.float32))
-            sims = mat @ self.q
-            out_q, out_id, out_sim = [], [], []
-            for qi, pset in enumerate(self.probe_sets):
-                mask = np.isin(lists, list(pset))
-                if not mask.any():
-                    continue
-                col = sims[mask, qi]
-                sel_ids = ids[mask]
-                kk = min(k, len(col))
-                top = np.argpartition(-col, kk - 1)[:kk]
-                for j in top:
-                    out_q.append(qi)
-                    out_id.append(int(sel_ids[j]))
-                    out_sim.append(float(col[j]))
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    id_col: pa.array(out_id, pa.int64()),
-                    "cosine": pa.array(out_sim, pa.float64()),
-                }
-            )
+            mat = _normalize(embedding_matrix(batch[emb_col],
+                                              dtype=np.float32))
+            sims = (mat @ self.q).astype(np.float64)
+            # mask out rows whose list a query does not probe; -inf rows
+            # are dropped inside _topk_partial
+            sims[~self.probe_mask[lists]] = -np.inf
+            return _topk_partial(sims, ids, k, id_col)
 
     partials = pruned.map_batches(
         _ProbeScorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 2)
@@ -303,8 +313,7 @@ def cosine_pairs_exact(ds, id_col: str = "vec_id", emb_col: str = "embedding",
             return (np.empty(0, dtype=np.int64),
                     np.empty((0, 1), dtype=np.float64))
         ids = np.asarray(tbl[id_col], dtype=np.int64)
-        mat = _normalize(np.array(tbl[emb_col].to_pylist(),
-                                  dtype=np.float64))
+        mat = _normalize(embedding_matrix(tbl[emb_col], dtype=np.float64))
         return ids, mat
 
     @ray.remote

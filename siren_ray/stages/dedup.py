@@ -90,6 +90,7 @@ _P61 = np.uint64(_MERSENNE)
 
 
 _POLY = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier: bijective mod 2^64
+_POLY2 = np.uint64(0xC2B2AE3D27D4EB4F)  # independent odd multiplier (2nd key half)
 
 
 def word_hashes(text: str, max_words: int | None = None) -> np.ndarray:
@@ -129,11 +130,8 @@ def shingle_hashes(text: str, k: int = 5,
     n_sh = len(wh) - kk + 1
     if max_shingles is not None:
         n_sh = min(n_sh, max_shingles)
-    weights = np.empty(kk, dtype=np.uint64)
-    w = _POLY
-    for j in range(kk):
-        weights[j] = w
-        w = w * _POLY
+    # array cumprod wraps mod 2^64 silently (intended; scalar ops warn)
+    weights = np.cumprod(np.full(kk, _POLY, dtype=np.uint64))
     out = np.zeros(n_sh, dtype=np.uint64)
     for j in range(kk):
         out += wh[j:j + n_sh] * weights[j]
@@ -172,9 +170,10 @@ class MinHasher:
                  wh_list: list | None = None) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         if not texts:
+            empty = pa.array([], pa.list_(pa.int64()))
             return batch.append_column(
-                "minhash_bands", pa.array([], pa.list_(pa.int64()))
-            )
+                "minhash_bands", empty
+            ).append_column("minhash_bands2", empty)
         if wh_list is None:
             wh_list = [None] * len(texts)
         sigs = np.stack(
@@ -182,27 +181,33 @@ class MinHasher:
                                self.max_shingles, wh=w)
              for t, w in zip(texts, wh_list)]
         )
-        # int64 band keys, fully vectorized: each band's signature segment
-        # combines via a position-weighted polynomial in uint64 (identity
-        # within a band is what matters; 64-bit collisions are the same
-        # false-positive class LSH already has and the n-gram verify
-        # kernel screens). Int keys keep the LSH shuffle free of the
-        # previous "0:123-456-..." string building — smaller bytes moved,
-        # cheaper groupby.
+        # 128-bit band keys (two independent int64 halves), fully
+        # vectorized: each band's signature segment combines via two
+        # position-weighted polynomials in uint64. Grouping is on BOTH
+        # halves, so a spurious candidate pair needs a simultaneous
+        # collision in two independent 64-bit hashes (~2^-128 per key
+        # pair) — below corpus scale even at 10^10 docs x 16 bands,
+        # which matters because remove_near_duplicates deletes LSH
+        # candidates without a jaccard re-verification. Int keys keep
+        # the LSH shuffle free of string building.
         segs = sigs.reshape(len(texts), self.bands, self.rows_per_band)
-        weights = np.empty(self.rows_per_band, dtype=np.uint64)
-        w = _POLY
-        for j in range(self.rows_per_band):
-            weights[j] = w
-            w = w * _POLY
-        keys = (segs * weights[None, None, :]).sum(axis=2, dtype=np.uint64)
-        keys += (np.arange(self.bands, dtype=np.uint64)[None, :]
-                 + np.uint64(1)) * np.uint64(0xD1B54A32D192ED03)
-        flat = pa.array(keys.reshape(-1).view(np.int64), pa.int64())
-        bands_col = pa.FixedSizeListArray.from_arrays(
-            flat, self.bands
-        ).cast(pa.list_(pa.int64()))
-        return batch.append_column("minhash_bands", bands_col)
+        cols = {}
+        for name, poly, salt in (
+            ("minhash_bands", _POLY, np.uint64(0xD1B54A32D192ED03)),
+            ("minhash_bands2", _POLY2, np.uint64(0x8CB92BA72F3D8DD7)),
+        ):
+            weights = np.cumprod(
+                np.full(self.rows_per_band, poly, dtype=np.uint64))
+            keys = (segs * weights[None, None, :]).sum(axis=2, dtype=np.uint64)
+            keys += (np.arange(self.bands, dtype=np.uint64)[None, :]
+                     + np.uint64(1)) * salt
+            flat = pa.array(keys.reshape(-1).view(np.int64), pa.int64())
+            cols[name] = pa.FixedSizeListArray.from_arrays(
+                flat, self.bands
+            ).cast(pa.list_(pa.int64()))
+        return batch.append_column(
+            "minhash_bands", cols["minhash_bands"]
+        ).append_column("minhash_bands2", cols["minhash_bands2"])
 
 
 _MAX_BUCKET = 128  # per-band-bucket pair-generation cap (O(n²) guard)
@@ -217,19 +222,30 @@ def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
     (id_a < id_b), deduplicated.
 
     Shuffle moves only (id, band_key) pairs — signatures, never text.
-    Scale guards: documents too short to shingle are dropped BEFORE
-    hashing (all empty texts share one signature, so one poisoned bucket
-    would otherwise dominate the job), and pair generation within a band
-    bucket is capped at ``max_bucket`` members (smallest ids win,
-    deterministic); overflow is logged per the no-silent-caps rule.
+    Scale guards: documents with no WORDS are dropped BEFORE hashing
+    (zero-shingle texts all share the sentinel signature, so one
+    poisoned bucket would otherwise dominate the job; any text with
+    >=1 word shingles — shingle_hashes folds <k words into one
+    all-words shingle, so short duplicates still participate), with the
+    dropped count logged; and pair generation within a band bucket is
+    capped at ``max_bucket`` members (smallest ids win, deterministic);
+    overflow is logged per the no-silent-caps rule.
     """
-    too_short = pa.scalar(k)
 
     def _droppable(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         txt = pc.coalesce(t[text_col], pa.scalar(""))
-        return t.filter(pc.greater_equal(pc.utf8_length(txt), too_short))
+        keep = pc.greater(pc.utf8_length(pc.utf8_trim_whitespace(txt)),
+                          pa.scalar(0))
+        out = t.filter(keep)
+        dropped = t.num_rows - out.num_rows
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "minhash: dropped %d wordless docs before hashing", dropped)
+        return out
 
     sigs = ds.map_batches(_droppable, batch_format="pyarrow").map_batches(
         MinHasher,
@@ -244,13 +260,15 @@ def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
         import pyarrow.compute as pc
 
         bands_col = batch["minhash_bands"].combine_chunks()
+        bands2_col = batch["minhash_bands2"].combine_chunks()
         lengths = pc.list_value_length(bands_col).to_numpy(
             zero_copy_only=False)
         idx = np.repeat(np.arange(batch.num_rows), lengths)
         flat = bands_col.flatten()
         keys = np.asarray(flat, dtype=np.int64)
         t = pa.table({id_col: batch[id_col].take(pa.array(idx)),
-                      "band_key": flat})
+                      "band_key": flat,
+                      "band_key2": bands2_col.flatten()})
         pk = keys % _DEDUP_PARTITIONS  # numpy %: non-negative result
         return t.append_column("_pk", pa.array(pk, pa.int64()))
 
@@ -259,14 +277,13 @@ def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
         """One invocation per hash PARTITION of band keys (not per bucket):
         single-member buckets are eliminated vectorized; the python loop
-        only visits buckets that actually collide."""
-        df = df.drop_duplicates([id_col, "band_key"])
-        counts = df["band_key"].value_counts()
-        multi = counts[counts >= 2].index
-        df = df[df["band_key"].isin(multi)]
+        only visits buckets that actually collide. Buckets are the FULL
+        128-bit (band_key, band_key2) pair — see MinHasher."""
+        df = df.drop_duplicates([id_col, "band_key", "band_key2"])
+        df = df[df.duplicated(["band_key", "band_key2"], keep=False)]
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
-        for key, grp in df.groupby("band_key", sort=False):
+        for key, grp in df.groupby(["band_key", "band_key2"], sort=False):
             vals = np.sort(grp[id_col].to_numpy())
             if len(vals) > max_bucket:
                 import logging
@@ -441,7 +458,16 @@ def connected_components(edges_ds, nodes_ds, *, num_partitions: int = 64,
         lbl = _col(labels_p, "label")
         src = _col(edges_p, "src")
         dst = _col(edges_p, "dst")
-        cand = lbl[np.searchsorted(lbl_id, src)]
+        idx = np.searchsorted(lbl_id, src)
+        idx_c = np.minimum(idx, max(len(lbl_id) - 1, 0))
+        if len(lbl_id) == 0 or (lbl_id[idx_c] != src).any():
+            missing = (src[lbl_id[idx_c] != src][:5].tolist()
+                       if len(lbl_id) else src[:5].tolist())
+            raise ValueError(
+                "connected_components: edge endpoints absent from "
+                f"nodes_ds (e.g. {missing}); every id referenced by "
+                "pairs_ds must appear in nodes_ds")
+        cand = lbl[idx_c]
         order = np.lexsort((cand, dst))
         dst_s, cand_s = dst[order], cand[order]
         first = np.ones(len(dst_s), dtype=bool)
@@ -459,7 +485,14 @@ def connected_components(edges_ds, nodes_ds, *, num_partitions: int = 64,
         dst = np.concatenate([_col(s, "dst") for s in live])
         cand = np.concatenate([_col(s, "label") for s in live])
         new = lbl.copy()
-        np.minimum.at(new, np.searchsorted(lbl_id, dst), cand)
+        idx = np.searchsorted(lbl_id, dst)
+        idx_c = np.minimum(idx, max(len(lbl_id) - 1, 0))
+        if len(lbl_id) == 0 or (lbl_id[idx_c] != dst).any():
+            raise ValueError(
+                "connected_components: candidate label for an id absent "
+                "from this partition's nodes — edge endpoints must all "
+                "appear in nodes_ds")
+        np.minimum.at(new, idx_c, cand)
         changed = int((new != lbl).sum())
         if not changed:
             return labels_p, 0
@@ -613,11 +646,19 @@ def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
 
     class _Drop:
         def __init__(self):
-            self.losers = ray.get(losers_ref)
+            losers = ray.get(losers_ref)
+            self.losers = np.fromiter(losers, dtype=np.int64,
+                                      count=len(losers))
+            self.losers.sort()
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keep = [i not in self.losers for i in t[id_col].to_pylist()]
-            return t.filter(pa.array(keep))
+            if t.num_rows == 0 or not len(self.losers):
+                return t
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            idx = np.searchsorted(self.losers, ids)
+            idx[idx >= len(self.losers)] = 0
+            hit = self.losers[idx] == ids
+            return t.filter(pa.array(~hit))
 
     return ds.map_batches(_Drop, batch_format="pyarrow", concurrency=(1, 2))
 
@@ -670,7 +711,8 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
                             emb_col: str = "embedding",
                             threshold: float = 0.95,
                             n_planes: int = 12, seed: int = 11,
-                            probes: int = 0):
+                            probes: int = 0,
+                            max_bucket: int = 1024):
     """Near-duplicate vectors by cosine similarity, LSH-bucketed.
 
     Random-hyperplane signatures (computed vectorized per batch) bucket
@@ -687,12 +729,17 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
     recall against :func:`siren_ray.stages.ann.cosine_pairs_exact`.
     """
 
+    from ..util import embedding_matrix
+
     class Signer:
         def __init__(self):
             self.planes = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = np.array(batch[emb_col].to_pylist(), dtype=np.float32)
+            if batch.num_rows == 0:
+                return batch.append_column("lsh_sig",
+                                           pa.array([], pa.int64()))
+            mat = embedding_matrix(batch[emb_col], dtype=np.float32)
             if self.planes is None:
                 rng = np.random.RandomState(seed)
                 self.planes = rng.standard_normal(
@@ -702,44 +749,81 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
             sig = bits @ (1 << np.arange(n_planes))
             return batch.append_column("lsh_sig", pa.array(sig.astype(np.int64)))
 
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "cosine": pd.Series(dtype="float64"),
-            }
-        )
+    def _empty_pairs() -> pa.Table:
+        return pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        })
 
-    def _verify_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def _verify_partition(t: pa.Table) -> pa.Table:
         """One invocation per hash PARTITION of bucket keys (not per
-        bucket): single-member buckets are dropped vectorized; the loop
-        visits only buckets that actually collide."""
-        counts = df["lsh_sig"].value_counts()
-        df = df[df["lsh_sig"].isin(counts[counts >= 2].index)]
-        out = []
-        for _sig, grp in df.groupby("lsh_sig", sort=False):
-            # float64: the threshold decision must agree with the exact
-            # kernel (ann.cosine_pairs_exact) used as recall ground truth
-            mat = np.array(grp[emb_col].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (mat / norms) @ (mat / norms).T
-            ids = grp[id_col].to_numpy()
-            ia, ib = np.triu_indices(len(grp), k=1)
-            mask = sims[ia, ib] >= threshold
+        bucket), fully Arrow/numpy: the embedding column decodes once
+        per partition via list_flatten (no per-element Python objects),
+        buckets come from one lexsort, the loop visits only buckets
+        that actually collide.
+
+        Degenerate-bucket guard: a bucket larger than ``max_bucket``
+        (the near-dup corpus pathology — thousands of near-identical
+        vectors sharing one signature) is verified against a PIVOT
+        subset (the ``max_bucket`` smallest ids) instead of all-pairs:
+        O(n*cap) compute and output instead of O(n^2), while every
+        member still compares against pivot id-min, so near-identical
+        clusters stay connected for the downstream connected-components
+        pass. Overflow is logged per the no-silent-caps rule."""
+        if t.num_rows == 0:
+            return _empty_pairs()
+        sig = np.asarray(t["lsh_sig"], dtype=np.int64)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        # float64: the threshold decision must agree with the exact
+        # kernel (ann.cosine_pairs_exact) used as recall ground truth
+        mat = embedding_matrix(t[emb_col], dtype=np.float64)
+        order = np.lexsort((ids, sig))
+        sig, ids, mat = sig[order], ids[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat /= norms
+        bounds = np.flatnonzero(np.diff(sig)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sig)]))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            m = mat[s:e]
+            bids = ids[s:e]
+            if n > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "embedding-LSH bucket %d has %d members; verifying "
+                    "against the %d smallest-id pivots (O(n*cap))",
+                    int(sig[s]), n, max_bucket,
+                )
+                sims = m[:max_bucket] @ m.T  # (cap, n)
+                ia, ib = np.nonzero(
+                    np.triu(np.ones((max_bucket, n), dtype=bool), k=1)
+                )
+            else:
+                sims = m @ m.T
+                ia, ib = np.triu_indices(n, k=1)
+            vals = sims[ia, ib]
+            mask = vals >= threshold
             if not mask.any():
                 continue
-            out.append(pd.DataFrame(
-                {
-                    "id_a": np.minimum(ids[ia[mask]],
-                                       ids[ib[mask]]).astype("int64"),
-                    "id_b": np.maximum(ids[ia[mask]],
-                                       ids[ib[mask]]).astype("int64"),
-                    "cosine": sims[ia, ib][mask].astype("float64"),
-                }
-            ))
-        return pd.concat(out, ignore_index=True) if out else _empty()
+            out_a.append(np.minimum(bids[ia[mask]], bids[ib[mask]]))
+            out_b.append(np.maximum(bids[ia[mask]], bids[ib[mask]]))
+            out_c.append(vals[mask])
+        if not out_a:
+            return _empty_pairs()
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+        })
 
     def _bucket(t: pa.Table) -> pa.Table:
         sig = t["lsh_sig"].to_numpy(zero_copy_only=False)
@@ -772,10 +856,7 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
     pairs = (
         sigs.map_batches(_bucket, batch_format="pyarrow")
         .groupby("_pk")
-        .map_groups(
-            lambda df: _verify_partition(df.drop(columns=["_pk"])),
-            batch_format="pandas",
-        )
+        .map_groups(_verify_partition, batch_format="pyarrow")
     )
     if probes:
         # the same pair can verify in several probe buckets

@@ -86,12 +86,20 @@ def approx_distinct(ds, col: str, *, precision: int = 12) -> dict:
             h = hash_strings(vals)
             idx = (h >> np.uint64(64 - p)).astype(np.int64)
             w = (h << np.uint64(p)).astype(np.uint64)
-            # rank = leading zeros of the remaining 64-p bits + 1;
-            # floor(log2) via float is exact for the TOP bit position
+            # rank = leading zeros of the remaining 64-p bits + 1.
+            # floor(log2) must be INTEGER-exact: float64 rounds uint64
+            # values within 2^-53 below a power of two UP (e.g.
+            # w=2^63-1 -> log2=63.0), an off-by-one rank. Six vectorized
+            # shift passes compute the top bit position exactly.
             rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
             nz = w > 0
-            top = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
-            rank[nz] = (64 - 1 - top + 1).astype(np.uint8)
+            wv = w[nz].copy()
+            top = np.zeros(len(wv), dtype=np.int64)
+            for shift in (32, 16, 8, 4, 2, 1):
+                big = wv >= (np.uint64(1) << np.uint64(shift))
+                top[big] += shift
+                wv[big] >>= np.uint64(shift)
+            rank[nz] = (64 - top).astype(np.uint8)
             np.maximum.at(regs, idx, rank)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
@@ -165,7 +173,13 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
         right = right[list(dict.fromkeys([by, on] + rcols))].dropna(
             subset=[on])
         left = left.sort_values(on, kind="mergesort")
-        right = right.sort_values(on, kind="mergesort")
+        # full-column sort (on first, as merge_asof requires): among
+        # right rows TIED on (by, on), merge_asof keeps the LAST in sort
+        # order, so sorting by every column makes the returned non-"on"
+        # right values deterministic across runs/partitionings rather
+        # than upstream-block-order dependent
+        rsort = [on] + [c for c in right.columns if c != on]
+        right = right.sort_values(rsort, kind="mergesort")
         out = pd.merge_asof(left, right, on=on, by=by,
                             direction="backward", suffixes=("", suffix))
         # the null-padded union floats left-side int columns (right rows
@@ -294,3 +308,117 @@ def range_join_count(left_ds, right_ds, *, left_ts: str,
     return (
         tagged.groupby("_pk").map_groups(_resolve, batch_format="pandas")
     )
+
+
+# --- general distributed equi-join ----------------------------------------
+
+def _key_partition(col, num_partitions: int) -> np.ndarray:
+    """Partition ids for an Arrow key column: int keys partition by value
+    mod P (cheap, co-partitions with the dedup/anti-join family); string
+    keys by deterministic SipHash mod P."""
+    if pa.types.is_integer(col.type):
+        return (np.asarray(col, dtype=np.int64) % num_partitions).astype(
+            np.int64)
+    vals = np.asarray(col.to_pylist(), dtype=object)
+    return (hash_strings(vals) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
+              how: str = "inner", suffix: str = "_r",
+              num_partitions: int = _TOPK_PARTITIONS,
+              broadcast: bool | str = "auto",
+              broadcast_threshold_bytes: int = 32 << 20):
+    """General distributed equi-join (``inner`` or ``left``) where BOTH
+    sides may exceed any single node's memory — the join Ray Data lacks
+    as a single call and the one a training-data pipeline runs
+    constantly (page text ⋈ per-URL metadata/scores/labels).
+
+    Scale shape: both sides hash-partition on the key via raw-task
+    co-partitioning (the :func:`siren_ray.stages.dedup.hash_antijoin`
+    machinery): every input block splits into P key-range shards, shard
+    p of every block concatenates on the worker that joins partition p
+    with ONE vectorized ``pandas.merge`` — no driver materialization,
+    one all-to-all exchange total. Output order is partition-major.
+
+    Broadcast fallback: with ``broadcast="auto"`` (default), if the
+    right side's size is known (or computes) to be under
+    ``broadcast_threshold_bytes``, the join instead ships the right
+    table ONCE via ``ray.put`` and every left batch merges against it in
+    ``map_batches`` — zero shuffle of the (big) left side. Pass
+    ``broadcast=False`` to force the shuffle path (e.g. when the right
+    side is lazy and must not be materialized early), ``True`` to force
+    broadcast. Left-join null padding follows pandas: right int columns
+    become float64 where unmatched — cast downstream if exactness
+    matters (the SQL oracles cast).
+    """
+    import ray
+    import ray.data as rd
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join supports inner/left, got {how!r}")
+    rkey = right_on or on
+    P = max(2, int(num_partitions))
+
+    if broadcast == "auto":
+        try:
+            broadcast = right_ds.size_bytes() <= broadcast_threshold_bytes
+        except Exception:
+            broadcast = False
+
+    if broadcast:
+        rrefs = right_ds.to_arrow_refs()
+        rtbl = (pa.concat_tables(ray.get(rrefs), promote_options="default")
+                if rrefs else pa.table({rkey: pa.array([], pa.int64())}))
+        right_ref = ray.put(rtbl)
+
+        class _BcastJoin:
+            def __init__(self):
+                self.right = ray.get(right_ref).to_pandas()
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ldf = t.to_pandas()
+                out = ldf.merge(self.right, how=how, left_on=on,
+                                right_on=rkey, suffixes=("", suffix))
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+        return left_ds.map_batches(_BcastJoin, batch_format="pyarrow",
+                                   concurrency=(1, 4))
+
+    @ray.remote
+    def _split(tbl: pa.Table, col: str):
+        if tbl.num_rows == 0 or col not in tbl.schema.names:
+            return [tbl.slice(0, 0)] * P
+        pk = _key_partition(tbl[col], P)
+        order = np.argsort(pk, kind="stable")
+        ks = pk[order]
+        bounds = np.searchsorted(ks, np.arange(P + 1))
+        return [tbl.take(pa.array(order[bounds[p]:bounds[p + 1]]))
+                for p in range(P)]
+
+    @ray.remote
+    def _join(n_left: int, *shards):
+        lt = pa.concat_tables(shards[:n_left], promote_options="default")
+        rt = pa.concat_tables(shards[n_left:], promote_options="default")
+        if lt.num_rows == 0 or (how == "inner" and rt.num_rows == 0):
+            lt = lt.slice(0, 0)
+        ldf = lt.to_pandas()
+        rdf = rt.to_pandas()
+        if rkey not in rdf.columns:  # all-empty columnless shards
+            rdf = pd.DataFrame({rkey: pd.Series(dtype="int64")})
+        out = ldf.merge(rdf, how=how, left_on=on, right_on=rkey,
+                        suffixes=("", suffix))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    left_sh = [_split.options(num_returns=P).remote(b, on)
+               for b in left_ds.to_arrow_refs()]
+    right_sh = [_split.options(num_returns=P).remote(b, rkey)
+                for b in right_ds.to_arrow_refs()]
+    parts = [
+        _join.remote(
+            len(left_sh),
+            *[left_sh[i][p] for i in range(len(left_sh))],
+            *[right_sh[j][p] for j in range(len(right_sh))],
+        )
+        for p in range(P)
+    ]
+    return rd.from_arrow_refs(parts)

@@ -57,3 +57,29 @@ def hosts_of(urls) -> np.ndarray:
 def paths_of(urls) -> np.ndarray:
     s = pd.Series(urls, dtype="object")
     return s.str.replace(r"^[a-z]+://[^/]*", "", regex=True).to_numpy()
+
+
+def embedding_matrix(col, dtype=np.float32) -> np.ndarray:
+    """Decode an Arrow list<float> column to a dense (n, dim) ndarray
+    WITHOUT materializing Python lists: list_flatten -> to_numpy is a
+    buffer view (one cast at most), vs ``to_pylist()``'s per-element
+    Python objects — the dominant cost on the ANN/LSH hot paths.
+
+    Requires equal-length lists with no null elements (the embedding
+    table contract); raises if ragged.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    dim = int(lengths[0])
+    if not (lengths == dim).all():
+        raise ValueError("ragged embedding column: lengths vary")
+    flat = pc.list_flatten(col)
+    return flat.to_numpy(zero_copy_only=False).reshape(n, dim).astype(
+        dtype, copy=False)

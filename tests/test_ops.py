@@ -689,3 +689,137 @@ def test_remove_near_duplicates(ray_session):
         pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
     )
     assert losers2 == {2, 3}
+
+
+def test_embedding_neardup_degenerate_bucket_capped(ray_session):
+    """A corpus of near-identical vectors (the dedup pathology: one LSH
+    bucket holds everything) must verify in O(n*cap), not O(n^2), yet
+    keep the cluster CONNECTED via the pivot subset so removal still
+    drops all but one member."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import (
+        embedding_neardup_pairs,
+        remove_embedding_neardups,
+    )
+
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal(16)
+    base /= np.linalg.norm(base)
+    n = 4000
+    vecs = base[None, :] + 0.001 * rng.standard_normal((n, 16))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"),
+         "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    ds = rd.from_pandas(df)
+    cap = 32
+    pairs = embedding_neardup_pairs(
+        ds, threshold=0.95, probes=0, max_bucket=cap
+    ).to_pandas()
+    # O(n*cap) output bound, not O(n^2): n_planes=12 + probes=0 means at
+    # most a handful of buckets, each emitting <= cap*n pairs
+    assert len(pairs) <= cap * n
+    assert len(pairs) >= n - 50  # every member pairs with a pivot
+    # every member still connects: removal keeps ~1 representative
+    kept = remove_embedding_neardups(
+        ds, threshold=0.95, probes=0, num_partitions=4
+    ).to_pandas()
+    assert len(kept) <= 5  # one per connected component (few buckets)
+
+
+def test_ivf_random_training_sample_on_clustered_input(ray_session):
+    """ids arrive SORTED BY CLUSTER (at scale: the first file is one
+    domain/day shard). A prefix training sample would see only cluster 0
+    and collapse the centroids; the uniform random sample must keep
+    recall and pruning on the untouched clusters."""
+    import ray.data as rd
+
+    from siren_ray.stages.ann import brute_force_topk, ivf_topk, kmeans_fit
+
+    rng = np.random.RandomState(5)
+    n_clusters, per = 8, 250
+    centers = rng.standard_normal((n_clusters, 16)).astype(np.float32) * 4
+    vecs = np.concatenate([
+        centers[c] + rng.standard_normal((per, 16)).astype(np.float32)
+        for c in range(n_clusters)
+    ])  # ids 0..249 cluster 0, 250..499 cluster 1, ... (NOT shuffled)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()}
+         for i in range(len(vecs))]
+    ).repartition(16)
+    # query one vector from each of the four LAST clusters — a prefix
+    # sample has never seen their region
+    q = vecs[[per * c + 7 for c in range(4, 8)]]
+    exact = brute_force_topk(ds, q, k=5).to_pandas()
+    approx = ivf_topk(ds, q, k=5, n_lists=8, nprobe=2,
+                      train_sample=256).to_pandas()
+    recalls = []
+    for qi in range(len(q)):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    # well-separated clusters + unbiased centroids: the home list is
+    # always probed first
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # and the prefix pathology really is a pathology: centroids trained
+    # on the first 256 rows (cluster 0 only) are near-duplicates
+    prefix_cents = kmeans_fit(vecs[:256], 8)
+    spread_prefix = np.linalg.norm(
+        prefix_cents - prefix_cents.mean(0), axis=1).mean()
+    rand_idx = rng.choice(len(vecs), 256, replace=False)
+    rand_cents = kmeans_fit(vecs[rand_idx], 8)
+    spread_rand = np.linalg.norm(
+        rand_cents - rand_cents.mean(0), axis=1).mean()
+    assert spread_rand > 2 * spread_prefix
+
+
+def test_hash_join_inner_left_and_broadcast_equivalence(ray_session):
+    """General distributed equi-join: inner and left, int and string
+    keys, shuffle path == broadcast path == pandas ground truth."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import hash_join
+
+    rng = np.random.RandomState(2)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 40, size=200).astype("int64"),
+        "lv": np.arange(200, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": np.arange(0, 30, dtype="int64"),  # keys 30..39 unmatched
+        "rv": np.arange(100, 130, dtype="int64"),
+    })
+    lds = rd.from_pandas(left).repartition(7)
+    rds = rd.from_pandas(right).repartition(3)
+
+    for how in ("inner", "left"):
+        want = left.merge(right, how=how, on="k")
+        got_sh = hash_join(lds, rds, on="k", how=how, broadcast=False,
+                           num_partitions=8).to_pandas()
+        got_bc = hash_join(lds, rds, on="k", how=how,
+                           broadcast=True).to_pandas()
+        for got in (got_sh, got_bc):
+            g = got.sort_values(["k", "lv"]).reset_index(drop=True)
+            w = want.sort_values(["k", "lv"]).reset_index(drop=True)
+            assert len(g) == len(w), how
+            assert (g["lv"].to_numpy() == w["lv"].to_numpy()).all()
+            pd.testing.assert_series_equal(
+                g["rv"].astype("float64"), w["rv"].astype("float64"),
+                check_names=False)
+
+    # string keys + right_on with different column name
+    lefts = pd.DataFrame({"host": [f"h{i % 5}" for i in range(40)],
+                          "lv": np.arange(40, dtype="int64")})
+    rights = pd.DataFrame({"hname": [f"h{i}" for i in range(4)],
+                           "score": np.arange(4, dtype="int64")})
+    got = hash_join(rd.from_pandas(lefts), rd.from_pandas(rights),
+                    on="host", right_on="hname", how="inner",
+                    broadcast=False, num_partitions=4).to_pandas()
+    want = lefts.merge(rights, how="inner", left_on="host",
+                       right_on="hname")
+    assert len(got) == len(want) == 32
+    assert (got.sort_values("lv")["score"].to_numpy()
+            == want.sort_values("lv")["score"].to_numpy()).all()
