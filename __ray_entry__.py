@@ -375,6 +375,49 @@ def q_asof_join(sf_dir: str):
     )
 
 
+def q_token_quantiles(sf_dir: str):
+    """Doc token-count distribution via the mergeable KLL sketch (the
+    standard first report over a fresh 100 TB crawl): per-block
+    vectorized sketch update, tiny sketch tables merge on the driver.
+    Rows-only — approximate by design; rank error is accuracy-bound
+    unit-tested (t:test_kll_quantile_sketch_accuracy_and_merge) and the
+    values land within DuckDB approx_quantile's own tolerance."""
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import token_count_ws
+    from siren_ray.stages.relational import quantile_sketch
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    counts = _docs(sf_dir).map_batches(
+        lambda t: pa.table({"n_tokens": token_count_ws(t["text"])}),
+        batch_format="pyarrow",
+    )
+    import numpy as np
+
+    est = quantile_sketch(counts, "n_tokens", qs, k=200)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "n_tokens": pa.array(np.asarray(est, dtype=np.float64),
+                             pa.float64()),
+    })
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries top-20 users over the event stream: per-block exact
+    counts compressed to k counters, driver merge. Rows-only —
+    (count_lo, max_undercount) brackets are the MG guarantee,
+    accuracy-bound unit-tested (t:test_misra_gries_heavy_hitters_bounds)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.relational import heavy_hitters
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    return pa.Table.from_pandas(heavy_hitters(ev, "user_id", k=20),
+                                preserve_index=False)
+
+
 def q_approx_distinct(sf_dir: str):
     """HLL count-distinct over events.user_id (mergeable sketch;
     rows-only — approximate by design, accuracy bound unit-tested)."""
@@ -979,6 +1022,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "embedding_neardup_removed": q_embedding_neardup_removed,
         "approx_distinct": q_approx_distinct,
+        "token_quantiles": q_token_quantiles,
+        "heavy_hitters": q_heavy_hitters,
         "scraper_mirror": q_scraper_mirror,
         "scraper_ht": q_scraper_ht,
         "scraper_tg_epaper": q_scraper_tg_epaper,

@@ -104,6 +104,8 @@ _LANG_PROFILES = {
 
 
 def lang_id(texts: list[str]) -> list[str]:
+    """Reference row-at-a-time implementation (kept as the semantics
+    spec; tests assert the vectorized batch kernel matches it)."""
     out = []
     for t in texts:
         if not t:
@@ -119,9 +121,98 @@ def lang_id(texts: list[str]) -> list[str]:
     return out
 
 
+_LANG_NAMES = np.array(list(_LANG_PROFILES), dtype=object)
+
+
+def _build_gram_groups():
+    """Profile grams compiled to integer byte-codes, grouped by encoded
+    length: {byte_len: (sorted unique codes, (ncodes, nlangs)
+    contribution matrix)}. A gram shared by several languages (" de" is
+    in both es and fr) contributes to each of their columns."""
+    by_len: dict[int, dict[int, np.ndarray]] = {}
+    nl = len(_LANG_PROFILES)
+    for li, grams in enumerate(_LANG_PROFILES.values()):
+        for g in grams:
+            gb = g.encode("utf-8")
+            code = int.from_bytes(gb, "big")
+            contrib = by_len.setdefault(len(gb), {}).setdefault(
+                code, np.zeros(nl, dtype=np.int64))
+            contrib[li] += 1
+    out = {}
+    for glen, codes in by_len.items():
+        assert glen <= 4  # codes must fit uint32 (8x faster than uint64)
+        keys = np.array(sorted(codes), dtype=np.uint32)
+        mat = np.stack([codes[int(c)] for c in keys])
+        out[glen] = (keys, mat)
+    return out
+
+
+_GRAM_GROUPS = _build_gram_groups()
+
+
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized language ID, one pass over the batch's BYTES: the
+    lowered 1000-codepoint prefixes concatenate into the string column's
+    contiguous data buffer; n-gram byte codes build with a few shifted
+    adds; ONE searchsorted against the ~60 profile-gram codes finds
+    every match; a bincount + small matmul yields the per-row score
+    matrix. Tie-break and thresholds identical to :func:`lang_id`
+    (argmax in profile order = first-strictly-greater semantics; no
+    profile gram self-overlaps, so all-positions counting equals
+    ``str.count``'s non-overlapping count — asserted in tests)."""
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column("lang_pred", pa.array([], pa.string()))
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.binary_join_element_wise(
+        pa.scalar(" "),
+        pc.utf8_lower(pc.utf8_slice_codeunits(
+            pc.coalesce(col, pa.scalar("")), 0, 1000)),
+        pa.scalar(" "),
+        pa.scalar(""),
+    )
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(s.type) else np.int32
+    off = np.frombuffer(s.buffers()[1], dtype=off_dtype)[
+        s.offset:s.offset + n + 1].astype(np.int64)
+    data_buf = s.buffers()[2]
+    scores = np.zeros((n, len(_LANG_NAMES)), dtype=np.int64)
+    if data_buf is not None and off[-1] > off[0]:
+        data = np.frombuffer(data_buf, dtype=np.uint8)
+        b = data[off[0]:off[-1]].astype(np.uint32)
+        row_off = off - off[0]
+        for glen, (keys, contrib) in _GRAM_GROUPS.items():
+            if len(b) < glen:
+                continue
+            code = b[:len(b) - glen + 1].copy()
+            for j in range(1, glen):
+                code <<= np.uint32(8)
+                code |= b[j:len(b) - glen + 1 + j]
+            idx = np.searchsorted(keys, code)
+            idx_c = np.minimum(idx, len(keys) - 1)
+            pos = np.nonzero(keys[idx_c] == code)[0]
+            if not len(pos):
+                continue
+            row = np.searchsorted(row_off, pos, side="right") - 1
+            # a match must lie fully inside its row's bytes (the data
+            # buffer is contiguous across rows)
+            valid = pos + glen <= row_off[row + 1]
+            if not valid.any():
+                continue
+            gram_idx = idx_c[pos]
+            cnt = np.bincount(
+                row[valid] * len(keys) + gram_idx[valid],
+                minlength=n * len(keys),
+            ).reshape(n, len(keys))
+            scores += cnt @ contrib
+    best = np.argmax(scores, axis=1)  # first max = profile-order tie-break
+    langs = _LANG_NAMES[best]
+    langs[scores[np.arange(n), best] < 3] = "und"
     return batch.append_column(
-        "lang_pred", pa.array(lang_id(batch[text_col].to_pylist()), pa.string())
+        "lang_pred", pa.array(langs, pa.string())
     )
 
 

@@ -498,17 +498,32 @@ class _Crawl:
                     .limit(cfg.budget_per_round)
                     .materialize()
                 )
-                sel_seqs = set(
-                    selected.select_columns(["seq"]).to_pandas()["seq"]
-                )
-                deferred_parts.append(
-                    _filter(
-                        eligible,
-                        lambda t, s=sel_seqs: np.fromiter(
-                            (x not in s for x in t["seq"].to_pylist()),
-                            dtype=bool, count=t.num_rows,
+                # the selected set is BY CONSTRUCTION a prefix of the
+                # (priority DESC, seq ASC) total order (seq is unique),
+                # so membership reduces to a 2-value boundary threshold:
+                # broadcast the last selected row's (priority, seq) and
+                # the anti-join becomes two vectorized comparisons — no
+                # driver-built seq set, no per-row membership probes.
+                last_block = ray.get(selected.to_arrow_refs()[-1])
+                bound_pri = last_block["priority"][-1].as_py()
+                bound_seq = last_block["seq"][-1].as_py()
+
+                def _after_boundary(t: pa.Table) -> pa.Table:
+                    import pyarrow.compute as pc
+
+                    pri = t["priority"]
+                    keep = pc.or_(
+                        pc.less(pri, pa.scalar(bound_pri)),
+                        pc.and_(
+                            pc.equal(pri, pa.scalar(bound_pri)),
+                            pc.greater(t["seq"], pa.scalar(bound_seq)),
                         ),
                     )
+                    return t.filter(pc.fill_null(keep, False))
+
+                deferred_parts.append(
+                    eligible.map_batches(_after_boundary,
+                                         batch_format="pyarrow")
                 )
             else:
                 selected = eligible

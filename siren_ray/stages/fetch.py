@@ -105,53 +105,65 @@ class FetchExtract:
                 if isinstance(pages_ref, ray.ObjectRef)
                 else pages_ref
             )  # zero-copy from plasma either way
-            self._index = {u: i for i, u in enumerate(table["url"].to_pylist())}
-            self._html = table["html"]
+            self._urls = table["url"].combine_chunks()
+            self._html = table["html"].combine_chunks()
             self.mode = "broadcast"
         else:
             assert pages_dir is not None
-            self._index = None
+            self._urls = None
             self._html = None
             self.mode = "bucketed"
 
     # -- lookup ----------------------------------------------------------
-    def _lookup_broadcast(self, urls: list[str]) -> list:
-        idx = self._index
-        html = self._html
-        return [html[j].as_py() if (j := idx.get(u)) is not None else None
-                for u in urls]
+    # Both modes are hash-join probes vectorized with pc.index_in + take:
+    # misses surface as NULL html values (no per-url dict probes, no
+    # Python html lists — the binary payload stays in Arrow buffers).
+    def _lookup_broadcast(self, url_arr: pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
 
-    def _bucket_table(self, b: int) -> tuple[dict, pa.Table]:
+        idx = pc.index_in(url_arr, value_set=self._urls)
+        return self._html.take(idx)
+
+    def _bucket_table(self, b: int) -> tuple[pa.Array, pa.Array]:
         cached = self._bucket_cache.get(b)
         if cached is not None:
             self._bucket_cache.move_to_end(b)
             return cached
         dset = pads.dataset(self.pages_dir, partitioning="hive")
         t = dset.to_table(columns=["url", "html"], filter=pads.field("bucket") == b)
-        entry = ({u: i for i, u in enumerate(t["url"].to_pylist())}, t)
+        entry = (t["url"].combine_chunks(), t["html"].combine_chunks())
         self._bucket_cache[b] = entry
         while len(self._bucket_cache) > self.cache_buckets:
             self._bucket_cache.popitem(last=False)
         return entry
 
-    def _lookup_bucketed(self, urls: list[str]) -> list:
+    def _lookup_bucketed(self, url_arr: pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
+
+        urls = url_arr.to_pylist()  # needed for the deterministic hash
         buckets = (hash_strings(urls) % self.num_buckets).astype(np.int64)
-        out: list = [None] * len(urls)
         order = np.argsort(buckets, kind="stable")
+        seg_vals: list[pa.Array] = []
         i = 0
         while i < len(order):
             j = i
             b = int(buckets[order[i]])
             while j < len(order) and int(buckets[order[j]]) == b:
                 j += 1
-            index, table = self._bucket_table(b)
-            html = table["html"]
-            for k in order[i:j]:
-                row = index.get(urls[k])
-                if row is not None:
-                    out[k] = html[row].as_py()
+            b_urls, b_html = self._bucket_table(b)
+            sub = url_arr.take(pa.array(order[i:j]))
+            idx = pc.index_in(sub, value_set=b_urls)
+            vals = b_html.take(idx)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            seg_vals.append(vals)
             i = j
-        return out
+        if not seg_vals:
+            return pa.nulls(0, pa.binary())
+        cat = pa.concat_arrays(seg_vals)
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        return cat.take(pa.array(inv))
 
     # -- batch entry point ------------------------------------------------
     def __call__(self, batch: pa.Table, round_no: int | None = None) -> pa.Table:
@@ -163,18 +175,19 @@ class FetchExtract:
         return out
 
     def _fetch_extract(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if batch.num_rows == 0:
             return _empty_out(batch)
-        urls = batch["url"].to_pylist()
-        htmls = (
-            self._lookup_broadcast(urls)
+        url_arr = batch["url"].combine_chunks()
+        html_arr = (
+            self._lookup_broadcast(url_arr)
             if self.mode == "broadcast"
-            else self._lookup_bucketed(urls)
+            else self._lookup_bucketed(url_arr)
         )
-        found = np.array([h is not None for h in htmls], dtype=bool)
-        found_arr = pa.array(found)
+        found_arr = pc.is_valid(html_arr)
         hit = batch.filter(found_arr).append_column(
-            "html", pa.array([h for h in htmls if h is not None], pa.binary())
+            "html", html_arr.filter(found_arr).cast(pa.binary())
         )
         extracted = extract_batch(hit)  # drops html
         if self.enrich:
@@ -213,16 +226,17 @@ class FetchRaw(FetchExtract):
             return batch.append_column(
                 "html", pa.nulls(0, pa.binary())
             ).append_column("found", pa.nulls(0, pa.bool_()))
-        urls = batch["url"].to_pylist()
-        htmls = (
-            self._lookup_broadcast(urls)
+        import pyarrow.compute as pc
+
+        url_arr = batch["url"].combine_chunks()
+        html_arr = (
+            self._lookup_broadcast(url_arr)
             if self.mode == "broadcast"
-            else self._lookup_bucketed(urls)
+            else self._lookup_bucketed(url_arr)
         )
-        found = np.array([h is not None for h in htmls], dtype=bool)
         return batch.append_column(
-            "html", pa.array(htmls, pa.binary())
-        ).append_column("found", pa.array(found))
+            "html", html_arr.cast(pa.binary())
+        ).append_column("found", pc.is_valid(html_arr))
 
 
 def _enrich_text(extracted: pa.Table) -> pa.Table:

@@ -422,3 +422,204 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
         for p in range(P)
     ]
     return rd.from_arrow_refs(parts)
+
+
+# --- distribution sketches (corpus profiling) -----------------------------
+
+class KLLSketch:
+    """Mergeable KLL-style quantile sketch (Karnin-Lang-Liberty 2016,
+    the standard streaming-quantiles design): level h holds items of
+    weight 2^h; an over-capacity level sorts and keeps a random
+    even/odd half, promoting it one level up. Rank error is O(1/k)
+    with capacity parameter ``k``; memory is O(k log(n/k)) float64s
+    regardless of stream size, so per-block sketches shuffle a few KB
+    each and merge associatively on the driver (same shape as
+    :func:`approx_distinct`).
+
+    Randomness only picks the even/odd compaction offset (seeded,
+    counter-advanced: deterministic for a fixed update/merge order);
+    estimates are within the rank bound for ANY order.
+    """
+
+    def __init__(self, k: int = 200, seed: int = 1):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self._rng = np.random.RandomState(seed)
+
+    def _capacity(self, h: int, H: int) -> int:
+        # geometric decay (2/3)^depth-from-top, floored — the KLL shape
+        return max(int(np.ceil(self.k * (2.0 / 3.0) ** (H - 1 - h))), 8)
+
+    def _compact(self) -> None:
+        while True:
+            H = len(self.levels)
+            for h, buf in enumerate(self.levels):
+                if len(buf) > self._capacity(h, H):
+                    buf = np.sort(buf)
+                    keep = buf[int(self._rng.randint(2))::2]
+                    self.levels[h] = np.empty(0, np.float64)
+                    if h + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, np.float64))
+                    self.levels[h + 1] = np.concatenate(
+                        [self.levels[h + 1], keep])
+                    break
+            else:
+                return
+
+    def update(self, values: np.ndarray) -> "KLLSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            self.levels[0] = np.concatenate([self.levels[0], v])
+            self.n += len(v)
+            self._compact()
+        return self
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        for h, buf in enumerate(other.levels):
+            while h >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[h] = np.concatenate([self.levels[h], buf])
+        self.n += other.n
+        self._compact()
+        return self
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate([
+            np.full(len(buf), 1 << h, dtype=np.int64)
+            for h, buf in enumerate(self.levels)
+        ]) if len(vals) else np.empty(0, np.int64)
+        order = np.argsort(vals, kind="mergesort")
+        return vals[order], wts[order]
+
+    def quantiles(self, qs) -> np.ndarray:
+        qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+        vals, wts = self._weighted()
+        if not len(vals):
+            return np.full(len(qs), np.nan)
+        cum = np.cumsum(wts)
+        ranks = np.clip(qs, 0.0, 1.0) * (cum[-1] - 1)
+        idx = np.searchsorted(cum, ranks, side="right")
+        return vals[np.minimum(idx, len(vals) - 1)]
+
+    # -- serialization (for the per-block -> driver merge) --------------
+    def to_table(self) -> pa.Table:
+        return pa.table({
+            "level": pa.array(
+                [h for h, b in enumerate(self.levels) for _ in b],
+                pa.int32()),
+            "value": pa.array(np.concatenate(self.levels), pa.float64()),
+            "n": pa.array(
+                [self.n] + [0] * (sum(len(b) for b in self.levels) - 1)
+                if sum(len(b) for b in self.levels) else [],
+                pa.int64()),
+        })
+
+    @classmethod
+    def from_table(cls, t: pa.Table, k: int = 200,
+                   seed: int = 1) -> "KLLSketch":
+        sk = cls(k=k, seed=seed)
+        if t.num_rows == 0:
+            return sk
+        lv = np.asarray(t["level"], dtype=np.int64)
+        vals = np.asarray(t["value"], dtype=np.float64)
+        for h in range(int(lv.max()) + 1):
+            while h >= len(sk.levels):
+                sk.levels.append(np.empty(0, np.float64))
+            sk.levels[h] = vals[lv == h]
+        sk.n = int(np.asarray(t["n"], dtype=np.int64).sum())
+        return sk
+
+
+def quantile_sketch(ds, col: str, qs, *, k: int = 200) -> np.ndarray:
+    """Approximate quantiles of a numeric column: one KLL sketch per
+    block (vectorized update), tiny sketch tables to the driver, one
+    associative merge — the corpus-profiling primitive (doc-length /
+    token-count distributions over a fresh crawl). Rank error O(1/k);
+    unit tests bound it at 2% for k=200."""
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        sk = KLLSketch(k=k)
+        if t.num_rows and col in t.schema.names:
+            sk.update(np.asarray(t[col], dtype=np.float64))
+        return sk.to_table()
+
+    parts = ds.map_batches(_sketch, batch_format="pyarrow",
+                           batch_size=65536).to_arrow_refs()
+    import ray as _ray
+
+    total = KLLSketch(k=k)
+    for tbl in _ray.get(parts):
+        if tbl.num_rows:
+            total.merge(KLLSketch.from_table(tbl, k=k))
+    return total.quantiles(qs)
+
+
+def _mg_compress(items: np.ndarray, counts: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Misra-Gries compression to <= k counters; returns (items, counts,
+    decrement) where ``decrement`` is the amount subtracted from every
+    kept counter (the per-item undercount this step introduced)."""
+    if len(items) <= k:
+        return items, counts, 0
+    order = np.argsort(-counts, kind="mergesort")
+    dec = int(counts[order[k]])
+    keep = order[:k]
+    new_counts = counts[keep] - dec
+    pos = new_counts > 0
+    return items[keep][pos], new_counts[pos], dec
+
+
+def heavy_hitters(ds, col: str, k: int = 20) -> pd.DataFrame:
+    """Misra-Gries heavy hitters over a column: per-block EXACT counts
+    (np.unique) compressed to <= k counters, tiny summaries merged on
+    the driver (groupby-sum + one more compression). Guarantee: for
+    every item, ``count_lo <= true count <= count_lo + max_undercount``,
+    and any item with true count > n/(k+1) survives — the standard MG
+    bound, unit-tested. Returns a DataFrame (item, count_lo,
+    max_undercount) sorted by count_lo DESC."""
+
+    def _summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or col not in t.schema.names:
+            return pa.table({"item": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "dec": pa.array([], pa.int64())})
+        vals = t[col]
+        if not (pa.types.is_string(vals.type)
+                or pa.types.is_large_string(vals.type)):
+            vals = vals.cast(pa.string())
+        items, counts = np.unique(
+            np.asarray(vals.to_pylist(), dtype=object), return_counts=True)
+        items, counts, dec = _mg_compress(items, counts.astype(np.int64), k)
+        n = len(items)
+        return pa.table({
+            "item": pa.array(items.astype(str), pa.string()),
+            "cnt": pa.array(counts, pa.int64()),
+            "dec": pa.array([dec] + [0] * (n - 1) if n else [], pa.int64()),
+        })
+
+    import ray as _ray
+
+    parts = _ray.get(
+        ds.map_batches(_summary, batch_format="pyarrow",
+                       batch_size=65536).to_arrow_refs())
+    merged = pa.concat_tables([p for p in parts if p.num_rows],
+                              promote_options="default")
+    if merged.num_rows == 0:
+        return pd.DataFrame({"item": pd.Series(dtype="object"),
+                             "count_lo": pd.Series(dtype="int64"),
+                             "max_undercount": pd.Series(dtype="int64")})
+    df = merged.to_pandas()
+    total_dec = int(df["dec"].sum())
+    g = df.groupby("item", sort=False)["cnt"].sum()
+    items, counts, dec2 = _mg_compress(
+        g.index.to_numpy(dtype=object), g.to_numpy(dtype=np.int64), k)
+    out = pd.DataFrame({
+        "item": items.astype(str),
+        "count_lo": counts,
+        "max_undercount": np.int64(total_dec + dec2),
+    })
+    return out.sort_values(["count_lo", "item"],
+                           ascending=[False, True]).reset_index(drop=True)

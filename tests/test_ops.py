@@ -823,3 +823,79 @@ def test_hash_join_inner_left_and_broadcast_equivalence(ray_session):
     assert len(got) == len(want) == 32
     assert (got.sort_values("lv")["score"].to_numpy()
             == want.sort_values("lv")["score"].to_numpy()).all()
+
+
+def test_kll_quantile_sketch_accuracy_and_merge(ray_session):
+    """Rank error <= ~2% at k=200 on 200k values (normal + zipf), and
+    merging per-block sketches equals sketching the whole stream within
+    the same bound (mergeability)."""
+    import ray.data as rd
+
+    from siren_ray.stages.relational import KLLSketch, quantile_sketch
+
+    rng = np.random.RandomState(11)
+    data = {
+        "normal": rng.standard_normal(200_000) * 40 + 7,
+        "zipf": rng.zipf(1.3, 200_000).astype(np.float64),
+    }
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    for name, vals in data.items():
+        sk = KLLSketch(k=200).update(vals)
+        est = sk.quantiles(qs)
+        sv = np.sort(vals)
+        def rank_err(sv, e, q):
+            # tied values occupy a rank INTERVAL; error is the distance
+            # from q to [lo, hi]
+            lo = np.searchsorted(sv, e, side="left") / len(sv)
+            hi = np.searchsorted(sv, e, side="right") / len(sv)
+            return max(lo - q, q - hi, 0.0)
+
+        for q, e in zip(qs, est):
+            assert rank_err(sv, e, q) <= 0.02, (name, q, e)
+        # merge of 8 partial sketches ~ one sketch
+        merged = KLLSketch(k=200)
+        for part in np.array_split(vals, 8):
+            merged.merge(KLLSketch(k=200).update(part))
+        for q, e in zip(qs, merged.quantiles(qs)):
+            assert rank_err(sv, e, q) <= 0.02, ("merged", name, q, e)
+        assert merged.n == len(vals)
+
+    # distributed path over a Dataset
+    import pandas as pd
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"x": data["normal"]})).repartition(16)
+    est = quantile_sketch(ds, "x", qs, k=200)
+    sv = np.sort(data["normal"])
+    for q, e in zip(qs, est):
+        lo = np.searchsorted(sv, e, side="left") / len(sv)
+        hi = np.searchsorted(sv, e, side="right") / len(sv)
+        assert max(lo - q, q - hi, 0.0) <= 0.02, (q, e)
+
+
+def test_misra_gries_heavy_hitters_bounds(ray_session):
+    """MG guarantees: count_lo <= true <= count_lo + max_undercount for
+    every reported item, and every item with true count > n/(k+1) is
+    reported. Zipf-distributed hosts over 16 blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import heavy_hitters
+
+    rng = np.random.RandomState(5)
+    hosts = np.array([f"h{z}.example.org" for z in rng.zipf(1.5, 100_000)],
+                     dtype=object)
+    true = pd.Series(hosts).value_counts()
+    k = 20
+    ds = rd.from_pandas(pd.DataFrame({"host": hosts})).repartition(16)
+    out = heavy_hitters(ds, "host", k=k)
+    assert len(out) <= k
+    under = int(out["max_undercount"].iloc[0])
+    for _, row in out.iterrows():
+        t = int(true[row["item"]])
+        assert row["count_lo"] <= t <= row["count_lo"] + under, row
+    n = len(hosts)
+    must_report = set(true[true > n / (k + 1)].index)
+    assert must_report <= set(out["item"])
+    # top-1 exact item identified first
+    assert out["item"].iloc[0] == true.index[0]
