@@ -971,6 +971,120 @@ def q_toi_boolean(sf_dir: str):
     return toi_query_filter(ds, spec).select_columns(["doc_id"])
 
 
+def q_antijoin(sf_dir: str):
+    """Distributed hash anti-join: customers with NO URGENT-priority
+    order (the exact complement of q_semijoin). Both sides
+    hash-co-partition on the key via raw tasks (the key set never ships
+    to the driver — the case a broadcast isin filter can't cover).
+    Oracle = NOT EXISTS."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import hash_antijoin
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table({
+            "id": t.filter(
+                pa.compute.equal(t["o_orderpriority"], "1-URGENT")
+            )["o_custkey"]
+        }),
+        batch_format="pyarrow",
+    )
+    return hash_antijoin(cust, keys, "c_custkey")
+
+
+def q_semijoin(sf_dir: str):
+    """Distributed hash semi-join (existence filter): customers with at
+    least one URGENT-priority order — same co-partitioned shape as the
+    anti-join, keep-matches polarity. Oracle = EXISTS."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import hash_semijoin
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table({
+            "id": t.filter(
+                pa.compute.equal(t["o_orderpriority"], "1-URGENT")
+            )["o_custkey"]
+        }),
+        batch_format="pyarrow",
+    )
+    return hash_semijoin(cust, keys, "c_custkey")
+
+
+def q_rolling_sum(sf_dir: str):
+    """Per-user rolling 7-row window sum over the event stream (SQL ROWS
+    BETWEEN 6 PRECEDING AND CURRENT ROW): one hash shuffle on user
+    bucket, one grouped C-level rolling kernel per partition. Values go
+    through the integer-cents contract (round-half-away per row) so the
+    window sums are exact int64 and hash-comparable."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.events import rolling_sum
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "value_c", pa.array(_cents(t["value"].to_numpy()), pa.int64())
+        ).drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    out = rolling_sum(ev, value_col="value_c", window_rows=7,
+                      out_col="roll_sum_c")
+    return out.select_columns(["event_id", "user_id", "roll_sum_c"])
+
+
+def q_pivot_counts(sf_dir: str):
+    """Pivoted contingency counts: orders per (priority row, status
+    column), per-batch exact partial counts -> one small two-key groupby
+    -> driver pivot. Oracle = count(*) FILTER per category."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.relational import pivot_counts
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderstatus"],
+    )
+    df = pivot_counts(orders, "o_orderpriority", "o_orderstatus")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_exact_quantiles(sf_dir: str):
+    """EXACT discrete quantiles (DuckDB quantile_disc semantics) of the
+    per-doc token count: per-batch value-count histogram, one groupby
+    over DISTINCT values, driver cumsum scan. Complement of the KLL
+    sketch for small integer domains."""
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import token_count_ws
+    from siren_ray.stages.relational import exact_quantiles_int
+
+    counts = _docs(sf_dir).map_batches(
+        lambda t: pa.table({"n_tokens": token_count_ws(t["text"])}),
+        batch_format="pyarrow",
+    )
+    return exact_quantiles_int(counts, "n_tokens",
+                               [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1010,6 +1124,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "stratified_sample": q_stratified_sample,
         "range_join": q_range_join,
+        "antijoin": q_antijoin,
+        "semijoin": q_semijoin,
+        "rolling_sum": q_rolling_sum,
+        "pivot_counts": q_pivot_counts,
+        "exact_quantiles": q_exact_quantiles,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -1174,6 +1293,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, CAST(sum(new_s) OVER (PARTITION BY "
             "user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
             "AS BIGINT) AS session_seq FROM g"
+        ),
+        "antijoin": (
+            "SELECT c_custkey, c_mktsegment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "semijoin": (
+            "SELECT c_custkey, c_mktsegment FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "rolling_sum": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS roll_sum_c FROM events"
+        ),
+        "pivot_counts": (
+            "SELECT o_orderpriority, "
+            "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_F, "
+            "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_O, "
+            "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_P "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "exact_quantiles": (
+            "WITH tc AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents) "
+            + " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"quantile_disc(n_tokens, {q}) AS n_tokens FROM tc"
+                for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+            )
         ),
         "knn_brute": (
             "WITH q AS (SELECT vec_id AS query_rank, embedding FROM ("

@@ -546,6 +546,22 @@ def hash_antijoin(ds, keys_ds, key_col: str, *, num_partitions: int = 64):
     may exceed driver memory (the case Dataset broadcast filters can't
     cover). Output row order is partition-major, not input order.
     """
+    return _hash_key_filter(ds, keys_ds, key_col, keep=False,
+                            num_partitions=num_partitions)
+
+
+def hash_semijoin(ds, keys_ds, key_col: str, *, num_partitions: int = 64):
+    """Rows of ``ds`` whose int64 ``key_col`` DOES appear in ``keys_ds``
+    (single int64 column ``id``) — the existence-filter dual of
+    :func:`hash_antijoin`, same co-partitioned shape: the key set is
+    deduplicated per partition and never ships to the driver, unlike a
+    broadcast ``isin`` filter."""
+    return _hash_key_filter(ds, keys_ds, key_col, keep=True,
+                            num_partitions=num_partitions)
+
+
+def _hash_key_filter(ds, keys_ds, key_col: str, *, keep: bool,
+                     num_partitions: int = 64):
     import ray
     import ray.data as rd
 
@@ -585,9 +601,10 @@ def hash_antijoin(ds, keys_ds, key_col: str, *, num_partitions: int = 64):
     def _filter(key_ids: np.ndarray, *left_shards):
         tbl = pa.concat_tables(left_shards, promote_options="default")
         if tbl.num_rows == 0 or len(key_ids) == 0:
-            return tbl
+            return tbl if not keep else tbl.slice(0, 0)
         ids = np.asarray(tbl[key_col], dtype=np.int64)
-        return tbl.filter(pa.array(~np.isin(ids, key_ids)))
+        mask = np.isin(ids, key_ids)
+        return tbl.filter(pa.array(mask if keep else ~mask))
 
     left_sh = [_split_left.options(num_returns=P).remote(b)
                for b in ds.to_arrow_refs()]

@@ -63,3 +63,48 @@ def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
         .groupby("_pk")
         .map_groups(_assign, batch_format="pandas")
     )
+
+
+def rolling_sum(ds, *, by_col: str = "user_id", ts_col: str = "ts",
+                order_col: str = "event_id", value_col: str = "value",
+                window_rows: int = 7, out_col: str = "rolling_sum",
+                num_partitions: int = _SESSION_PARTITIONS):
+    """Per-key row-window rolling sum: for each row, the sum of
+    ``value_col`` over the last ``window_rows`` rows of the same
+    ``by_col`` key, ordered by (``ts_col``, ``order_col``) — SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``.
+
+    Same scale shape as :func:`sessionize`: ONE hash shuffle on a coarse
+    key bucket, then one mergesort + pandas grouped ``rolling`` (C-level
+    per-group kernel, no per-key dispatch) per partition. ``value_col``
+    must be integral (window sums stay exact in the float64 rolling
+    accumulator below 2^53 and are cast back to int64); callers with
+    float payloads fix a unit first — see ``q_rolling_sum``'s
+    integer-cents contract.
+    """
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = np.asarray(t[by_col], dtype=np.int64)
+        return t.append_column(
+            "_pk", pa.array(u % num_partitions, pa.int64())
+        )
+
+    def _roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by_col, ts_col, order_col],
+                            kind="mergesort").reset_index(drop=True)
+        rolled = (
+            df.groupby(by_col, sort=False)[value_col]
+            .rolling(window_rows, min_periods=1)
+            .sum()
+            .reset_index(level=0, drop=True)
+            .sort_index()
+        )
+        df[out_col] = rolled.to_numpy().astype("int64")
+        return df.drop(columns=["_pk"])
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_roll, batch_format="pandas")
+    )

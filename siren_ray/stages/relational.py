@@ -623,3 +623,86 @@ def heavy_hitters(ds, col: str, k: int = 20) -> pd.DataFrame:
     })
     return out.sort_values(["count_lo", "item"],
                            ascending=[False, True]).reset_index(drop=True)
+
+
+def pivot_counts(ds, row_col: str, col_col: str, *,
+                 prefix: str = "n_") -> pd.DataFrame:
+    """Pivoted contingency counts: one output row per ``row_col`` value,
+    one int64 column ``{prefix}{category}`` per distinct ``col_col``
+    value. Scale shape: per-batch EXACT partial counts via one
+    ``np.unique`` over fused (row, col) codes — so only a tiny
+    (row, col, n) table per block moves — then one small two-key
+    groupby-sum and a driver-side pivot whose size is
+    |rows| x |categories| (a report, not a dataset; callers with
+    high-cardinality pivot columns want grouped_topk instead).
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or row_col not in t.schema.names:
+            return pa.table({row_col: pa.array([], pa.string()),
+                             col_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        rows = np.asarray(t[row_col].cast(pa.string()).to_pylist(),
+                          dtype=object)
+        cols = np.asarray(t[col_col].cast(pa.string()).to_pylist(),
+                          dtype=object)
+        fused = np.char.add(np.char.add(rows.astype(str), "\x1f"),
+                            cols.astype(str))
+        uniq, counts = np.unique(fused, return_counts=True)
+        split = np.char.partition(uniq, "\x1f")
+        return pa.table({
+            row_col: pa.array(split[:, 0], pa.string()),
+            col_col: pa.array(split[:, 2], pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    small = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby([row_col, col_col])
+        .sum("n")
+    ).to_pandas()
+    cats = sorted(small[col_col].unique())
+    wide = small.pivot_table(index=row_col, columns=col_col,
+                             values="sum(n)", fill_value=0,
+                             aggfunc="sum")
+    wide = wide.reindex(columns=cats, fill_value=0).astype("int64")
+    wide.columns = [f"{prefix}{c}" for c in cats]
+    return wide.reset_index().sort_values(row_col).reset_index(drop=True)
+
+
+def exact_quantiles_int(ds, col: str, qs) -> pa.Table:
+    """EXACT discrete quantiles of an integer-valued column, DuckDB
+    ``quantile_disc`` semantics (value at sorted index
+    ``max(0, ceil(q*n) - 1)``). Scale shape: per-batch ``np.unique``
+    value counts, one groupby-sum over values, then the tiny
+    (value, count) histogram — bounded by the number of DISTINCT values,
+    not rows — is cumsum-scanned on the driver. The exact complement of
+    the KLL sketch: right when the domain is small (token counts, doc
+    lengths, status codes), wrong for continuous doubles (use
+    ``quantile_sketch``)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or col not in t.schema.names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vals, counts = np.unique(np.asarray(t[col], dtype=np.int64),
+                                 return_counts=True)
+        return pa.table({"v": pa.array(vals, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    hist = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("v")
+        .sum("n")
+    ).to_pandas().sort_values("v")
+    values = hist["v"].to_numpy(dtype=np.int64)
+    cum = hist["sum(n)"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    qs = np.asarray(list(qs), dtype=np.float64)
+    if n == 0:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         col: pa.nulls(len(qs), pa.int64())})
+    idx = np.maximum(0, np.ceil(qs * n).astype(np.int64) - 1)
+    pos = np.searchsorted(cum, idx, side="right")
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     col: pa.array(values[pos], pa.int64())})

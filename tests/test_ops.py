@@ -899,3 +899,88 @@ def test_misra_gries_heavy_hitters_bounds(ray_session):
     assert must_report <= set(out["item"])
     # top-1 exact item identified first
     assert out["item"].iloc[0] == true.index[0]
+
+
+def test_hash_semijoin_complements_antijoin(ray_session):
+    """semijoin(keep) + antijoin(drop) exactly partition the left side,
+    and match a pandas isin reference."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import hash_antijoin, hash_semijoin
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({"k": rng.randint(0, 500, 2000).astype("int64"),
+                         "payload": np.arange(2000, dtype="int64")})
+    keys = pd.DataFrame({"id": rng.randint(0, 500, 300).astype("int64")})
+    lds = rd.from_pandas(left).repartition(8)
+    kds = rd.from_pandas(keys).repartition(4)
+    semi = hash_semijoin(lds, kds, "k", num_partitions=16).to_pandas()
+    anti = hash_antijoin(lds, kds, "k", num_partitions=16).to_pandas()
+    want = left["k"].isin(set(keys["id"]))
+    assert sorted(semi["payload"]) == sorted(left.loc[want, "payload"])
+    assert sorted(anti["payload"]) == sorted(left.loc[~want, "payload"])
+    assert len(semi) + len(anti) == len(left)
+
+
+def test_rolling_sum_matches_pandas_window(ray_session):
+    """rolling_sum == per-key pandas rolling reference, including ties on
+    ts (broken by order col) and keys split across input blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.events import rolling_sum
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": rng.randint(0, 40, n).astype("int64"),
+        # coarse seconds => plenty of (user, ts) ties
+        "ts": pd.to_datetime(rng.randint(0, 500, n), unit="s"),
+        "value": rng.randint(-50, 50, n).astype("int64"),
+    })
+    out = rolling_sum(
+        rd.from_pandas(df).repartition(8), value_col="value",
+        window_rows=5, out_col="rs", num_partitions=8,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    ref = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ref["rs"] = (
+        ref.groupby("user_id")["value"].rolling(5, min_periods=1).sum()
+        .reset_index(level=0, drop=True)
+    )
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert (out["rs"].to_numpy() == ref["rs"].to_numpy(dtype="int64")).all()
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import pivot_counts
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "prio": rng.choice(["a", "b", "c"], 5000),
+        "status": rng.choice(["X", "Y"], 5000),
+    })
+    out = pivot_counts(rd.from_pandas(df).repartition(8), "prio", "status")
+    ct = pd.crosstab(df["prio"], df["status"])
+    for _, row in out.iterrows():
+        for s in ("X", "Y"):
+            assert row[f"n_{s}"] == ct.loc[row["prio"], s]
+
+
+def test_exact_quantiles_int_disc_semantics(ray_session):
+    """quantile_disc semantics: value at sorted index max(0, ceil(q*n)-1),
+    pinned against DuckDB's own output for 1..10."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import exact_quantiles_int
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"x": np.arange(1, 11, dtype="int64")})).repartition(4)
+    out = exact_quantiles_int(
+        ds, "x", [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]).to_pandas()
+    assert list(out["x"]) == [1, 1, 3, 5, 8, 9, 10]  # DuckDB quantile_disc
