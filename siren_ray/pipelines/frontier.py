@@ -74,7 +74,10 @@ class CrawlConfig:
     max_depth: int = 8
     max_rounds: int = 100
     num_seen_shards: int = 8
-    fetch_mode: str = "broadcast"  # "broadcast" | "bucketed"
+    fetch_mode: str = "broadcast"  # "broadcast" | "bucketed" | "http"
+    http_base: str | None = None   # fetch_mode="http": live server base URL
+    http_headers: dict | None = None
+    http_timeout_s: float = 5.0
     fetch_concurrency: int = 4
     fetch_batch_size: int = 1024
     cache_buckets: int = 8
@@ -241,6 +244,15 @@ class _Crawl:
         self.metrics_path = os.path.join(cfg.out_dir, "metrics.jsonl")
         if cfg.fetch_mode == "broadcast":
             self.fetch_kwargs = {"pages_ref": broadcast_pages(cfg.pages_dir)}
+        elif cfg.fetch_mode == "http":
+            # live-HTTP fetch (F3/F5): actors GET each url over a real
+            # socket instead of joining the corpus; headers/timeouts are
+            # per-actor transport state
+            self.fetch_kwargs = {
+                "http_base": cfg.http_base,
+                "http_headers": cfg.http_headers,
+                "http_timeout_s": cfg.http_timeout_s,
+            }
         else:
             # bucket-aligned routing -> each actor owns ~num_buckets/pool
             # buckets; size the LRU cache to hold them all

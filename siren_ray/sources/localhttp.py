@@ -1,0 +1,117 @@
+"""Localhost HTTP front-end for the pages corpus.
+
+The reference fetches the live web through an async HTTP client with
+custom headers and timeouts (/root/reference/siren/core/http.py:58-147).
+This engine's normal fetch is a corpus JOIN (stages/fetch.py), which
+makes headers/timeouts vestigial — so the live-HTTP seam is exercised
+against THIS server: a real socket listener over the same Parquet pages,
+serving ``GET /page?url=<quoted-url>``. Tests and the ``http`` fetch
+mode drive actual HTTP requests (identity headers, per-request timeouts,
+status-code error mapping) end-to-end without leaving the machine.
+
+Deliberately test-grade: a threading stdlib server, not a production
+sink. The production seam is ``stages.transport.HttpTransport`` — point
+it at any real host instead of this one and the engine fetches live.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pyarrow.dataset as pads
+
+
+def load_pages_map(pages_dir: str) -> dict[str, bytes]:
+    """(url -> html) dict from a hive-partitioned pages corpus dir."""
+    t = pads.dataset(pages_dir, partitioning="hive").to_table(
+        columns=["url", "html"]
+    )
+    return dict(zip(t["url"].to_pylist(), t["html"].to_pylist()))
+
+
+class CorpusHttpServer:
+    """Serve a (url -> html bytes) map over localhost HTTP.
+
+    - ``GET /page?url=<quoted>`` -> 200 + html, or 404 if unknown.
+    - ``require_headers``: exact-match request headers; a request
+      missing or mismatching any of them gets 403 (the identity-check
+      a polite crawler must pass: F3).
+    - ``slow_urls``: per-url artificial latency in seconds, for client
+      timeout tests (F5).
+    """
+
+    def __init__(self, pages: dict[str, bytes], *,
+                 require_headers: dict[str, str] | None = None,
+                 slow_urls: dict[str, float] | None = None):
+        self.pages = pages
+        self.require_headers = dict(require_headers or {})
+        self.slow_urls = dict(slow_urls or {})
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        self.base_url: str | None = None
+
+    def start(self) -> str:
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # keep test output quiet
+                pass
+
+            def do_GET(self):
+                parsed = urlparse(self.path)
+                if parsed.path != "/page":
+                    self.send_error(404)
+                    return
+                for k, v in outer.require_headers.items():
+                    if self.headers.get(k) != v:
+                        self.send_error(403)
+                        return
+                q = parse_qs(parsed.query)
+                url = q.get("url", [None])[0]
+                if url is None:
+                    self.send_error(400)
+                    return
+                delay = outer.slow_urls.get(url)
+                if delay:
+                    time.sleep(delay)
+                body = outer.pages.get(url)
+                if body is None:
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        host, port = self._httpd.server_address[:2]
+        self.base_url = f"http://{host}:{port}"
+        return self.base_url
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    def __enter__(self) -> "CorpusHttpServer":
+        self.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def write_server_spec(path: str, server: CorpusHttpServer) -> None:
+    """Persist base_url so fetch actors in other processes can find it."""
+    with open(path, "w") as f:
+        json.dump({"base_url": server.base_url}, f)

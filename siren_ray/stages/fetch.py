@@ -90,6 +90,11 @@ class FetchExtract:
         num_buckets: int = 128,
         cache_buckets: int = 8,
         enrich: bool = False,
+        http_base: str | None = None,
+        http_headers: dict | None = None,
+        http_timeout_s: float = 5.0,
+        http_concurrency: int = 16,
+        http_retries: int = 1,
     ):
         _pin_worker_threads()
         self.enrich = enrich
@@ -97,7 +102,18 @@ class FetchExtract:
         self.cache_buckets = cache_buckets
         self._bucket_cache: OrderedDict[int, tuple[dict, pa.Table]] = OrderedDict()
         self.pages_dir = pages_dir
-        if pages_ref is not None:
+        if http_base is not None:
+            # live-HTTP mode (F3/F5): one transport per actor, built once
+            from .transport import HttpTransport
+
+            self._transport = HttpTransport(
+                http_base, headers=http_headers, timeout_s=http_timeout_s,
+                concurrency=http_concurrency, retries=http_retries,
+            )
+            self._urls = None
+            self._html = None
+            self.mode = "http"
+        elif pages_ref is not None:
             # ray auto-derefs ObjectRef args to actors; map_batches
             # fn_constructor_kwargs pass the ref through untouched
             table: pa.Table = (
@@ -123,6 +139,14 @@ class FetchExtract:
 
         idx = pc.index_in(url_arr, value_set=self._urls)
         return self._html.take(idx)
+
+    def _lookup_http(self, url_arr: pa.Array) -> pa.Array:
+        """Real HTTP GETs through the per-actor transport; failures
+        (4xx/5xx/timeout/conn) come back as nulls, which the fetch stage
+        records as ``found=false`` rows (F4 semantics, same as a corpus
+        miss)."""
+        bodies, _errs = self._transport.fetch_many(url_arr.to_pylist())
+        return pa.array(bodies, pa.binary())
 
     def _bucket_table(self, b: int) -> tuple[pa.Array, pa.Array]:
         cached = self._bucket_cache.get(b)
@@ -165,6 +189,13 @@ class FetchExtract:
         inv[order] = np.arange(len(order))
         return cat.take(pa.array(inv))
 
+    def _lookup(self, url_arr: pa.Array) -> pa.Array:
+        if self.mode == "broadcast":
+            return self._lookup_broadcast(url_arr)
+        if self.mode == "http":
+            return self._lookup_http(url_arr)
+        return self._lookup_bucketed(url_arr)
+
     # -- batch entry point ------------------------------------------------
     def __call__(self, batch: pa.Table, round_no: int | None = None) -> pa.Table:
         out = self._fetch_extract(batch)
@@ -180,11 +211,7 @@ class FetchExtract:
         if batch.num_rows == 0:
             return _empty_out(batch)
         url_arr = batch["url"].combine_chunks()
-        html_arr = (
-            self._lookup_broadcast(url_arr)
-            if self.mode == "broadcast"
-            else self._lookup_bucketed(url_arr)
-        )
+        html_arr = self._lookup(url_arr)
         found_arr = pc.is_valid(html_arr)
         hit = batch.filter(found_arr).append_column(
             "html", html_arr.filter(found_arr).cast(pa.binary())
@@ -229,11 +256,7 @@ class FetchRaw(FetchExtract):
         import pyarrow.compute as pc
 
         url_arr = batch["url"].combine_chunks()
-        html_arr = (
-            self._lookup_broadcast(url_arr)
-            if self.mode == "broadcast"
-            else self._lookup_bucketed(url_arr)
-        )
+        html_arr = self._lookup(url_arr)
         return batch.append_column(
             "html", html_arr.cast(pa.binary())
         ).append_column("found", pc.is_valid(html_arr))

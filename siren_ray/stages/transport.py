@@ -1,0 +1,76 @@
+"""Live-HTTP transport for fetch actors (F3 identity headers, F5
+timeouts — reference /root/reference/siren/core/http.py:58-147).
+
+One ``HttpTransport`` per fetch actor (T2/T5: built once in the actor's
+``__init__``), holding a urllib opener, the identity headers, the
+per-request timeout, and a small thread pool — fetches are network-bound,
+so threads inside the actor give the same per-worker concurrency the
+reference gets from asyncio, while Ray sizes the actor pool across the
+cluster. Errors never raise: each URL resolves to (body | None, err
+code) and the fetch stage records misses as ``found=false`` rows (F4).
+
+The transport speaks plain HTTP GET. Against ``sources.localhttp`` the
+page URL rides in a query parameter (``/page?url=...``); pointed at a
+real host (``page_param=None``) it requests the URL itself — the
+production seam, unchanged client code.
+"""
+
+from __future__ import annotations
+
+import socket
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from urllib.parse import quote
+
+
+class HttpTransport:
+    def __init__(self, base_url: str | None = None, *,
+                 headers: dict[str, str] | None = None,
+                 timeout_s: float = 5.0, retries: int = 1,
+                 concurrency: int = 16, page_param: str = "url"):
+        self.base_url = base_url.rstrip("/") if base_url else None
+        self.headers = dict(headers or {})
+        self.headers.setdefault("User-Agent", "siren-ray/0.3")
+        self.timeout_s = float(timeout_s)
+        self.retries = max(0, int(retries))
+        self.page_param = page_param
+        self._opener = urllib.request.build_opener()
+        self._pool = ThreadPoolExecutor(max_workers=max(1, concurrency))
+
+    def _request_url(self, url: str) -> str:
+        if self.base_url is None or self.page_param is None:
+            return url
+        return f"{self.base_url}/page?{self.page_param}={quote(url, safe='')}"
+
+    def _fetch_one(self, url: str) -> tuple[bytes | None, str | None]:
+        req = urllib.request.Request(self._request_url(url),
+                                     headers=self.headers)
+        last_err = "unknown"
+        for _ in range(self.retries + 1):
+            try:
+                with self._opener.open(req, timeout=self.timeout_s) as resp:
+                    return resp.read(), None
+            except urllib.error.HTTPError as e:
+                # a definitive server answer: do not retry
+                return None, f"http_{e.code}"
+            except (urllib.error.URLError, socket.timeout, TimeoutError) as e:
+                reason = getattr(e, "reason", e)
+                last_err = ("timeout"
+                            if isinstance(reason, (socket.timeout,
+                                                   TimeoutError))
+                            or isinstance(e, (socket.timeout, TimeoutError))
+                            else f"conn_{type(reason).__name__}")
+            except OSError as e:
+                last_err = f"os_{type(e).__name__}"
+        return None, last_err
+
+    def fetch_many(
+        self, urls: list[str]
+    ) -> tuple[list[bytes | None], list[str | None]]:
+        """Order-preserving concurrent GETs; never raises."""
+        results = list(self._pool.map(self._fetch_one, urls))
+        return [b for b, _ in results], [e for _, e in results]
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
