@@ -971,6 +971,31 @@ def q_toi_boolean(sf_dir: str):
     return toi_query_filter(ds, spec).select_columns(["doc_id"])
 
 
+def q_jaccard_neardup(sf_dir: str):
+    """n-gram Jaccard near-dup: MinHash+LSH candidate pairs screened by
+    TRUE word-5-shingle Jaccard (two distributed equi-joins ship each
+    pair its texts; per-batch each distinct doc shingles once). Rows-only
+    (the LSH candidate set isn't SQL-expressible); the verify kernel is
+    exactness-tested against the set-based jaccard() reference."""
+    import pyarrow as pa
+
+    from siren_ray.stages.dedup import (
+        minhash_duplicate_pairs,
+        verify_pairs_jaccard,
+    )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    pairs = minhash_duplicate_pairs(docs, "doc_id", num_perm=32, bands=8)
+    out = verify_pairs_jaccard(pairs, docs, id_col="doc_id",
+                               threshold=0.4)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("jaccard"), "jaccard",
+            pa.compute.round(t["jaccard"], ndigits=6)),
+        batch_format="pyarrow",
+    )
+
+
 def q_antijoin(sf_dir: str):
     """Distributed hash anti-join: customers with NO URGENT-priority
     order (the exact complement of q_semijoin). Both sides
@@ -1141,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "embedding_neardup_removed": q_embedding_neardup_removed,
         "approx_distinct": q_approx_distinct,
+        "jaccard_neardup": q_jaccard_neardup,
         "token_quantiles": q_token_quantiles,
         "heavy_hitters": q_heavy_hitters,
         "scraper_mirror": q_scraper_mirror,

@@ -622,7 +622,8 @@ def _hash_key_filter(ds, keys_ds, key_col: str, *, keep: bool,
 def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
                            num_perm: int = 64, bands: int = 16, k: int = 5,
                            method: str = "driver",
-                           num_partitions: int = 64):
+                           num_partitions: int = 64,
+                           verify_jaccard: float | None = None):
     """End-to-end near-dup removal: MinHash+LSH candidate pairs ->
     duplicate clusters -> drop every non-minimum member.
 
@@ -636,12 +637,23 @@ def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
     :func:`hash_antijoin` — correct even when the pair list or the
     loser set exceeds driver memory. Same output set, partition-major
     row order.
+
+    ``verify_jaccard``: when set, every LSH candidate pair is screened
+    by its TRUE word-k-shingle Jaccard (:func:`verify_pairs_jaccard`)
+    and only pairs at-or-above the threshold feed clustering — removal
+    then never rides on a band-key coincidence alone.
     """
     import ray
 
     pairs_ds = minhash_duplicate_pairs(
         ds, id_col, num_perm=num_perm, bands=bands, k=k, text_col=text_col
     )
+    if verify_jaccard is not None:
+        pairs_ds = verify_pairs_jaccard(
+            pairs_ds, ds, id_col=id_col, text_col=text_col, k=k,
+            threshold=verify_jaccard, num_partitions=num_partitions,
+        ).map_batches(lambda t: t.select(["id_a", "id_b"]),
+                      batch_format="pyarrow")
     if method == "distributed":
         nodes = ds.map_batches(
             lambda t: pa.table({"id": t[id_col]}), batch_format="pyarrow"
@@ -720,6 +732,79 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, *, id_col: str,
+                         text_col: str = "text", k: int = 5,
+                         threshold: float = 0.5,
+                         num_partitions: int = _DEDUP_PARTITIONS):
+    """TRUE word-k-shingle Jaccard for candidate pairs; keeps pairs with
+    ``jaccard >= threshold`` (column ``jaccard`` attached).
+
+    The screen between LSH candidates and unverified removal: band-key
+    collisions (or an aggressive band setting) can propose unrelated
+    docs, and deleting on a false candidate is silent data loss. Scale
+    shape: two distributed equi-joins (:func:`..relational.hash_join`)
+    ship each pair its two texts — only the tiny LSH pair output ever
+    carries text, never the corpus — then each batch shingle-hashes every
+    DISTINCT doc once and intersects sorted uint64 arrays per pair. The
+    per-pair loop is over candidates only (a vanishing fraction of the
+    corpus), not a corpus-scale row loop.
+    """
+    from .relational import hash_join
+
+    texts = docs_ds.map_batches(
+        lambda t: pa.table({"id": t[id_col], "_txt": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    def _strip(new_name):
+        def _fn(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["id"])
+            return t.rename_columns(
+                [(new_name if c == "_txt" else c) for c in t.column_names])
+        return _fn
+
+    j1 = hash_join(pairs_ds, texts, on="id_a", right_on="id",
+                   broadcast=False, num_partitions=num_partitions)
+    j1 = j1.map_batches(_strip("_ta"), batch_format="pyarrow")
+    j2 = hash_join(j1, texts, on="id_b", right_on="id",
+                   broadcast=False, num_partitions=num_partitions)
+    j2 = j2.map_batches(_strip("_tb"), batch_format="pyarrow")
+
+    def _verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = [c for c in t.column_names if c not in ("_ta", "_tb")]
+            out = t.select(cols) if cols else pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64())})
+            return out.append_column("jaccard",
+                                     pa.array([], pa.float64()))
+        ia = np.asarray(t["id_a"], dtype=np.int64)
+        ib = np.asarray(t["id_b"], dtype=np.int64)
+        ta = t["_ta"].to_pylist()
+        tb = t["_tb"].to_pylist()
+        shing: dict[int, np.ndarray] = {}
+        for ids, txts in ((ia, ta), (ib, tb)):
+            for i, txt in zip(ids, txts):
+                if int(i) not in shing:
+                    shing[int(i)] = np.unique(
+                        shingle_hashes(txt or "", k))
+        sims = np.empty(len(ia), dtype=np.float64)
+        for row in range(len(ia)):
+            sa, sb = shing[int(ia[row])], shing[int(ib[row])]
+            if not len(sa) and not len(sb):
+                sims[row] = 1.0
+            elif not len(sa) or not len(sb):
+                sims[row] = 0.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                sims[row] = inter / (len(sa) + len(sb) - inter)
+        keep = sims >= threshold
+        out = t.drop_columns(["_ta", "_tb"]).append_column(
+            "jaccard", pa.array(sims, pa.float64()))
+        return out.filter(pa.array(keep))
+
+    return j2.map_batches(_verify, batch_format="pyarrow")
 
 
 # --- embedding cosine near-dup --------------------------------------------

@@ -984,3 +984,86 @@ def test_exact_quantiles_int_disc_semantics(ray_session):
     out = exact_quantiles_int(
         ds, "x", [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]).to_pandas()
     assert list(out["x"]) == [1, 1, 3, 5, 8, 9, 10]  # DuckDB quantile_disc
+
+
+def test_verify_pairs_jaccard_exact_and_filtering(ray_session):
+    """verify_pairs_jaccard attaches the TRUE set-based jaccard (exact
+    vs the scalar reference kernel) and drops sub-threshold candidate
+    pairs — including a planted spurious candidate."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import jaccard, verify_pairs_jaccard
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the band plays on and on ")
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "text": [
+            base + "alpha beta gamma delta",
+            base + "alpha beta gamma epsilon",      # near-dup of 0
+            base + "zeta eta theta iota",            # near-dup-ish of 0
+            "completely different content about ray data pipelines "
+            "and arrow batches flowing through actor pools",
+            "another unrelated document mentioning shuffles joins "
+            "and partitions in a distributed engine",
+            base + "alpha beta gamma delta",          # exact dup of 0
+        ],
+    })
+    # candidate list includes a SPURIOUS pair (0, 3): unrelated docs that
+    # a band-key coincidence could propose — verification must kill it
+    pairs = pd.DataFrame({
+        "id_a": np.array([0, 0, 0, 0, 3], dtype="int64"),
+        "id_b": np.array([1, 2, 3, 5, 4], dtype="int64"),
+    })
+    out = verify_pairs_jaccard(
+        rd.from_pandas(pairs).repartition(3),
+        rd.from_pandas(docs).repartition(2),
+        id_col="doc_id", threshold=0.5, num_partitions=8,
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    txt = dict(zip(docs["doc_id"], docs["text"]))
+    for _, row in out.iterrows():
+        want = jaccard(txt[row["id_a"]], txt[row["id_b"]], k=5)
+        assert abs(row["jaccard"] - want) < 1e-12
+    got_pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 5) in got_pairs          # exact dup: jaccard 1.0
+    assert (0, 1) in got_pairs          # near dup above threshold
+    assert (0, 3) not in got_pairs      # spurious candidate killed
+    assert (3, 4) not in got_pairs
+
+
+def test_remove_near_duplicates_verified(ray_session):
+    """verify_jaccard screening keeps removal equal to the unverified
+    path on a corpus of genuine near-dups (planted clusters survive as
+    one representative each)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import remove_near_duplicates
+
+    rng = np.random.RandomState(9)
+    words = [f"w{i}" for i in range(300)]
+    texts, gold_keep = [], set()
+    did = 0
+    for c in range(10):
+        base_words = [words[rng.randint(300)] for _ in range(60)]
+        for v in range(3):
+            t = list(base_words)
+            if v:
+                t[v] = "variant" + str(v)
+            texts.append(" ".join(t))
+            if v == 0:
+                gold_keep.add(did)
+            did += 1
+    for i in range(30):
+        texts.append(" ".join(words[rng.randint(300)] for _ in range(60)))
+        gold_keep.add(did)
+        did += 1
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                         "text": texts})
+    kept = remove_near_duplicates(
+        rd.from_pandas(docs).repartition(4), "doc_id",
+        verify_jaccard=0.5, method="distributed", num_partitions=8,
+    ).to_pandas()
+    # every planted cluster keeps exactly its min id; uniques all survive
+    assert set(kept["doc_id"]) == gold_keep
