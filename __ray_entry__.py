@@ -971,6 +971,82 @@ def q_toi_boolean(sf_dir: str):
     return toi_query_filter(ds, spec).select_columns(["doc_id"])
 
 
+def q_url_canonicalize(sf_dir: str):
+    """URL canonicalization as frontier dedup leverage: every corpus
+    page URL is expanded into 3 deterministic variant spellings
+    (uppercase scheme/host, :443 port + fragment, tracking params),
+    canonicalized back, and counted. The invariant the result shows:
+    variants collapse to exactly the original distinct-URL count.
+    Rows-only (urlsplit semantics aren't DuckDB-expressible)."""
+    import pyarrow as pa
+
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.functions.urlnorm import canonicalize_urls
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    import ray.data as rd
+
+    pages = rd.read_parquet(os.path.join(corpus, "pages"),
+                            columns=["url"])
+
+    def _variants(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        out = []
+        for u in urls:
+            rest = u.split("://", 1)[1]
+            host, _, path = rest.partition("/")
+            out.append("HTTPS://" + host.upper() + "/" + path)
+            out.append(f"https://{host}:443/{path}#frag")
+            out.append(f"https://{host}/{path}?utm_source=feed&gclid=g1")
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    def _partial(t: pa.Table) -> pa.Table:
+        canon = canonicalize_urls(t["url"])
+        return pa.table({
+            "n_variant_rows": pa.array([t.num_rows], pa.int64()),
+            "n_roundtrip_ok": pa.array(
+                [pa.compute.sum(
+                    pa.compute.equal(canon, canonicalize_urls(canon))
+                ).as_py() or 0], pa.int64()),
+        })
+
+    import pandas as pd
+
+    stats = pages.map_batches(_variants, batch_format="pyarrow").map_batches(
+        _partial, batch_format="pyarrow").to_pandas().sum()
+    n_orig = pages.map_batches(
+        lambda t: pa.table({"c": canonicalize_urls(t["url"])}),
+        batch_format="pyarrow").unique("c")
+    return pd.DataFrame({
+        "n_variant_rows": [int(stats["n_variant_rows"])],
+        "n_roundtrip_ok": [int(stats["n_roundtrip_ok"])],
+        "n_distinct_canonical": [len(n_orig)],
+    })
+
+
+def q_mimetype_counts(sf_dir: str):
+    """W7 mimetype inference over the corpus pages (magic bytes first,
+    extension fallback), grouped counts. Rows-only."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.functions.urlnorm import infer_mimetypes
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    pages = rd.read_parquet(os.path.join(corpus, "pages"),
+                            columns=["url", "html"])
+    return (
+        pages.map_batches(
+            lambda t: pa.table(
+                {"mimetype": infer_mimetypes(t["url"], t["html"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("mimetype")
+        .count()
+    )
+
+
 def q_jaccard_neardup(sf_dir: str):
     """n-gram Jaccard near-dup: MinHash+LSH candidate pairs screened by
     TRUE word-5-shingle Jaccard (two distributed equi-joins ship each
@@ -1167,6 +1243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_removed": q_embedding_neardup_removed,
         "approx_distinct": q_approx_distinct,
         "jaccard_neardup": q_jaccard_neardup,
+        "url_canonicalize": q_url_canonicalize,
+        "mimetype_counts": q_mimetype_counts,
         "token_quantiles": q_token_quantiles,
         "heavy_hitters": q_heavy_hitters,
         "scraper_mirror": q_scraper_mirror,

@@ -85,6 +85,7 @@ class CrawlConfig:
     scheduler: str = "auto"  # "auto" | "driver" | "distributed"
     driver_threshold: int = 2_000_000  # frontier rows
     resume: bool = False
+    canonicalize: bool = False  # URL canonicalization before the seen-set
     enrich_text: bool = False  # inline quality/lang-id/fingerprint stage
     ckpt_every: int = 1  # seen-set checkpoint cadence (0 = final only)
     salt_hosts: int = 0  # >0: salted two-phase host-quota shuffle (skew)
@@ -162,13 +163,18 @@ def _empty_frontier() -> pa.Table:
     )
 
 
-def _explode_links(batch: pa.Table, decay: float, max_depth: int) -> pa.Table:
+def _explode_links(batch: pa.Table, decay: float, max_depth: int,
+                   canonicalize: bool = False) -> pa.Table:
     """links list<string> -> child frontier rows.
 
     Fully vectorized: Arrow ``list_flatten``/``list_parent_indices`` for
     the explode, numpy for the per-child index, one ``binary_join`` for
     the ``parent_seq + {idx:05d}`` seq assignment — no Python loop over
-    rows or links in this hot path."""
+    rows or links in this hot path. ``canonicalize`` routes child URLs
+    through :func:`..functions.urlnorm.canonicalize_urls` (vectorized
+    already-canonical screen; only the flagged minority pays the exact
+    parse) BEFORE the seen-set ever sees them — variant spellings of one
+    page collapse pre-fetch instead of costing a fetch each."""
     import pyarrow.compute as pc
 
     if batch.num_rows == 0:
@@ -194,6 +200,10 @@ def _explode_links(batch: pa.Table, decay: float, max_depth: int) -> pa.Table:
     # astype(str) sizes to the widest value; zfill(5) == f"{idx:05d}"
     idx_str = pa.array(np.char.zfill(child_idx.astype(str), 5))
     seqs = pc.binary_join_element_wise(parent_seq, idx_str, "")
+    if canonicalize:
+        from ..functions.urlnorm import canonicalize_urls
+
+        flat = canonicalize_urls(pc.cast(flat, pa.string()))
     urls = flat.to_pylist()
     return pa.table(
         {
@@ -207,7 +217,14 @@ def _explode_links(batch: pa.Table, decay: float, max_depth: int) -> pa.Table:
     )
 
 
-def seeds_to_frontier(seeds: pa.Table) -> pa.Table:
+def seeds_to_frontier(seeds: pa.Table, canonicalize: bool = False) -> pa.Table:
+    if canonicalize:
+        from ..functions.urlnorm import canonicalize_urls
+
+        seeds = seeds.set_column(
+            seeds.column_names.index("url"), "url",
+            canonicalize_urls(seeds["url"].cast(pa.string())),
+        )
     urls = seeds["url"].to_pylist()
     return pa.table(
         {
@@ -408,6 +425,7 @@ class _Crawl:
                 ).remote(
                     chunk, r, cfg.priority_decay, cfg.max_depth,
                     os.path.join(ext_dir, f"part-{j:05d}.parquet"),
+                    canonicalize=cfg.canonicalize,
                 )
                 lrefs.append(l)
                 crefs.append(c)
@@ -576,7 +594,9 @@ class _Crawl:
 
         nxt = fetched.map_batches(
             _explode_links,
-            fn_kwargs={"decay": cfg.priority_decay, "max_depth": cfg.max_depth},
+            fn_kwargs={"decay": cfg.priority_decay,
+                       "max_depth": cfg.max_depth,
+                       "canonicalize": cfg.canonicalize},
             batch_format="pyarrow",
         ).select_columns(FRONTIER_COLS)
         for part in deferred_parts:
@@ -656,7 +676,7 @@ class _Crawl:
             seeds = pq.read_table(os.path.join(cfg.corpus_dir, "seeds.parquet"))
             d = _round_dir(self.frontier_dir, 0)
             os.makedirs(d, exist_ok=True)
-            pq.write_table(seeds_to_frontier(seeds),
+            pq.write_table(seeds_to_frontier(seeds, cfg.canonicalize),
                            os.path.join(d, "part-0.parquet"))
 
         total_fetched = total_errors = 0

@@ -324,7 +324,8 @@ class FetchExtractActor:
         self.inner = FetchExtract(**kwargs)
 
     def process(self, chunk: pa.Table, round_no: int, decay: float,
-                max_depth: int, out_path: str | None = None):
+                max_depth: int, out_path: str | None = None,
+                canonicalize: bool = False):
         """Fetch+extract one chunk; with ``out_path``, write the extracted
         rows straight to a per-chunk Parquet part (resumable
         round-partitioned layout, written where the data already is) and
@@ -338,7 +339,8 @@ class FetchExtractActor:
         extracted = self.inner(chunk, round_no=round_no)
         from ..pipelines.frontier import _explode_links  # local import, no cycle at module load
 
-        links = _explode_links(extracted, decay, max_depth)
+        links = _explode_links(extracted, decay, max_depth,
+                               canonicalize=canonicalize)
         found = extracted["found"].to_numpy(zero_copy_only=False)
         ok = pa.compute.and_kleene(
             extracted["found"], extracted["parse_ok"]

@@ -1,0 +1,118 @@
+"""URL canonicalization + mimetype inference (W7)."""
+
+import numpy as np
+import pyarrow as pa
+
+from siren_ray.functions.urlnorm import (
+    canonicalize_url,
+    canonicalize_urls,
+    infer_mimetypes,
+)
+
+CASES = [
+    # (input, canonical)
+    ("HTTP://Example.COM/a/b", "http://example.com/a/b"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/a?utm_source=x&utm_medium=y", "https://example.com/a"),
+    ("https://example.com/a?b=2&a=1&fbclid=zzz", "https://example.com/a?a=1&b=2"),
+    ("https://example.com/a?b=2&b=1", "https://example.com/a?b=1&b=2"),
+    ("https://example.com/a?", "https://example.com/a"),
+    ("  https://example.com/a ", "https://example.com/a"),
+    # already canonical: must be untouched
+    ("https://news.example.org/story/one", "https://news.example.org/story/one"),
+    ("http://h0st-name.org/x.y/z", "http://h0st-name.org/x.y/z"),
+]
+
+
+def test_canonicalize_scalar_cases():
+    for raw, want in CASES:
+        assert canonicalize_url(raw) == want, raw
+
+
+def test_canonicalize_idempotent():
+    for raw, _ in CASES:
+        once = canonicalize_url(raw)
+        assert canonicalize_url(once) == once, raw
+
+
+def test_canonicalize_batch_matches_scalar():
+    """The vectorized fast-path screen must agree with the exact scalar
+    kernel on every row — canonical inputs pass through, the rest take
+    the slow path."""
+    raws = [r for r, _ in CASES] * 7 + [
+        "https://example.com/already/canonical/path",
+        "ftp://odd.example.org/x",
+        "",
+    ]
+    got = canonicalize_urls(pa.array(raws, pa.string())).to_pylist()
+    want = [canonicalize_url(r) for r in raws]
+    assert got == want
+
+
+def test_canonicalize_screen_accepts_only_canonical():
+    """Every url the regex screen passes must be a fixed point of the
+    exact kernel (screen soundness — fast path can't skip a rewrite)."""
+    import pyarrow.compute as pc
+
+    from siren_ray.functions.urlnorm import _CANONICAL_RE
+
+    urls = [r for r, _ in CASES] + [c for _, c in CASES]
+    arr = pa.array(urls, pa.string())
+    passed = arr.filter(pc.match_substring_regex(arr, _CANONICAL_RE))
+    for u in passed.to_pylist():
+        assert canonicalize_url(u) == u, u
+
+
+def test_infer_mimetypes_magic_and_extension():
+    urls = pa.array([
+        "https://x.org/doc.pdf",        # magic wins
+        "https://x.org/img",            # magic only
+        "https://x.org/page.html",      # body html
+        "https://x.org/style.css",      # no body -> extension
+        "https://x.org/data.json",      # no body -> extension
+        "https://x.org/unknown.xyz",    # default
+        "https://x.org/api",            # json body magic
+    ], pa.string())
+    bodies = pa.array([
+        b"%PDF-1.7 ...",
+        b"\x89PNG\r\n",
+        b"<!DOCTYPE html><html>",
+        None,
+        None,
+        None,
+        b'{"a": 1}',
+    ], pa.binary())
+    got = infer_mimetypes(urls, bodies).to_pylist()
+    assert got == ["application/pdf", "image/png", "text/html",
+                   "text/css", "application/json", "text/html",
+                   "application/json"]
+
+
+def test_crawl_with_canonicalization_unchanged_on_canonical_corpus(
+        corpus_sf0001, tmp_path, ray_session):
+    """The corpus generator emits canonical URLs, so canonicalize=True
+    must not perturb the crawl (screen passes everything; the seen-set,
+    order, and counts are identical to the baseline run)."""
+    from siren_ray.pipelines.frontier import (
+        CrawlConfig, read_crawl_order, run_crawl,
+    )
+
+    params = dict(budget_per_round=50, round_ms=1000, max_rounds=5,
+                  max_depth=6)
+    a = CrawlConfig(corpus_dir=corpus_sf0001, out_dir=str(tmp_path / "a"),
+                    scheduler="driver", **params)
+    b = CrawlConfig(corpus_dir=corpus_sf0001, out_dir=str(tmp_path / "b"),
+                    scheduler="driver", canonicalize=True, **params)
+    run_crawl(a)
+    run_crawl(b)
+
+    def order(out_dir):
+        t = read_crawl_order(out_dir)
+        return list(zip(t["round"].to_pylist(), t["url"].to_pylist(),
+                        t["seq"].to_pylist()))
+
+    assert order(a.out_dir) == order(b.out_dir)
