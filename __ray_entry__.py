@@ -1186,6 +1186,126 @@ def q_exact_quantiles(sf_dir: str):
                                [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def q_topk_global(sf_dir: str):
+    """Global ORDER BY ... LIMIT k without a full sort: mergeable
+    per-batch prune (<= k rows per block move), driver-side final merge.
+    Top-100 orders by (o_totalprice DESC, o_orderkey ASC)."""
+    import ray.data as rd
+
+    from siren_ray.stages.relational import topk_global
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_totalprice"])
+    return topk_global(orders, "o_totalprice", 100, tie_col="o_orderkey")
+
+
+def q_left_join_agg(sf_dir: str):
+    """Distributed LEFT equi-join + grouped count: per-customer order
+    count INCLUDING zero-order customers (the null-preserving case an
+    inner join can't express). Both sides shuffle; counts are of
+    non-null right keys, so unmatched left rows contribute 0."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.relational import hash_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_orderkey"])
+    joined = hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                       how="left", broadcast=False)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby("c_custkey", sort=False)["o_orderkey"]
+            .count()  # pandas count skips NaN: unmatched rows add 0
+            .reset_index(name="n_orders")
+        )
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": [df["c_custkey"].iloc[0]],
+            "n_orders": [int(df["n_orders"].sum())],
+        })
+
+    return (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped composite pipeline (the 'could a reference user
+    run their reporting here' demo): BUILDING-segment customers filter
+    orders via a distributed semi-join, lineitems join the surviving
+    orders via a distributed hash join, revenue aggregates with per-batch
+    partial combiners, and the global top-10 merges without a full sort.
+    Every stage is one of this engine's named operators."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import hash_semijoin
+    from siren_ray.stages.relational import hash_join, topk_global
+
+    cust_keys = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda t: pa.table({"id": t.filter(
+            pa.compute.equal(t["c_mktsegment"], "BUILDING")
+        )["c_custkey"]}),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    sel_orders = hash_semijoin(orders, cust_keys, "o_custkey")
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue_c": pa.array(_cents(
+                t["l_extendedprice"].to_numpy()
+                * (1.0 - t["l_discount"].to_numpy())), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(li, sel_orders, on="l_orderkey",
+                       right_on="o_orderkey", how="inner", broadcast=False)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_orderkey", "o_orderpriority"], sort=False)
+            ["revenue_c"].sum().reset_index(name="revenue_c")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": [df["l_orderkey"].iloc[0]],
+            "o_orderpriority": [df["o_orderpriority"].iloc[0]],
+            "revenue_c": [int(df["revenue_c"].sum())],
+        })
+
+    per_order = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .map_groups(_merge, batch_format="pandas")
+    )
+    return topk_global(per_order, "revenue_c", 10, tie_col="l_orderkey")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1230,6 +1350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum": q_rolling_sum,
         "pivot_counts": q_pivot_counts,
         "exact_quantiles": q_exact_quantiles,
+        "topk_global": q_topk_global,
+        "left_join_agg": q_left_join_agg,
+        "shipping_priority": q_shipping_priority,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -1433,6 +1556,25 @@ def oracle_sql() -> dict[str, str]:
                 f"quantile_disc(n_tokens, {q}) AS n_tokens FROM tc"
                 for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
             )
+        ),
+        "topk_global": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        "left_join_agg": (
+            "SELECT c_custkey, count(o_orderkey) AS n_orders "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+            "GROUP BY c_custkey"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, o_orderpriority, "
+            "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)) AS BIGINT) AS revenue_c "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY l_orderkey, o_orderpriority "
+            "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"
         ),
         "knn_brute": (
             "WITH q AS (SELECT vec_id AS query_rank, embedding FROM ("

@@ -57,6 +57,36 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int, *,
     )
 
 
+def topk_global(ds, order_col: str, k: int, *, ascending: bool = False,
+                tie_col: str | None = None) -> pa.Table:
+    """Global top-``k`` rows (``ORDER BY order [, tie] LIMIT k``) WITHOUT
+    a full distributed sort: top-k is mergeable, so each batch prunes to
+    its own k rows and only <= k rows per block reach the driver-side
+    final merge (k * num_blocks rows total — a result, not a dataset).
+    The all-to-all sort shuffle a naive ``ds.sort().limit()`` pays never
+    happens."""
+    sort_cols = [order_col] + ([tie_col] if tie_col else [])
+    orders = [ascending] + ([True] if tie_col else [])
+
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=orders,
+                              kind="mergesort").head(k)
+
+    pruned = ds.map_batches(
+        lambda t: pa.Table.from_pandas(_prune(t.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow",
+    )
+    import ray as _ray
+
+    parts = [t for t in _ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({})
+    merged = pa.concat_tables(parts, promote_options="default").to_pandas()
+    return pa.Table.from_pandas(_prune(merged).reset_index(drop=True),
+                                preserve_index=False)
+
+
 def approx_distinct(ds, col: str, *, precision: int = 12) -> dict:
     """HyperLogLog count-distinct: per-block register arrays, merged by
     elementwise max — the canonical MERGEABLE sketch, so the combine is
