@@ -1186,6 +1186,24 @@ def q_exact_quantiles(sf_dir: str):
                                [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-source exact token-count quantiles (grouped quantile_disc):
+    (group, value) histogram partials, two-key groupby bounded by
+    groups x distinct values, per-group cumsum scan."""
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import token_count_ws
+    from siren_ray.stages.relational import grouped_quantiles_int
+
+    counts = _docs(sf_dir).map_batches(
+        lambda t: pa.table({"source": t["source"],
+                            "n_tokens": token_count_ws(t["text"])}),
+        batch_format="pyarrow",
+    )
+    return grouped_quantiles_int(counts, "source", "n_tokens",
+                                 [0.25, 0.5, 0.9])
+
+
 def q_topk_global(sf_dir: str):
     """Global ORDER BY ... LIMIT k without a full sort: mergeable
     per-batch prune (<= k rows per block move), driver-side final merge.
@@ -1351,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": q_pivot_counts,
         "exact_quantiles": q_exact_quantiles,
         "topk_global": q_topk_global,
+        "grouped_quantiles": q_grouped_quantiles,
         "left_join_agg": q_left_join_agg,
         "shipping_priority": q_shipping_priority,
         # rows-only (non-SQL-expressible)
@@ -1560,6 +1579,17 @@ def oracle_sql() -> dict[str, str]:
         "topk_global": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        "grouped_quantiles": (
+            "WITH tc AS (SELECT source, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS "
+            "n_tokens FROM documents) "
+            + " UNION ALL ".join(
+                f"SELECT source, CAST({q} AS DOUBLE) AS q, "
+                f"quantile_disc(n_tokens, {q}) AS n_tokens "
+                f"FROM tc GROUP BY source"
+                for q in (0.25, 0.5, 0.9)
+            )
         ),
         "left_join_agg": (
             "SELECT c_custkey, count(o_orderkey) AS n_orders "

@@ -587,6 +587,53 @@ def quantile_sketch(ds, col: str, qs, *, k: int = 200) -> np.ndarray:
     return total.quantiles(qs)
 
 
+def grouped_quantiles_int(ds, group_col: str, col: str, qs) -> pd.DataFrame:
+    """EXACT per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics) of an integer-valued column. Same scale shape as
+    :func:`exact_quantiles_int`: per-batch (group, value) count
+    partials, one two-key groupby-sum bounded by |groups| x |distinct
+    values| (not rows), then a vectorized cumsum scan per group on the
+    driver-side histogram. Returns (group, q, value) rows."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or col not in t.schema.names:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = np.asarray(t[group_col].cast(pa.string()).to_pylist(),
+                       dtype=object)
+        v = np.asarray(t[col], dtype=np.int64)
+        fused = np.char.add(np.char.add(g.astype(str), "\x1f"),
+                            v.astype(str))
+        uniq, idx, counts = np.unique(fused, return_index=True,
+                                      return_counts=True)
+        return pa.table({
+            group_col: pa.array(g[idx].astype(str), pa.string()),
+            "v": pa.array(v[idx], pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    hist = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby([group_col, "v"])
+        .sum("n")
+    ).to_pandas().sort_values([group_col, "v"]).reset_index(drop=True)
+    qs = np.asarray(list(qs), dtype=np.float64)
+    rows_g, rows_q, rows_v = [], [], []
+    for g, sub in hist.groupby(group_col, sort=True):
+        values = sub["v"].to_numpy(dtype=np.int64)
+        cum = sub["sum(n)"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        idx = np.maximum(0, np.ceil(qs * n).astype(np.int64) - 1)
+        pos = np.searchsorted(cum, idx, side="right")
+        rows_g.extend([g] * len(qs))
+        rows_q.extend(qs.tolist())
+        rows_v.extend(values[pos].tolist())
+    return pd.DataFrame({group_col: rows_g,
+                         "q": np.asarray(rows_q, dtype=np.float64),
+                         col: np.asarray(rows_v, dtype=np.int64)})
+
+
 def _mg_compress(items: np.ndarray, counts: np.ndarray,
                  k: int) -> tuple[np.ndarray, np.ndarray, int]:
     """Misra-Gries compression to <= k counters; returns (items, counts,

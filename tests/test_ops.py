@@ -1067,3 +1067,25 @@ def test_remove_near_duplicates_verified(ray_session):
     ).to_pandas()
     # every planted cluster keeps exactly its min id; uniques all survive
     assert set(kept["doc_id"]) == gold_keep
+
+
+def test_grouped_quantiles_int_matches_reference(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import grouped_quantiles_int
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 20_000),
+        "x": rng.poisson(40, 20_000).astype("int64"),
+    })
+    qs = [0.25, 0.5, 0.9]
+    out = grouped_quantiles_int(
+        rd.from_pandas(df).repartition(8), "g", "x", qs)
+    for g, sub in df.groupby("g"):
+        sv = np.sort(sub["x"].to_numpy())
+        for q in qs:
+            want = sv[max(0, int(np.ceil(q * len(sv))) - 1)]
+            got = out[(out["g"] == g) & (out["q"] == q)]["x"].iloc[0]
+            assert got == want, (g, q)
