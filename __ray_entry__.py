@@ -1186,6 +1186,82 @@ def q_exact_quantiles(sf_dir: str):
                                [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def q_uniform_sample(sf_dir: str):
+    """Deterministic uniform sample of 200 events by md5(event_id)
+    order (engine-independent pseudo-randomness, same contract as
+    q_stratified_sample) — implemented as the sort-free global top-k in
+    ASC mode, so only <= 200 rows per block ever move."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.relational import topk_global
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type"])
+
+    def _md5(t: pa.Table) -> pa.Table:
+        hs = [_hl.md5(str(x).encode()).hexdigest()
+              for x in t["event_id"].to_pylist()]
+        return t.append_column("h", pa.array(hs, pa.string()))
+
+    out = topk_global(ev.map_batches(_md5, batch_format="pyarrow"),
+                      "h", 200, ascending=True, tie_col="event_id")
+    return out.select(["event_id", "event_type"])
+
+
+def q_distinct_per_group(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type: per-batch unique-pair
+    partials, one (type, user) groupby collapses duplicates across
+    blocks, then a partial-combined count per type — the distinct set
+    itself never materializes anywhere."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        uid = np.asarray(t["user_id"], dtype=np.int64)
+        fused = np.char.add(np.char.add(et.astype(str), "\x1f"),
+                            uid.astype(str))
+        _, idx = np.unique(fused, return_index=True)
+        return pa.table({"event_type": pa.array(et[idx].astype(str)),
+                         "user_id": pa.array(uid[idx], pa.int64())})
+
+    distinct_pairs = (
+        ev.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        vals, counts = np.unique(et.astype(str), return_counts=True)
+        return pa.table({"event_type": pa.array(vals),
+                         "n_users": pa.array(counts.astype("int64"))})
+
+    import pandas as pd
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "n_users": [int(df["n_users"].sum())],
+        })
+
+    return (
+        distinct_pairs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Per-source exact token-count quantiles (grouped quantile_disc):
     (group, value) histogram partials, two-key groupby bounded by
@@ -1370,6 +1446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles": q_exact_quantiles,
         "topk_global": q_topk_global,
         "grouped_quantiles": q_grouped_quantiles,
+        "uniform_sample": q_uniform_sample,
+        "distinct_per_group": q_distinct_per_group,
         "left_join_agg": q_left_join_agg,
         "shipping_priority": q_shipping_priority,
         # rows-only (non-SQL-expressible)
@@ -1590,6 +1668,14 @@ def oracle_sql() -> dict[str, str]:
                 f"FROM tc GROUP BY source"
                 for q in (0.25, 0.5, 0.9)
             )
+        ),
+        "uniform_sample": (
+            "SELECT event_id, event_type FROM events "
+            "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 200"
+        ),
+        "distinct_per_group": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
         ),
         "left_join_agg": (
             "SELECT c_custkey, count(o_orderkey) AS n_orders "

@@ -300,6 +300,10 @@ def run_query_bench(sf_dir: str) -> dict:
         "grouped_topk",
         "asof_join",
         "range_join",
+        "shipping_priority",
+        "rolling_sum",
+        "topk_global",
+        "jaccard_neardup",
     ]
     qs = entrymod.queries()
     out = {}
