@@ -1,0 +1,112 @@
+"""robots.txt parsing for the live-fetch seam.
+
+The engine's politeness spec (stages/politeness.py) consumes
+``{host: (disallow_prefixes, crawl_delay_ms)}``; in corpus mode that
+dict comes pre-built from robots.parquet. This module is the
+live-deployment path: fetch ``https://host/robots.txt`` through the
+same :class:`..transport.HttpTransport` the page fetchers use, and
+parse the REAL file format into the engine's model.
+
+Parser semantics (the public Robots Exclusion Protocol subset that maps
+onto the engine's prefix-disallow model):
+
+- lines are ``field: value``; ``#`` starts a comment; fields are
+  case-insensitive, values are not (paths are case-sensitive).
+- consecutive ``User-agent`` lines open ONE group; a group's rules are
+  the ``Disallow``/``Crawl-delay`` lines until the next user-agent run.
+- the applicable group is the one whose agent token is the LONGEST
+  substring-match for our agent name; ``*`` matches anything with
+  length 0 (specific groups always beat it).
+- empty ``Disallow:`` means "allow all" (contributes no prefix).
+- ``Crawl-delay`` is seconds (int or float) -> milliseconds.
+- ``Allow`` lines are recorded but NOT applied: the engine's politeness
+  model is prefix-disallow only, so we stay CONSERVATIVE (a path both
+  allowed and disallowed stays disallowed). Documented limitation.
+"""
+
+from __future__ import annotations
+
+
+def parse_robots_txt(text: str, agent: str = "siren-ray"
+                     ) -> tuple[list[str], int]:
+    """robots.txt body -> (disallow_prefixes, crawl_delay_ms) for
+    ``agent``. Unknown fields are ignored; a missing/empty file means
+    no restrictions (``([], 0)``)."""
+    agent_l = agent.lower()
+    groups: list[tuple[list[str], list[str], float | None]] = []
+    cur_agents: list[str] = []
+    cur_dis: list[str] = []
+    cur_delay: float | None = None
+    in_agent_run = False
+
+    def _close():
+        nonlocal cur_agents, cur_dis, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_dis, cur_delay))
+        cur_agents, cur_dis, cur_delay = [], [], None
+
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                _close()
+                in_agent_run = True
+            cur_agents.append(value.lower())
+            continue
+        in_agent_run = False
+        if field == "disallow":
+            if value:
+                cur_dis.append(value)
+        elif field == "crawl-delay":
+            try:
+                cur_delay = float(value)
+            except ValueError:
+                pass
+        # "allow" and anything else: ignored (see module docstring)
+    _close()
+
+    best_len = -1
+    best: tuple[list[str], float | None] | None = None
+    for agents, dis, delay in groups:
+        for a in agents:
+            if a == "*":
+                match_len = 0
+            elif a and a in agent_l:
+                match_len = len(a)
+            else:
+                continue
+            if match_len > best_len:
+                best_len = match_len
+                best = (dis, delay)
+    if best is None:
+        return [], 0
+    dis, delay = best
+    return list(dis), int(round((delay or 0.0) * 1000))
+
+
+def robots_from_http(hosts, transport, *, scheme: str = "https",
+                     agent: str = "siren-ray"
+                     ) -> dict[str, tuple[list[str], int]]:
+    """Fetch + parse robots.txt for each host through the fetch
+    transport (batched, error-swallowing: a host whose robots.txt is
+    missing or unreachable gets NO entry = unrestricted, the
+    conventional interpretation of 404). Returns the politeness dict
+    consumed by ``load_robots`` users."""
+    hosts = list(hosts)
+    urls = [f"{scheme}://{h}/robots.txt" for h in hosts]
+    bodies, _errs = transport.fetch_many(urls)
+    out: dict[str, tuple[list[str], int]] = {}
+    for h, body in zip(hosts, bodies):
+        if body is None:
+            continue
+        try:
+            text = body.decode("utf-8", errors="replace")
+        except Exception:
+            continue
+        out[h] = parse_robots_txt(text, agent=agent)
+    return out

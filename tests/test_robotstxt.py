@@ -1,0 +1,86 @@
+"""robots.txt parser + HTTP robots discovery (live-fetch seam)."""
+
+from siren_ray.stages.politeness import host_quota, is_disallowed
+from siren_ray.stages.robotstxt import parse_robots_txt, robots_from_http
+
+SAMPLE = """
+# example robots file
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Crawl-delay: 2
+
+User-agent: siren-ray
+Disallow: /siren-only/
+Crawl-delay: 0.5
+
+User-agent: greedybot
+Disallow: /
+"""
+
+
+def test_specific_group_beats_wildcard():
+    dis, delay = parse_robots_txt(SAMPLE, agent="siren-ray")
+    assert dis == ["/siren-only/"]
+    assert delay == 500
+
+
+def test_wildcard_group_for_unknown_agent():
+    dis, delay = parse_robots_txt(SAMPLE, agent="otherbot")
+    assert dis == ["/private/", "/tmp/"]
+    assert delay == 2000
+
+
+def test_longest_agent_match_and_case_insensitive_fields():
+    text = ("USER-AGENT: bot\nDISALLOW: /a/\n\n"
+            "User-Agent: mybot\nDisallow: /b/\nCRAWL-DELAY: 3\n")
+    # agent "mybot-fetcher/1.0" contains both "bot" and "mybot";
+    # the longer token wins
+    dis, delay = parse_robots_txt(text, agent="mybot-fetcher/1.0")
+    assert dis == ["/b/"] and delay == 3000
+
+
+def test_consecutive_agent_lines_share_one_group():
+    text = ("User-agent: a\nUser-agent: b\nDisallow: /x/\n\n"
+            "User-agent: *\nDisallow: /y/\n")
+    assert parse_robots_txt(text, agent="a")[0] == ["/x/"]
+    assert parse_robots_txt(text, agent="b")[0] == ["/x/"]
+    assert parse_robots_txt(text, agent="zzz")[0] == ["/y/"]
+
+
+def test_empty_disallow_comments_and_garbage():
+    text = ("User-agent: *\nDisallow:\n# all allowed\nnonsense line\n"
+            "Crawl-delay: notanumber\n")
+    dis, delay = parse_robots_txt(text)
+    assert dis == [] and delay == 0
+    assert parse_robots_txt("") == ([], 0)
+    assert parse_robots_txt(None) == ([], 0)
+
+
+def test_parsed_rules_drive_politeness_model():
+    robots = {"news.example.org": parse_robots_txt(SAMPLE, "siren-ray")}
+    assert is_disallowed(robots, "news.example.org", "/siren-only/x")
+    assert not is_disallowed(robots, "news.example.org", "/public/x")
+    # 1000 ms round / 500 ms delay -> 2 fetches per round
+    assert host_quota(robots, "news.example.org", 1000) == 2
+    assert host_quota(robots, "unknown.example.org", 1000) > 1 << 60
+
+
+def test_robots_over_http_end_to_end():
+    """robots discovery through the same transport + localhost server
+    the page fetchers use: present file parsed, missing file =
+    unrestricted."""
+    from siren_ray.sources.localhttp import CorpusHttpServer
+    from siren_ray.stages.transport import HttpTransport
+
+    pages = {
+        "https://a.example.org/robots.txt": SAMPLE.encode(),
+        "https://a.example.org/page": b"<html>x</html>",
+    }
+    with CorpusHttpServer(pages) as srv:
+        tr = HttpTransport(srv.base_url)
+        robots = robots_from_http(
+            ["a.example.org", "b.example.org"], tr, agent="siren-ray")
+    assert robots["a.example.org"] == (["/siren-only/"], 500)
+    assert "b.example.org" not in robots  # 404 -> unrestricted
+    assert is_disallowed(robots, "a.example.org", "/siren-only/p")
