@@ -1186,6 +1186,45 @@ def q_exact_quantiles(sf_dir: str):
                                [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank centrality over the embedding cosine-similarity graph
+    (edges = exact all-pairs cosine >= 0.3, both directions): the
+    iterative co-partitioned raw-task fixpoint — rank vectors and edges
+    never leave their hash partition; only pre-aggregated (dst, sum)
+    contribution shards move per iteration. Rows-only (iterative
+    fixpoint); exactness is unit-tested against a dense numpy reference
+    (t:test_graph)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.ann import cosine_pairs_exact
+    from siren_ray.stages.graph import pagerank
+    from siren_ray.stages.relational import topk_global
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = cosine_pairs_exact(emb, threshold=0.3)
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t["id_a"].combine_chunks().cast(pa.int64()),
+                t["id_b"].combine_chunks().cast(pa.int64())]),
+            "dst": pa.concat_arrays([
+                t["id_b"].combine_chunks().cast(pa.int64()),
+                t["id_a"].combine_chunks().cast(pa.int64())]),
+        }),
+        batch_format="pyarrow",
+    )
+    nodes = emb.map_batches(
+        lambda t: pa.table({"id": t["vec_id"].combine_chunks().cast(
+            pa.int64())}),
+        batch_format="pyarrow",
+    )
+    ranks = pagerank(edges, nodes, num_partitions=16)
+    top = topk_global(ranks, "rank", 20, tie_col="id").to_pandas()
+    top["rank"] = top["rank"].round(9)
+    return top
+
+
 def q_uniform_sample(sf_dir: str):
     """Deterministic uniform sample of 200 events by md5(event_id)
     order (engine-independent pseudo-randomness, same contract as
@@ -1464,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q_approx_distinct,
         "jaccard_neardup": q_jaccard_neardup,
         "url_canonicalize": q_url_canonicalize,
+        "pagerank": q_pagerank,
         "mimetype_counts": q_mimetype_counts,
         "token_quantiles": q_token_quantiles,
         "heavy_hitters": q_heavy_hitters,

@@ -1,0 +1,229 @@
+"""Link-graph analytics (engine addition; the reference has none).
+
+PageRank is the canonical web-crawl companion operator: frontier
+prioritization, corpus-quality weighting, and dedup-cluster
+representative selection all consume a centrality score over the link
+graph the crawl itself discovers.
+
+Scale shape mirrors :func:`..dedup.connected_components` (the engine's
+iterative-fixpoint template): edges and rank vectors stay
+hash-partitioned by node id across ALL iterations; each iteration moves
+only per-destination PRE-AGGREGATED contribution shards (dst, sum) —
+never raw edges, never the full rank vector. Per-iteration driver
+traffic is O(P) floats (dangling mass + L1 delta). The Dataset-groupby
+expression of the same loop pays two sort shuffles per iteration
+(measured 20x slower for CC in round 2); raw tasks are the documented
+escape hatch for iterative co-partitioned state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_PR_PARTITIONS = 64
+
+
+def pagerank(edges_ds, nodes_ds, *, damping: float = 0.85,
+             max_iters: int = 30, tol: float = 1e-9,
+             num_partitions: int = _PR_PARTITIONS):
+    """Standard PageRank with dangling-mass redistribution.
+
+    ``edges_ds``: DIRECTED (src, dst) int64 pairs (parallel edges count
+    once each). ``nodes_ds``: single int64 column ``id`` covering every
+    endpoint (same contract as connected_components — violations raise,
+    they don't corrupt). Returns a Dataset of (id, rank) with
+    sum(rank) == 1 up to float error. Converges when the global L1
+    delta drops below ``tol`` (or at ``max_iters``, with a warning).
+    """
+    import ray
+    import ray.data as rd
+
+    P = max(2, int(num_partitions))
+    d = float(damping)
+
+    def _col(t: pa.Table, name: str) -> np.ndarray:
+        return np.asarray(t[name], dtype=np.int64)
+
+    def _shard_tables(keys: np.ndarray, cols: dict) -> list:
+        pk = keys % P
+        order = np.argsort(pk, kind="stable")
+        pk_sorted = pk[order]
+        bounds = np.searchsorted(pk_sorted, np.arange(P + 1))
+        out = []
+        for p in range(P):
+            sl = order[bounds[p]:bounds[p + 1]]
+            out.append(pa.table({
+                k: pa.array(v[sl]) for k, v in cols.items()
+            }))
+        return out
+
+    _EMPTY_EDGE = pa.table({"src": pa.array([], pa.int64()),
+                            "dst": pa.array([], pa.int64())})
+    _EMPTY_NODE = pa.table({"id": pa.array([], pa.int64())})
+
+    @ray.remote
+    def _split_edges(tbl: pa.Table):
+        if tbl.num_rows == 0 or "src" not in tbl.schema.names:
+            return [_EMPTY_EDGE] * P
+        src = _col(tbl, "src")
+        dst = _col(tbl, "dst")
+        return _shard_tables(src, {"src": src, "dst": dst})
+
+    @ray.remote
+    def _split_nodes(tbl: pa.Table):
+        if tbl.num_rows == 0 or "id" not in tbl.schema.names:
+            return [_EMPTY_NODE] * P
+        ids = _col(tbl, "id")
+        return _shard_tables(ids, {"id": ids})
+
+    @ray.remote
+    def _concat_edges(*shards):
+        src = np.concatenate([_col(s, "src") for s in shards])
+        dst = np.concatenate([_col(s, "dst") for s in shards])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    @ray.remote(num_returns=2)
+    def _init_state(edges_p: pa.Table, *node_shards):
+        """Partition state: sorted ids, out-degree per id (from the
+        src-partitioned edges, which live HERE by construction)."""
+        parts = [_col(s, "id") for s in node_shards]
+        ids = (np.unique(np.concatenate(parts)) if parts
+               else np.empty(0, dtype=np.int64))
+        deg = np.zeros(len(ids), dtype=np.int64)
+        src = _col(edges_p, "src")
+        if len(src):
+            idx = np.searchsorted(ids, src)
+            idx_c = np.minimum(idx, max(len(ids) - 1, 0))
+            if len(ids) == 0 or (ids[idx_c] != src).any():
+                raise ValueError(
+                    "pagerank: edge src absent from nodes_ds")
+            np.add.at(deg, idx_c, 1)
+        return (pa.table({"id": pa.array(ids, pa.int64()),
+                          "outdeg": pa.array(deg, pa.int64())}),
+                len(ids))
+
+    @ray.remote
+    def _contrib(edges_p: pa.Table, state_p: pa.Table,
+                 ranks_p: np.ndarray):
+        """rank[src]/outdeg[src] per edge, pre-aggregated per dst and
+        sharded by dst % P, plus this partition's dangling mass.
+        Returns P+1 objects (``num_returns=P+1`` at the call site) so
+        the per-iteration fan-out is P refs per source partition —
+        pre-aggregated (dst, sum) shards only, never raw edges."""
+        ids = _col(state_p, "id")
+        deg = _col(state_p, "outdeg")
+        dangling = float(ranks_p[deg == 0].sum()) if len(ids) else 0.0
+        src = _col(edges_p, "src")
+        dst = _col(edges_p, "dst")
+        if not len(src):
+            empty = pa.table({"dst": pa.array([], pa.int64()),
+                              "c": pa.array([], pa.float64())})
+            return tuple([empty] * P) + (dangling,)
+        idx = np.searchsorted(ids, src)
+        share = ranks_p[idx] / deg[idx]
+        order = np.argsort(dst, kind="stable")
+        dst_s = dst[order]
+        share_s = share[order]
+        first = np.ones(len(dst_s), dtype=bool)
+        first[1:] = dst_s[1:] != dst_s[:-1]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(share_s, starts)
+        uniq = dst_s[starts]
+        pk = uniq % P
+        o2 = np.argsort(pk, kind="stable")
+        bounds = np.searchsorted(pk[o2], np.arange(P + 1))
+        shards = []
+        for p in range(P):
+            sl = o2[bounds[p]:bounds[p + 1]]
+            shards.append(pa.table({
+                "dst": pa.array(uniq[sl], pa.int64()),
+                "c": pa.array(sums[sl], pa.float64()),
+            }))
+        return tuple(shards) + (dangling,)
+
+    @ray.remote(num_returns=2)
+    def _apply(state_p: pa.Table, ranks_p: np.ndarray, base: float,
+               dangling_term: float, *cand_shards):
+        ids = _col(state_p, "id")
+        new = np.full(len(ids), base + dangling_term, dtype=np.float64)
+        for s in cand_shards:
+            if s.num_rows == 0:
+                continue
+            dstv = _col(s, "dst")
+            cv = np.asarray(s["c"], dtype=np.float64)
+            idx = np.searchsorted(ids, dstv)
+            idx_c = np.minimum(idx, max(len(ids) - 1, 0))
+            if len(ids) == 0 or (ids[idx_c] != dstv).any():
+                raise ValueError(
+                    "pagerank: edge dst absent from nodes_ds")
+            new[idx_c] += d * cv
+        delta = float(np.abs(new - ranks_p).sum()) if len(ids) else 0.0
+        return new, delta
+
+    edge_blocks = edges_ds.to_arrow_refs()
+    node_blocks = nodes_ds.to_arrow_refs()
+    e_sh = [_split_edges.options(num_returns=P).remote(b)
+            for b in edge_blocks]
+    n_sh = [_split_nodes.options(num_returns=P).remote(b)
+            for b in node_blocks]
+    edges_parts = [
+        _concat_edges.remote(*[e_sh[i][p] for i in range(len(e_sh))])
+        for p in range(P)
+    ]
+    init = [_init_state.remote(edges_parts[p],
+                               *[n_sh[i][p] for i in range(len(n_sh))])
+            for p in range(P)]
+    state_parts = [i[0] for i in init]
+    n_total = sum(ray.get([i[1] for i in init]))
+    if n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                       "rank": pa.array([], pa.float64())}))
+
+    @ray.remote
+    def _init_ranks(state_p: pa.Table, n: int):
+        return np.full(state_p.num_rows, 1.0 / n, dtype=np.float64)
+
+    ranks_parts = [_init_ranks.remote(state_parts[p], n_total)
+                   for p in range(P)]
+    base = (1.0 - d) / n_total
+
+    converged = False
+    for _ in range(max_iters):
+        outs = [_contrib.options(num_returns=P + 1).remote(
+                    edges_parts[p], state_parts[p], ranks_parts[p])
+                for p in range(P)]
+        dangling = sum(ray.get([o[P] for o in outs]))
+        dterm = d * dangling / n_total
+        applied = [
+            _apply.remote(
+                state_parts[p], ranks_parts[p], base, dterm,
+                *[outs[q][p] for q in range(P)],
+            )
+            for p in range(P)
+        ]
+        ranks_parts = [a[0] for a in applied]
+        delta = sum(ray.get([a[1] for a in applied]))
+        if delta < tol:
+            converged = True
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"pagerank: L1 delta above tol after {max_iters} iterations",
+            RuntimeWarning)
+
+    @ray.remote
+    def _emit(state_p: pa.Table, ranks_p: np.ndarray):
+        return pa.table({"id": state_p["id"],
+                         "rank": pa.array(ranks_p, pa.float64())})
+
+    import ray.data as rd
+
+    return rd.from_arrow_refs(
+        [_emit.remote(state_parts[p], ranks_parts[p]) for p in range(P)]
+    )
