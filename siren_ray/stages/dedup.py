@@ -737,7 +737,8 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 def verify_pairs_jaccard(pairs_ds, docs_ds, *, id_col: str,
                          text_col: str = "text", k: int = 5,
                          threshold: float = 0.5,
-                         num_partitions: int = _DEDUP_PARTITIONS):
+                         num_partitions: int = _DEDUP_PARTITIONS,
+                         broadcast_ids_threshold: int = 2_000_000):
     """TRUE word-k-shingle Jaccard for candidate pairs; keeps pairs with
     ``jaccard >= threshold`` (column ``jaccard`` attached).
 
@@ -750,13 +751,56 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, id_col: str,
     DISTINCT doc once and intersects sorted uint64 arrays per pair. The
     per-pair loop is over candidates only (a vanishing fraction of the
     corpus), not a corpus-scale row loop.
+
+    Text-movement guard: when the pair list is small enough
+    (``<= broadcast_ids_threshold`` pairs — the common case; LSH output
+    is a vanishing fraction of the corpus), the DISTINCT candidate ids
+    broadcast via ``ray.put`` and the text side is filtered MAP-SIDE
+    before either join, so corpus text never enters a shuffle at all
+    (the joins then auto-broadcast the tiny filtered table). Above the
+    threshold the full co-partitioned shuffle path runs — correct for
+    pair lists that exceed driver memory, at the cost of moving the
+    text column through the exchanges.
     """
+    import ray
+
     from .relational import hash_join
 
     texts = docs_ds.map_batches(
         lambda t: pa.table({"id": t[id_col], "_txt": t[text_col]}),
         batch_format="pyarrow",
     )
+
+    pairs_ds = pairs_ds.materialize()  # consumed twice below
+    broadcast = "auto"
+    if pairs_ds.count() <= broadcast_ids_threshold:
+        id_arrs = [
+            np.asarray(t[c], dtype=np.int64)
+            for t in ray.get(pairs_ds.to_arrow_refs())
+            if t.num_rows and "id_a" in t.schema.names
+            for c in ("id_a", "id_b")
+        ]
+        cand_ids = (np.unique(np.concatenate(id_arrs)) if id_arrs
+                    else np.empty(0, dtype=np.int64))
+        ids_ref = ray.put(cand_ids)  # sorted by construction
+
+        class _KeepCandidates:
+            def __init__(self):
+                self.ids = ray.get(ids_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or not len(self.ids):
+                    return t.slice(0, 0)
+                ids = np.asarray(t["id"], dtype=np.int64)
+                pos = np.searchsorted(self.ids, ids)
+                pos[pos >= len(self.ids)] = 0
+                return t.filter(pa.array(self.ids[pos] == ids))
+
+        texts = texts.map_batches(_KeepCandidates, batch_format="pyarrow",
+                                  concurrency=(1, 4)).materialize()
+    else:
+        broadcast = False
+
     def _strip(new_name):
         def _fn(t: pa.Table) -> pa.Table:
             t = t.drop_columns(["id"])
@@ -765,10 +809,10 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, id_col: str,
         return _fn
 
     j1 = hash_join(pairs_ds, texts, on="id_a", right_on="id",
-                   broadcast=False, num_partitions=num_partitions)
+                   broadcast=broadcast, num_partitions=num_partitions)
     j1 = j1.map_batches(_strip("_ta"), batch_format="pyarrow")
     j2 = hash_join(j1, texts, on="id_b", right_on="id",
-                   broadcast=False, num_partitions=num_partitions)
+                   broadcast=broadcast, num_partitions=num_partitions)
     j2 = j2.map_batches(_strip("_tb"), batch_format="pyarrow")
 
     def _verify(t: pa.Table) -> pa.Table:
