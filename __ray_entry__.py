@@ -1439,6 +1439,62 @@ def q_shipping_priority(sf_dir: str):
     return topk_global(per_order, "revenue_c", 10, tie_col="l_orderkey")
 
 
+_CHUNK_RE = r'((?:\S+ ){2}\S+) '  # every 3 words -> one "line"
+
+
+def q_dedup_lines(sf_dir: str):
+    """CCNet-style corpus boilerplate removal: drop every line occurring
+    >= 5 times across the corpus (ALL occurrences), keep the rest in
+    document order. The documents table has no newlines, so the query
+    first derives lines by chunking every 3 words (the identical regex
+    runs in the DuckDB oracle). Two streaming passes; only
+    (line_hash, count) pairs shuffle; the frequent set broadcasts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from siren_ray.stages.lines import remove_frequent_lines
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def _chunk(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.replace_substring_regex(
+                t["text"], pattern=_CHUNK_RE, replacement="\\1\n"),
+        })
+
+    chunked = docs.map_batches(_chunk, batch_format="pyarrow")
+    return remove_frequent_lines(chunked, text_col="text", min_count=5)
+
+
+def q_word_stats(sf_dir: str):
+    """Per-document word-repetition stats (Gopher-rules family):
+    exact integer (n_words, n_distinct_words, top_word_count) — the
+    inputs to repetition-based quality filters. Map-only, no shuffle."""
+    import ray.data as rd
+
+    from siren_ray.stages.lines import word_stats
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return word_stats(docs, id_col="doc_id", text_col="text")
+
+
+def q_doc_freq(sf_dir: str):
+    """Corpus document-frequency (word -> #docs containing it), the IDF
+    denominator. Per-batch (doc, word) dedup + partial counts; the one
+    shuffle is vocabulary-sized, not corpus-sized."""
+    import ray.data as rd
+
+    from siren_ray.stages.lines import doc_frequency
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return doc_frequency(docs, text_col="text")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1489,6 +1545,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_per_group": q_distinct_per_group,
         "left_join_agg": q_left_join_agg,
         "shipping_priority": q_shipping_priority,
+        "dedup_lines": q_dedup_lines,
+        "word_stats": q_word_stats,
+        "doc_freq": q_doc_freq,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -1731,6 +1790,38 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_mktsegment = 'BUILDING' "
             "GROUP BY l_orderkey, o_orderpriority "
             "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"
+        ),
+        "dedup_lines": (
+            "WITH ch0 AS (SELECT doc_id, regexp_replace(text, "
+            "'((?:\\S+ ){2}\\S+) ', '\\1' || chr(10), 'g') AS t "
+            "FROM documents), "
+            "lines AS (SELECT doc_id, "
+            "unnest(string_split(t, chr(10))) AS line, "
+            "unnest(generate_series(1, len(string_split(t, chr(10))))) "
+            "AS ord FROM ch0), "
+            "freq AS (SELECT line FROM lines GROUP BY line "
+            "HAVING count(*) >= 5), "
+            "kept AS (SELECT doc_id, ord, line FROM lines "
+            "WHERE line NOT IN (SELECT line FROM freq)) "
+            "SELECT d.doc_id, coalesce("
+            "string_agg(k.line, chr(10) ORDER BY k.ord), '') AS text "
+            "FROM documents d LEFT JOIN kept k USING (doc_id) "
+            "GROUP BY d.doc_id"
+        ),
+        "word_stats": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS word FROM documents), "
+            "c AS (SELECT doc_id, word, count(*) AS cnt FROM w "
+            "GROUP BY doc_id, word) "
+            "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words, "
+            "CAST(count(*) AS BIGINT) AS n_distinct_words, "
+            "CAST(max(cnt) AS BIGINT) AS top_word_count "
+            "FROM c GROUP BY doc_id"
+        ),
+        "doc_freq": (
+            "SELECT word, CAST(count(*) AS BIGINT) AS df FROM "
+            "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) "
+            "AS word FROM documents) GROUP BY word"
         ),
         "knn_brute": (
             "WITH q AS (SELECT vec_id AS query_rank, embedding FROM ("

@@ -1,0 +1,225 @@
+"""Line/word-level corpus statistics and boilerplate removal.
+
+The LLM-training-data operators that work BELOW the document level:
+
+- :func:`remove_frequent_lines` — CCNet-style boilerplate removal:
+  drop every line that occurs at least ``min_count`` times across the
+  whole corpus (navigation chrome, cookie banners, licence footers).
+  Two streaming passes over the corpus, ONE shuffle of pre-aggregated
+  ``(line_hash:int64, count:int64)`` pairs, and a broadcast of the
+  (small) frequent-line set — document text itself never enters a
+  shuffle.
+- :func:`word_stats` — per-document repetition statistics in the
+  Gopher-rules family (word count, distinct words, top-word count).
+  Map-only: each document's stats complete inside its own batch.
+- :func:`doc_frequency` — corpus document-frequency table
+  (word -> number of documents containing it), the IDF building block.
+  Per-batch (doc, word) dedup + partial counts, then one small
+  groupby-sum over words.
+
+Reference parity note: the reference engine (CMHLP/siren) has no
+sub-document operators at all; these exist for the 100 TB
+training-data design point the north rule targets.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import hash_strings
+
+logger = logging.getLogger(__name__)
+
+# Refuse to broadcast a "frequent lines" set above this many entries:
+# at that point the boilerplate set itself is corpus-scale and the
+# caller should raise min_count (or the corpus needs the distributed
+# anti-join variant — see the docstring note).
+_MAX_FREQUENT = 5_000_000
+
+
+def _split_lines(tbl: pa.Table, text_col: str, separator: str):
+    """Split a text column into (flat lines, parent row indices)."""
+    txt = pc.coalesce(tbl[text_col], pa.scalar(""))
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lst = pc.split_pattern(txt, separator)
+    flat = pc.list_flatten(lst)
+    parents = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+    return flat, parents
+
+
+def _line_hashes(flat: pa.Array) -> np.ndarray:
+    return hash_strings(flat.to_numpy(zero_copy_only=False))
+
+
+def remove_frequent_lines(ds, *, text_col: str = "text",
+                          separator: str = "\n", min_count: int = 3,
+                          max_frequent: int = _MAX_FREQUENT):
+    """Remove every line occurring ``>= min_count`` times corpus-wide
+    (ALL occurrences — boilerplate is noise wherever it appears, the
+    CCNet/C4 paragraph-dedup semantics). Returns the dataset with
+    ``text_col`` rewritten; rows whose lines are all removed keep an
+    empty string. All other columns pass through unchanged.
+
+    Scale shape (100 TB): pass 1 streams the corpus through a per-batch
+    ``np.unique`` partial count, so the only shuffle moves 16-byte
+    ``(line_hash, count)`` pairs — bounded by distinct-lines-per-batch,
+    never by text bytes. The surviving frequent set (lines are "frequent"
+    precisely because many docs share them, so the set is orders of
+    magnitude smaller than the corpus) broadcasts once via ``ray.put``
+    as a sorted uint64 array; pass 2 is map-only — split, hash,
+    ``searchsorted`` membership, vectorized list rebuild + join. If the
+    frequent set exceeds ``max_frequent`` this raises rather than
+    silently OOMing the driver; the escape hatch at that scale is a
+    distributed ``hash_antijoin`` on the exploded lines plus a doc-key
+    regroup (one extra text shuffle), which no real boilerplate
+    threshold should need.
+
+    Line identity is the 64-bit SipHash of the exact line string;
+    a cross-line collision could remove one innocent line per
+    ~2^64/|distinct| docs — negligible against the removal rate itself.
+    """
+    import ray
+
+    def _partial_counts(t: pa.Table) -> pa.Table:
+        flat, _ = _split_lines(t, text_col, separator)
+        h, c = np.unique(_line_hashes(flat), return_counts=True)
+        return pa.table({
+            "line_hash": pa.array(h.view(np.int64), pa.int64()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(_partial_counts, batch_format="pyarrow")
+        .groupby("line_hash").sum("cnt")
+    )
+
+    def _keep_frequent(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["sum(cnt)"], pa.scalar(min_count))
+        return pa.table({"line_hash": t.filter(keep)["line_hash"]})
+
+    freq_tbls = [
+        t for t in ray.get(
+            counts.map_batches(_keep_frequent, batch_format="pyarrow")
+            .to_arrow_refs())
+        if t.num_rows and "line_hash" in t.schema.names
+    ]
+    frequent = (np.sort(np.concatenate(
+        [np.asarray(t["line_hash"], dtype=np.int64) for t in freq_tbls]
+    ).view(np.uint64)) if freq_tbls else np.empty(0, dtype=np.uint64))
+    if len(frequent) > max_frequent:
+        raise ValueError(
+            f"remove_frequent_lines: frequent set has {len(frequent)} "
+            f"entries (> max_frequent={max_frequent}); raise min_count "
+            "or use a distributed anti-join variant")
+    logger.info("remove_frequent_lines: %d frequent lines (min_count=%d)",
+                len(frequent), min_count)
+    freq_ref = ray.put(frequent)
+
+    class _StripFrequent:
+        def __init__(self):
+            self.frequent = ray.get(freq_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, parents = _split_lines(t, text_col, separator)
+            if len(self.frequent):
+                h = _line_hashes(flat)
+                pos = np.searchsorted(self.frequent, h)
+                pos[pos >= len(self.frequent)] = 0
+                keep = self.frequent[pos] != h
+            else:
+                keep = np.ones(len(flat), dtype=bool)
+            flat_k = flat.filter(pa.array(keep))
+            cnt = np.bincount(parents[keep], minlength=t.num_rows)
+            offsets = np.zeros(t.num_rows + 1, dtype=np.int32)
+            np.cumsum(cnt, out=offsets[1:])
+            la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                          flat_k)
+            joined = pc.binary_join(la, pa.scalar(separator))
+            idx = t.schema.get_field_index(text_col)
+            return t.set_column(idx, text_col, joined)
+
+    return ds.map_batches(_StripFrequent, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def word_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document word-repetition statistics (the Gopher-rules
+    family): total words, distinct words, and the count of the most
+    repeated word. A downstream quality filter keys off the ratios
+    (e.g. drop documents where ``n_distinct_words / n_words`` is low —
+    machine-generated spam repeats).
+
+    Map-only: one document is one row, so its stats complete inside its
+    own batch — no shuffle at any scale. Counts are exact integers
+    (ratio thresholds belong to the caller) so the result is
+    engine-independent and oracle-hashable. Per-batch the word explode
+    is Arrow kernels; the per-doc distinct/top counts are one pandas
+    ``groupby(size)`` over (row, word) — vectorized, no Python row loop.
+    """
+
+    def _stats(t: pa.Table) -> pa.Table:
+        flat, parents = _split_lines(t, text_col, " ")
+        df = pd.DataFrame({
+            "row": parents,
+            "word": flat.to_numpy(zero_copy_only=False),
+        })
+        per = df.groupby(["row", "word"], sort=False).size()
+        g = per.groupby(level="row")
+        n_words = g.sum()
+        n_distinct = g.size()
+        top = g.max()
+        rows = n_words.index.to_numpy()
+        ids = np.asarray(t[id_col], dtype=np.int64)[rows]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words.to_numpy(np.int64), pa.int64()),
+            "n_distinct_words": pa.array(n_distinct.to_numpy(np.int64),
+                                         pa.int64()),
+            "top_word_count": pa.array(top.to_numpy(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+def doc_frequency(ds, *, text_col: str = "text", min_df: int = 1):
+    """Corpus document-frequency table: ``(word, df)`` where ``df`` is
+    the number of DISTINCT documents containing the word — the IDF
+    denominator and the vocabulary report over a new crawl.
+
+    Per-batch: explode to (row, word), vectorized pandas
+    ``drop_duplicates`` (each input row is one document, so within-batch
+    dedup is exact), then partial counts per word. The one shuffle is a
+    groupby-sum over ``(word, partial_count)`` — cardinality is the
+    vocabulary, not the corpus.
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, parents = _split_lines(t, text_col, " ")
+        df = pd.DataFrame({
+            "row": parents,
+            "word": flat.to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        c = df.groupby("word", sort=False).size()
+        return pa.table({
+            "word": pa.array(c.index.to_numpy(object), pa.string()),
+            "cnt": pa.array(c.to_numpy(np.int64), pa.int64()),
+        })
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("word").sum("cnt"))
+
+    def _final(t: pa.Table) -> pa.Table:
+        out = pa.table({"word": t["word"],
+                        "df": t["sum(cnt)"].cast(pa.int64())})
+        if min_df > 1:
+            out = out.filter(pc.greater_equal(out["df"],
+                                              pa.scalar(min_df)))
+        return out
+
+    return agg.map_batches(_final, batch_format="pyarrow")

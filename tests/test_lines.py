@@ -1,0 +1,117 @@
+"""Sub-document operators: frequent-line removal, word stats, doc freq."""
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from siren_ray.stages.lines import (
+    doc_frequency,
+    remove_frequent_lines,
+    word_stats,
+)
+
+
+def test_remove_frequent_lines_semantics(ray_session):
+    boiler = "subscribe to our newsletter"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "extra": list("abcdef"),
+        "text": [
+            f"unique alpha\n{boiler}\nunique beta",
+            f"{boiler}\nanother line here",
+            f"middle one\n{boiler}",
+            boiler,                       # whole doc is boilerplate
+            "only original content",
+            "",                           # empty doc passes through
+        ],
+    })
+    out = (
+        remove_frequent_lines(rd.from_pandas(docs).repartition(3),
+                              text_col="text", min_count=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # the boilerplate line occurs 4 times -> ALL occurrences removed
+    assert out["text"].tolist() == [
+        "unique alpha\nunique beta",
+        "another line here",
+        "middle one",
+        "",
+        "only original content",
+        "",  # "" line occurs twice (<3): doc 5 splits to [""], kept as ""
+    ]
+    # non-text columns pass through untouched
+    assert out["extra"].tolist() == list("abcdef")
+
+
+def test_remove_frequent_lines_empty_lines_frequent(ray_session):
+    # empty lines themselves count: blank-line separators occurring
+    # >= min_count times are stripped like any boilerplate
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype="int64"),
+        "text": ["a\n\nb", "c\n\nd", "e\n\nf"],
+    })
+    out = (
+        remove_frequent_lines(rd.from_pandas(docs), text_col="text",
+                              min_count=3)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out["text"].tolist() == ["a\nb", "c\nd", "e\nf"]
+
+
+def test_remove_frequent_lines_max_frequent_guard(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "text": ["x\ny", "x\nz", "x\nw", "x\nv"],
+    })
+    with pytest.raises(ValueError, match="max_frequent"):
+        remove_frequent_lines(rd.from_pandas(docs), text_col="text",
+                              min_count=2, max_frequent=0)
+
+
+def test_word_stats_matches_python(ray_session):
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(vocab[rng.randint(12)]
+                      for _ in range(rng.randint(1, 40)))
+             for _ in range(50)]
+    texts.append("")  # empty doc -> one empty "word", matching SQL split
+    docs = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts,
+    })
+    out = (
+        word_stats(rd.from_pandas(docs).repartition(4))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        words = texts[int(row["doc_id"])].split(" ")
+        assert row["n_words"] == len(words)
+        assert row["n_distinct_words"] == len(set(words))
+        assert row["top_word_count"] == max(words.count(w)
+                                            for w in set(words))
+    assert len(out) == len(texts)
+
+
+def test_doc_frequency_matches_python(ray_session):
+    texts = ["a b a", "b c", "c", "a a a a", ""]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64"),
+        "text": texts,
+    })
+    out = (
+        doc_frequency(rd.from_pandas(docs).repartition(3))
+        .to_pandas().set_index("word")["df"].to_dict()
+    )
+    from collections import Counter
+    want = Counter()
+    for t in texts:
+        for w in set(t.split(" ")):
+            want[w] += 1
+    assert out == dict(want)
+    # min_df filter
+    out2 = (
+        doc_frequency(rd.from_pandas(docs), min_df=2)
+        .to_pandas().set_index("word")["df"].to_dict()
+    )
+    assert out2 == {w: c for w, c in want.items() if c >= 2}
