@@ -304,6 +304,10 @@ def run_query_bench(sf_dir: str) -> dict:
         "rolling_sum",
         "topk_global",
         "jaccard_neardup",
+        "pagerank",
+        "dedup_lines",
+        "word_stats",
+        "doc_freq",
     ]
     qs = entrymod.queries()
     out = {}
