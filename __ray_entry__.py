@@ -1439,6 +1439,32 @@ def q_shipping_priority(sf_dir: str):
     return topk_global(per_order, "revenue_c", 10, tie_col="l_orderkey")
 
 
+def q_crawl_rank_seeds(sf_dir: str):
+    """The adaptive-recrawl loop (north-rule frontier prioritization):
+    crawl -> PageRank over the discovered link graph -> seeds
+    reprioritized by host-level rank mass. Returns the reprioritized
+    seeds table (conformance of the recrawl itself is covered in
+    t:test_graph). Rows-only: iterative float fixpoint, not SQL."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.pipelines.frontier import CrawlConfig, run_crawl
+    from siren_ray.stages.graph import crawl_pagerank, reprioritize_seeds
+
+    sf = min(_sf_of(sf_dir), 0.01)
+    corpus = ensure_corpus(sf)
+    out = f"/tmp/siren_ray_runs/rank_seeds_sf{sf:g}"
+    res = run_crawl(CrawlConfig(
+        corpus_dir=corpus, out_dir=out, budget_per_round=5000,
+        round_ms=100_000, max_rounds=3, max_depth=4,
+        fetch_concurrency=4,
+    ))
+    ranks = crawl_pagerank(rd.read_parquet(res.extracted_path))
+    seeds = pq.read_table(os.path.join(corpus, "seeds.parquet"))
+    return reprioritize_seeds(seeds, ranks, by="host").to_pandas()
+
+
 _CHUNK_RE = r'((?:\S+ ){2}\S+) '  # every 3 words -> one "line"
 
 
@@ -1563,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_neardup": q_jaccard_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,
+        "crawl_rank_seeds": q_crawl_rank_seeds,
         "mimetype_counts": q_mimetype_counts,
         "token_quantiles": q_token_quantiles,
         "heavy_hitters": q_heavy_hitters,

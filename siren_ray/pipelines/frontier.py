@@ -86,6 +86,8 @@ class CrawlConfig:
     driver_threshold: int = 2_000_000  # frontier rows
     resume: bool = False
     canonicalize: bool = False  # URL canonicalization before the seen-set
+    seeds_path: str | None = None  # override corpus seeds.parquet (e.g.
+    # pagerank-reprioritized seeds from stages.graph.reprioritize_seeds)
     enrich_text: bool = False  # inline quality/lang-id/fingerprint stage
     ckpt_every: int = 1  # seen-set checkpoint cadence (0 = final only)
     salt_hosts: int = 0  # >0: salted two-phase host-quota shuffle (skew)
@@ -673,7 +675,9 @@ class _Crawl:
                 os.remove(self.metrics_path)
 
         if start_round == 0:
-            seeds = pq.read_table(os.path.join(cfg.corpus_dir, "seeds.parquet"))
+            seeds = pq.read_table(
+                cfg.seeds_path
+                or os.path.join(cfg.corpus_dir, "seeds.parquet"))
             d = _round_dir(self.frontier_dir, 0)
             os.makedirs(d, exist_ok=True)
             pq.write_table(seeds_to_frontier(seeds, cfg.canonicalize),

@@ -44,12 +44,14 @@ def simulate_crawl(
     priority_decay: float = 0.5,
     max_depth: int = 8,
     max_rounds: int = 100,
+    seeds_path: str | None = None,
 ) -> SimResult:
     pages_ds = pads.dataset(os.path.join(corpus_dir, "pages"), partitioning="hive")
     pt = pages_ds.to_table(columns=["url", "html"])
     pages = dict(zip(pt["url"].to_pylist(), pt["html"].to_pylist()))
     robots = load_robots(os.path.join(corpus_dir, "robots.parquet"))
-    seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
+    seeds = pq.read_table(
+        seeds_path or os.path.join(corpus_dir, "seeds.parquet"))
 
     res = SimResult()
     # frontier rows: (url, host, path, priority, depth, seq)

@@ -227,3 +227,168 @@ def pagerank(edges_ds, nodes_ds, *, damping: float = 0.85,
     return rd.from_arrow_refs(
         [_emit.remote(state_parts[p], ranks_parts[p]) for p in range(P)]
     )
+
+
+def crawl_pagerank(extracted_ds, *, url_col: str = "url",
+                   links_col: str = "links", damping: float = 0.85,
+                   max_iters: int = 30,
+                   num_partitions: int = _PR_PARTITIONS):
+    """PageRank over the link graph a crawl itself discovered, keyed by
+    URL string: the frontier-prioritization loop's scoring half (feed
+    the result to :func:`reprioritize_seeds` and recrawl).
+
+    Node id is the deterministic SipHash64 of the url — a cross-url
+    collision would merge two nodes' scores once per ~2^64/|urls|
+    corpora, far below PageRank's own float tolerance. Edges explode
+    from the ``links`` list column with Arrow kernels (rows with null
+    links — recorded fetch misses — contribute no edges but still rank
+    as link targets). Link targets never fetched are graph nodes too,
+    exactly like the dangling pages a real web graph has.
+
+    Returns a Dataset of (url, rank). Everything shuffles pre-aggregated
+    or id-keyed: raw text/html never moves.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..util import hash_strings
+    from .dedup import dedup_exact
+    from .relational import hash_join
+
+    def _hash_col(arr: pa.Array) -> np.ndarray:
+        return hash_strings(
+            arr.to_numpy(zero_copy_only=False)).view(np.int64)
+
+    def _edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        links = t[links_col].combine_chunks()
+        flat = pc.list_flatten(links)
+        parent = pc.list_parent_indices(links).to_numpy(
+            zero_copy_only=False)
+        src_h = _hash_col(t[url_col].combine_chunks())
+        return pa.table({
+            "src": pa.array(src_h[parent], pa.int64()),
+            "dst": pa.array(_hash_col(flat), pa.int64()),
+        })
+
+    def _url_nodes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "url": pa.array([], pa.string())})
+        links = t[links_col].combine_chunks()
+        flat = pc.list_flatten(links)
+        urls = pa.concat_arrays(
+            [t[url_col].combine_chunks().cast(pa.string()),
+             flat.cast(pa.string())])
+        # per-batch dedup; global dedup happens in dedup_exact below
+        uniq = pc.unique(urls)
+        return pa.table({
+            "id": pa.array(_hash_col(uniq), pa.int64()),
+            "url": uniq,
+        })
+
+    edges = extracted_ds.map_batches(_edges, batch_format="pyarrow")
+    urlmap = dedup_exact(
+        extracted_ds.map_batches(_url_nodes, batch_format="pyarrow"),
+        key_col="id", order_col="url",
+        num_partitions=num_partitions)
+    nodes = urlmap.select_columns(["id"])
+    ranks = pagerank(edges, nodes, damping=damping, max_iters=max_iters,
+                     num_partitions=num_partitions)
+    joined = hash_join(ranks, urlmap, on="id", broadcast="auto",
+                       num_partitions=num_partitions)
+    return joined.map_batches(
+        lambda t: pa.table({"url": t["url"], "rank": t["rank"]}),
+        batch_format="pyarrow")
+
+
+def reprioritize_seeds(seeds: pa.Table, ranks_ds, *, by: str = "host",
+                       default: float = 0.0) -> pa.Table:
+    """Rewrite a seeds table's ``priority`` column with PageRank scores
+    from :func:`crawl_pagerank` — the adaptive-recrawl half of the
+    frontier-prioritization loop (crawl -> rank -> recrawl seeds in
+    rank order).
+
+    ``by="host"`` (default) assigns each seed its HOST's aggregate rank
+    (sum over the host's pages) — what a real recrawl scheduler keys on,
+    since entry-point URLs (search/listing pages) typically have no
+    inbound links of their own and would all tie at the base rank under
+    per-url scoring. ``by="url"`` matches seeds' exact URLs instead.
+
+    The seed list is driver-small by contract; the rank table is not.
+    For ``by="url"`` the seed URL hash set broadcasts once and the rank
+    dataset filters MAP-SIDE (vectorized searchsorted), so only the
+    |seeds| matching rows ever reach the driver. For ``by="host"`` the
+    shuffle is one host-keyed groupby of per-batch partial sums —
+    cardinality is the host count, never the page count. Seeds absent
+    from the ranked graph get ``default``.
+    """
+    import ray
+
+    import pandas as pd
+
+    from ..util import hash_strings, hosts_of
+
+    if by not in ("host", "url"):
+        raise ValueError(f"reprioritize_seeds: by must be host|url, got {by!r}")
+
+    urls = seeds["url"].to_pylist()
+    if by == "host":
+        def _host_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "url" not in t.schema.names:
+                return pa.table({"host": pa.array([], pa.string()),
+                                 "r": pa.array([], pa.float64())})
+            df = pd.DataFrame({
+                "host": hosts_of(t["url"].combine_chunks()
+                                 .to_numpy(zero_copy_only=False)),
+                "r": np.asarray(t["rank"], dtype=np.float64),
+            })
+            g = df.groupby("host", sort=False)["r"].sum()
+            return pa.table({
+                "host": pa.array(g.index.to_numpy(object), pa.string()),
+                "r": pa.array(g.to_numpy(np.float64), pa.float64()),
+            })
+
+        agg = (ranks_ds.map_batches(_host_partial, batch_format="pyarrow")
+               .groupby("host").sum("r").to_pandas())
+        by_host = dict(zip(agg["host"], agg["sum(r)"]))
+        pri = np.array([float(by_host.get(hst, default))
+                        for hst in hosts_of(urls)], dtype=np.float64)
+        idx = seeds.column_names.index("priority")
+        return seeds.set_column(idx, "priority",
+                                pa.array(pri, pa.float64()))
+
+    h = hash_strings(urls).view(np.int64)
+    order = np.argsort(h)
+    h_sorted = h[order]
+    href = ray.put(h_sorted)
+
+    def _match(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "url" not in t.schema.names:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.float64())})
+        want = ray.get(href)
+        ids = hash_strings(
+            t["url"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).view(np.int64)
+        pos = np.searchsorted(want, ids)
+        pos[pos >= len(want)] = 0
+        keep = want[pos] == ids
+        return pa.table({"id": pa.array(ids[keep], pa.int64()),
+                         "rank": t.filter(pa.array(keep))["rank"]})
+
+    tbls = [t for t in ray.get(
+        ranks_ds.map_batches(_match, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows and "id" in t.schema.names]
+    pri = np.full(len(urls), float(default), dtype=np.float64)
+    if tbls:
+        m = pa.concat_tables(tbls)
+        mid = np.asarray(m["id"], dtype=np.int64)
+        mrank = np.asarray(m["rank"], dtype=np.float64)
+        pos = np.searchsorted(h_sorted, mid)
+        pri[order[pos]] = mrank
+    idx = seeds.column_names.index("priority")
+    return seeds.set_column(idx, "priority",
+                            pa.array(pri, pa.float64()))

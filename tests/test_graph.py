@@ -62,3 +62,77 @@ def test_pagerank_star_graph_sink_dominates(ray_session):
 def test_pagerank_rejects_unknown_endpoint(ray_session):
     with pytest.raises(Exception, match="absent from nodes_ds"):
         _run([(0, 1), (1, 5)], 2, ray_session, num_partitions=4)
+
+
+def test_crawl_pagerank_reprioritized_seeds_conformance(
+        ray_session, corpus_sf0001, tmp_path_factory):
+    """The full frontier-prioritization loop: crawl -> PageRank over the
+    discovered link graph -> seeds reprioritized by rank -> recrawl.
+    The recrawl must (a) follow the new priorities and (b) stay
+    conformant with the simulator given the same seeds."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siren_ray.pipelines.frontier import (
+        CrawlConfig, read_crawl_order, run_crawl)
+    from siren_ray.pipelines.simulator import simulate_crawl
+    from siren_ray.stages.graph import crawl_pagerank, reprioritize_seeds
+
+    params = dict(budget_per_round=50, round_ms=1000, max_rounds=4,
+                  max_depth=4)
+    out1 = str(tmp_path_factory.mktemp("crawl_pr1"))
+    res1 = run_crawl(CrawlConfig(corpus_dir=corpus_sf0001, out_dir=out1,
+                                 scheduler="driver", **params))
+    extracted = rd.read_parquet(res1.extracted_path)
+
+    ranks = crawl_pagerank(extracted).materialize()
+    rdf = ranks.to_pandas()
+    assert abs(rdf["rank"].sum() - 1.0) < 1e-6
+    assert rdf["url"].is_unique
+
+    seeds = pq.read_table(os.path.join(corpus_sf0001, "seeds.parquet"))
+    new_seeds = reprioritize_seeds(seeds, ranks, by="host")
+    assert new_seeds.column_names == seeds.column_names
+    old_pri = seeds["priority"].to_numpy(zero_copy_only=False)
+    new_pri = new_seeds["priority"].to_numpy(zero_copy_only=False)
+    # reprioritization is non-trivial: the seed ORDER actually changes
+    assert list(np.argsort(-old_pri, kind="stable")) != list(
+        np.argsort(-new_pri, kind="stable"))
+    # every crawled seed's host accumulated real rank mass (> default 0)
+    crawled = set(
+        read_crawl_order(out1)["url"].to_pylist())
+    for u, p in zip(new_seeds["url"].to_pylist(), new_pri):
+        if u in crawled:
+            assert p > 0.0
+    # by="url": entry-point seeds have no inbound links, so crawled
+    # seeds all tie at the base rank — the documented reason host-level
+    # aggregation is the default
+    url_pri = reprioritize_seeds(seeds, ranks, by="url")[
+        "priority"].to_numpy(zero_copy_only=False)
+    tied = {p for u, p in zip(new_seeds["url"].to_pylist(), url_pri)
+            if u in crawled}
+    assert len(tied) == 1 and tied.pop() > 0.0
+
+    seeds_path = os.path.join(str(tmp_path_factory.mktemp("seeds")),
+                              "seeds_pr.parquet")
+    pq.write_table(new_seeds, seeds_path)
+
+    out2 = str(tmp_path_factory.mktemp("crawl_pr2"))
+    run_crawl(CrawlConfig(corpus_dir=corpus_sf0001, out_dir=out2,
+                          scheduler="driver", seeds_path=seeds_path,
+                          **params))
+    sim = simulate_crawl(corpus_sf0001, seeds_path=seeds_path, **params)
+    t = read_crawl_order(out2)
+    engine_order = list(zip(t["round"].to_pylist(), t["url"].to_pylist(),
+                            t["seq"].to_pylist()))
+    sim_order = [(r, url, seq)
+                 for (r, _rank, url, _p, seq, _f) in sim.crawl_order]
+    assert engine_order == sim_order
+    # and the recrawl's round-0 fetch order differs from the original
+    t1 = read_crawl_order(out1)
+    r0_new = [u for r, u, _ in engine_order if r == 0]
+    r0_old = [u for r, u in zip(t1["round"].to_pylist(),
+                                t1["url"].to_pylist()) if r == 0]
+    assert r0_new != r0_old
