@@ -1465,6 +1465,22 @@ def q_crawl_rank_seeds(sf_dir: str):
     return reprioritize_seeds(seeds, ranks, by="host").to_pandas()
 
 
+_BM25_QUERIES = ["spark join", "window agg stream", "customer order"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval: top-10 doc ids per keyword query in one
+    streaming pass (no inverted index). Ids-only output like knn_brute,
+    so float ordering is oracle-comparable; ties break on doc_id."""
+    import ray.data as rd
+
+    from siren_ray.stages.retrieval import bm25_topk
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return bm25_topk(docs, _BM25_QUERIES, k=10)
+
+
 _CHUNK_RE = r'((?:\S+ ){2}\S+) '  # every 3 words -> one "line"
 
 
@@ -1574,6 +1590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines": q_dedup_lines,
         "word_stats": q_word_stats,
         "doc_freq": q_doc_freq,
+        "bm25_topk": q_bm25_topk,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -1849,6 +1866,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS df FROM "
             "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) "
             "AS word FROM documents) GROUP BY word"
+        ),
+        "bm25_topk": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS word FROM documents), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id), "
+            "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), "
+            "terms(query_id, word) AS (VALUES "
+            "(0, 'spark'), (0, 'join'), "
+            "(1, 'window'), (1, 'agg'), (1, 'stream'), "
+            "(2, 'customer'), (2, 'order')), "
+            "tf AS (SELECT t.query_id, w.doc_id, w.word, count(*) AS tf "
+            "FROM w JOIN terms t USING (word) GROUP BY 1, 2, 3), "
+            "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w "
+            "WHERE word IN (SELECT word FROM terms) GROUP BY word), "
+            "sc AS (SELECT tf.query_id, tf.doc_id, "
+            "sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+            "* tf.tf * (1.2 + 1.0) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))"
+            ") AS score "
+            "FROM tf JOIN df USING (word) JOIN dl USING (doc_id) "
+            "CROSS JOIN stats GROUP BY 1, 2) "
+            "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id FROM sc "
+            "QUALIFY row_number() OVER (PARTITION BY query_id "
+            "ORDER BY score DESC, doc_id) <= 10"
         ),
         "knn_brute": (
             "WITH q AS (SELECT vec_id AS query_rank, embedding FROM ("
