@@ -1465,6 +1465,25 @@ def q_crawl_rank_seeds(sf_dir: str):
     return reprioritize_seeds(seeds, ranks, by="host").to_pandas()
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination screen: per-document sliding word
+    3-gram overlap counts against a benchmark set (here: the src0
+    slice). Benchmark gram fingerprints broadcast once; the corpus side
+    is map-only — text never shuffles. Exact int64 counts."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from siren_ray.stages.lines import ngram_contamination
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["source"], "src0"))
+        .select(["doc_id", "text"]),
+        batch_format="pyarrow")
+    return ngram_contamination(docs, bench, n=3)
+
+
 _BM25_QUERIES = ["spark join", "window agg stream", "customer order"]
 
 
@@ -1591,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_stats": q_word_stats,
         "doc_freq": q_doc_freq,
         "bm25_topk": q_bm25_topk,
+        "contamination": q_contamination,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -1866,6 +1886,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS df FROM "
             "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) "
             "AS word FROM documents) GROUP BY word"
+        ),
+        "contamination": (
+            "WITH ws AS (SELECT doc_id, source, "
+            "string_split(text, ' ') AS w FROM documents), "
+            "g AS (SELECT doc_id, source, "
+            "array_to_string(w[i:i+2], ' ') AS gram "
+            "FROM ws, unnest(generate_series(1, len(w) - 2)) AS t(i)), "
+            "bench AS (SELECT DISTINCT gram FROM g "
+            "WHERE source = 'src0'), "
+            "c AS (SELECT doc_id, count(*) AS nc FROM g "
+            "WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(greatest(len(string_split(d.text, ' ')) - 2, 0) "
+            "AS BIGINT) AS n_grams, "
+            "CAST(coalesce(c.nc, 0) AS BIGINT) AS n_contaminated "
+            "FROM documents d LEFT JOIN c USING (doc_id)"
         ),
         "bm25_topk": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "

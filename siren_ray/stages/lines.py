@@ -223,3 +223,88 @@ def doc_frequency(ds, *, text_col: str = "text", min_df: int = 1):
         return out
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+# polynomial weights for composing word hashes into n-gram fingerprints
+# (wrapping uint64 multiplies; same determinism argument as MinHash's
+# band keys — a cross-gram collision needs ~2^64 distinct grams)
+_GRAM_P1 = np.uint64(0x9E3779B97F4A7C15)
+_GRAM_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _gram_hashes(tbl: pa.Table, text_col: str, n: int):
+    """Sliding word n-gram fingerprints: (gram_hashes, parent_rows,
+    words_per_row). Vectorized: one word-hash pass, then a wrapping
+    polynomial combine over each length-n window that stays inside one
+    row. No gram strings are ever built."""
+    flat, parents = _split_lines(tbl, text_col, " ")
+    wh = hash_strings(flat.to_numpy(zero_copy_only=False))
+    counts = np.bincount(parents, minlength=tbl.num_rows)
+    if len(wh) < n:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64), counts)
+    gh = wh[: len(wh) - n + 1].copy()
+    for j in range(1, n):
+        gh *= _GRAM_P1
+        gh += wh[j: len(wh) - n + 1 + j] * _GRAM_P2
+    same_row = parents[: len(wh) - n + 1] == parents[n - 1:]
+    return gh[same_row], parents[: len(wh) - n + 1][same_row], counts
+
+
+def ngram_contamination(docs_ds, bench_ds, *, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3):
+    """Benchmark decontamination check: for every document, how many of
+    its sliding word ``n``-grams appear ANYWHERE in a benchmark set —
+    the standard screen before training-data release (drop or flag docs
+    whose overlap fraction is high).
+
+    Scale shape: the benchmark set is small by nature (eval suites,
+    not corpora) — its DISTINCT gram fingerprints collect once and
+    broadcast via ``ray.put`` as a sorted uint64 array; the corpus side
+    is then map-only (one word-hash pass per batch, wrapping-polynomial
+    window combine, ``searchsorted`` membership). Corpus text never
+    shuffles and the driver never sees more than the benchmark grams.
+
+    Returns (id_col, n_grams, n_contaminated) with exact int64 counts
+    (thresholding is the caller's policy decision); docs shorter than
+    ``n`` words have ``n_grams == 0``.
+    """
+    import ray
+
+    def _bench_partial(t: pa.Table) -> pa.Table:
+        gh, _, _ = _gram_hashes(t, text_col, n)
+        return pa.table({"g": pa.array(np.unique(gh).view(np.int64),
+                                       pa.int64())})
+
+    tbls = [t for t in ray.get(
+        bench_ds.map_batches(_bench_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows and "g" in t.schema.names]
+    bench = (np.unique(np.concatenate(
+        [np.asarray(t["g"], dtype=np.int64) for t in tbls]
+    ).view(np.uint64)) if tbls else np.empty(0, np.uint64))
+    logger.info("ngram_contamination: %d distinct benchmark %d-grams",
+                len(bench), n)
+    bench_ref = ray.put(bench)
+
+    class _Score:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            gh, gpar, counts = _gram_hashes(t, text_col, n)
+            n_grams = np.maximum(counts - (n - 1), 0).astype(np.int64)
+            if len(gh) and len(self.bench):
+                pos = np.searchsorted(self.bench, gh)
+                pos[pos >= len(self.bench)] = 0
+                hit = self.bench[pos] == gh
+                contaminated = np.bincount(
+                    gpar[hit], minlength=t.num_rows).astype(np.int64)
+            else:
+                contaminated = np.zeros(t.num_rows, np.int64)
+            return pa.table({
+                id_col: t[id_col],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_contaminated": pa.array(contaminated, pa.int64()),
+            })
+
+    return docs_ds.map_batches(_Score, batch_format="pyarrow",
+                               concurrency=(1, 8))

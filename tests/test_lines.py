@@ -115,3 +115,51 @@ def test_doc_frequency_matches_python(ray_session):
         .to_pandas().set_index("word")["df"].to_dict()
     )
     assert out2 == {w: c for w, c in want.items() if c >= 2}
+
+
+def test_ngram_contamination_matches_python(ray_session):
+    from siren_ray.stages.lines import ngram_contamination
+
+    rng = np.random.RandomState(5)
+    vocab = [f"v{i}" for i in range(15)]
+    texts = [" ".join(vocab[rng.randint(15)]
+                      for _ in range(rng.randint(1, 30)))
+             for _ in range(60)]
+    docs = pd.DataFrame({"doc_id": np.arange(60, dtype="int64"),
+                         "text": texts})
+    bench_texts = texts[:5]
+    bench = pd.DataFrame({"doc_id": np.arange(5, dtype="int64"),
+                          "text": bench_texts})
+
+    def grams(t, n=3):
+        w = t.split(" ")
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    bset = {g for t in bench_texts for g in grams(t)}
+    out = (
+        ngram_contamination(rd.from_pandas(docs).repartition(4),
+                            rd.from_pandas(bench))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        gs = grams(texts[int(row["doc_id"])])
+        assert row["n_grams"] == len(gs)
+        assert row["n_contaminated"] == sum(g in bset for g in gs)
+    # benchmark docs are fully contaminated; short docs have 0 grams
+    full = out[out["doc_id"] < 5]
+    assert (full["n_contaminated"] == full["n_grams"]).all()
+
+
+def test_ngram_contamination_empty_bench(ray_session):
+    from siren_ray.stages.lines import ngram_contamination
+
+    docs = pd.DataFrame({"doc_id": np.arange(3, dtype="int64"),
+                         "text": ["a b c d", "x y", ""]})
+    bench = docs.head(0)
+    out = (
+        ngram_contamination(rd.from_pandas(docs),
+                            rd.from_pandas(bench))
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out["n_grams"].tolist() == [2, 0, 0]
+    assert out["n_contaminated"].tolist() == [0, 0, 0]
