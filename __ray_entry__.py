@@ -837,6 +837,26 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed full-corpus spherical k-means (Lloyd's over streaming
+    per-batch partial sums; see stages/ann.py:kmeans_train) -> per-cluster
+    member counts. Rows-only: cluster identities depend on the seeded
+    random init, not SQL-expressible."""
+    import ray.data as rd
+
+    from siren_ray.stages.ann import kmeans_predict, kmeans_train
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    cents = kmeans_train(ds, 8, iters=6, train_sample=512)
+    assigned = kmeans_predict(ds, cents)
+    return (
+        assigned.groupby("ivf_list").count()
+        .sort("ivf_list")
+        .rename_columns({"count()": "n"})
+    )
+
+
 def q_lang_id(sf_dir: str):
     from siren_ray.functions.textstats import lang_id_batch
 
@@ -1618,6 +1638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "knn_ivf": q_knn_ivf,
+        "kmeans_clusters": q_kmeans_clusters,
         "lang_id": q_lang_id,
         "ocr_tiles": q_ocr_tiles,
         "multimodal_frames": q_multimodal_frames,

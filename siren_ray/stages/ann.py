@@ -288,6 +288,138 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
     return _merge_topk(partials, k, id_col)
 
 
+def kmeans_train(ds, n_clusters: int, *, emb_col: str = "embedding",
+                 iters: int = 8, seed: int = 3, tol: float = 1e-4,
+                 train_sample: int = 2048, combine_partitions: int = 8
+                 ) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's) over the FULL dataset.
+
+    The IVF coarse quantizer (:func:`ivf_build`) trains on a driver-side
+    sample; this is the full-corpus path: every iteration streams the
+    dataset once through ``map_batches``, each batch emitting only a
+    (cluster, count, sum-vector) PARTIAL — at most ``n_clusters`` rows of
+    ``dim`` float64s per batch, never the vectors themselves. Partials
+    are combined two-level (per-batch -> ``combine_partitions`` local
+    reducers via a shuffle-free repartition -> driver), so the driver
+    reduce is O(combine_partitions * K * dim) regardless of corpus size;
+    at extreme block counts raise ``combine_partitions`` (a third level
+    is the same combine applied once more, not implemented because the
+    second level already caps driver bytes).
+
+    Centroids are broadcast once per iteration (``ray.put``; per-batch
+    ``ray.get`` is a zero-copy local read). Initialization is a uniform
+    random sample (per-block Bernoulli — no shuffle, no prefix bias, same
+    rationale as :func:`ivf_build`). Empty clusters keep their previous
+    centroid. Stops early when the max centroid shift (L2) drops below
+    ``tol``. Assignment is cosine (vectors and centroids normalized),
+    consistent with the IVF probe math. Returns the (K, dim) float32
+    centroid matrix — the only driver-side state.
+
+    Engine addition per the task brief (training-data pipelines cluster
+    embeddings for curation/balancing); no reference counterpart.
+    """
+    n = ds.count()
+    if n < n_clusters:
+        raise ValueError(f"kmeans_train: {n} rows < n_clusters={n_clusters}")
+    take = max(n_clusters, train_sample)
+    if n > take:
+        frac = min(1.0, (1.25 * take) / n)
+        sample = ds.random_sample(frac, seed=seed).to_pandas()
+        if len(sample) < n_clusters:
+            sample = ds.limit(take).to_pandas()  # unlucky draw fallback
+    else:
+        sample = ds.to_pandas()
+    rng = np.random.RandomState(seed)
+    init = _normalize(np.array(sample[emb_col].tolist(), dtype=np.float64))
+    cents = init[rng.choice(len(init), size=n_clusters, replace=False)]
+
+    dim = cents.shape[1]
+    sum_type = pa.list_(pa.float64(), dim)
+
+    def _combine(t: pa.Table) -> pa.Table:
+        """Sum partial rows by cluster within one block (vectorized)."""
+        if t.num_rows == 0 or "cluster" not in t.schema.names:
+            return pa.table({"cluster": pa.array([], pa.int32()),
+                             "count": pa.array([], pa.int64()),
+                             "vsum": pa.array([], sum_type)})
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        cnt = t["count"].to_numpy(zero_copy_only=False)
+        mat = embedding_matrix(t["vsum"], dtype=np.float64)
+        sums = np.zeros((n_clusters, dim), dtype=np.float64)
+        np.add.at(sums, cl, mat)
+        counts = np.bincount(cl, weights=cnt, minlength=n_clusters)
+        nz = np.nonzero(counts)[0]
+        return pa.table({
+            "cluster": pa.array(nz.astype(np.int32), pa.int32()),
+            "count": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            "vsum": pa.FixedSizeListArray.from_arrays(
+                pa.array(sums[nz].ravel(), pa.float64()), dim),
+        })
+
+    for _ in range(iters):
+        cents_ref = ray.put(cents.T.astype(np.float32))  # (dim, K)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or emb_col not in batch.schema.names:
+                return pa.table({"cluster": pa.array([], pa.int32()),
+                                 "count": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], sum_type)})
+            c = ray.get(cents_ref)
+            mat = _normalize(embedding_matrix(batch[emb_col],
+                                              dtype=np.float32))
+            assign = np.argmax(mat @ c, axis=1)
+            sums = np.zeros((n_clusters, dim), dtype=np.float64)
+            np.add.at(sums, assign, mat.astype(np.float64))
+            counts = np.bincount(assign, minlength=n_clusters)
+            nz = np.nonzero(counts)[0]
+            return pa.table({
+                "cluster": pa.array(nz.astype(np.int32), pa.int32()),
+                "count": pa.array(counts[nz].astype(np.int64), pa.int64()),
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums[nz].ravel(), pa.float64()), dim),
+            })
+
+        reduced = (
+            ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=4096)
+            .repartition(combine_partitions)
+            .map_batches(_combine, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        sums = np.zeros((n_clusters, dim), dtype=np.float64)
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        if len(reduced):
+            cl = reduced["cluster"].to_numpy()
+            np.add.at(sums, cl,
+                      np.array(reduced["vsum"].tolist(), dtype=np.float64))
+            np.add.at(counts, cl, reduced["count"].to_numpy())
+        new = cents.copy()
+        nz = counts > 0
+        means = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(means, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new[nz] = means / norms
+        shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
+        cents = new
+        if shift < tol:
+            break
+    return cents.astype(np.float32)
+
+
+def kmeans_predict(ds, centroids: np.ndarray, *,
+                   emb_col: str = "embedding", concurrency: int = 2):
+    """Append an ``ivf_list`` cluster-id column (cosine argmax against the
+    broadcast centroid matrix) — the assignment half of k-means, shared
+    with the IVF index build."""
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float32))
+    return ds.map_batches(
+        _IVFAssign,
+        fn_constructor_kwargs={"cents_ref": cents_ref, "emb_col": emb_col},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
+
 def cosine_pairs_exact(ds, id_col: str = "vec_id", emb_col: str = "embedding",
                        *, threshold: float = 0.9, num_blocks: int = 16):
     """Exact all-pairs cosine similarity join: every unordered pair with

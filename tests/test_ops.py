@@ -571,6 +571,70 @@ def test_ivf_topk_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.5  # probing half the lists
 
 
+def test_kmeans_train_recovers_separated_clusters(ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.ann import kmeans_predict, kmeans_train
+
+    rng = np.random.RandomState(7)
+    # 3 well-separated directions in 8-dim; 120 points each with small noise
+    dirs = np.eye(8, dtype=np.float64)[:3] * 10.0
+    pts, truth = [], []
+    for c in range(3):
+        pts.append(dirs[c] + 0.05 * rng.standard_normal((120, 8)))
+        truth.extend([c] * 120)
+    vecs = np.concatenate(pts)
+    order = rng.permutation(len(vecs))
+    vecs, truth = vecs[order], np.array(truth)[order]
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()}
+         for i in range(len(vecs))]
+    ).repartition(6)
+
+    cents = kmeans_train(ds, 3, iters=10, train_sample=64)
+    assert cents.shape == (3, 8)
+    # each ground-truth direction matches exactly one centroid closely
+    dn = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+    sims = dn @ cents.T.astype(np.float64)  # (3 truth, 3 cents)
+    best = sims.argmax(axis=1)
+    assert sorted(best.tolist()) == [0, 1, 2]
+    assert (sims.max(axis=1) > 0.99).all()
+
+    # predict: cluster ids agree with ground truth up to the permutation
+    out = kmeans_predict(ds, cents).to_pandas().sort_values("vec_id")
+    pred = out["ivf_list"].to_numpy()
+    remap = {c: int(best[c]) for c in range(3)}
+    expect = np.array([remap[t] for t in truth])
+    ids = out["vec_id"].to_numpy()
+    assert (pred == expect[ids]).all()
+
+
+def test_kmeans_train_partition_invariant(ray_session):
+    """Well-separated data: identical centroids regardless of block
+    layout / combine fan-in (partial sums are per-cluster exact; float64
+    addition-order effects are below tolerance on separated clusters)."""
+    import ray.data as rd
+
+    from siren_ray.stages.ann import kmeans_train
+
+    rng = np.random.RandomState(3)
+    dirs = np.eye(6, dtype=np.float64)[:2] * 8.0
+    vecs = np.concatenate(
+        [dirs[c] + 0.05 * rng.standard_normal((80, 6)) for c in range(2)]
+    )
+    items = [{"vec_id": i, "embedding": vecs[i].tolist()}
+             for i in range(len(vecs))]
+    a = kmeans_train(rd.from_items(items).repartition(2), 2,
+                     iters=6, combine_partitions=2, train_sample=32)
+    b = kmeans_train(rd.from_items(items).repartition(9), 2,
+                     iters=6, combine_partitions=5, train_sample=32)
+    # block layout changes the Bernoulli init sample -> centroid ORDER may
+    # permute; the converged centroid SET must agree
+    a = a[np.argsort(a[:, 0])]
+    b = b[np.argsort(b[:, 0])]
+    assert np.allclose(a, b, atol=1e-5)
+
+
 # --- multimodal -----------------------------------------------------------
 
 def test_ocr_actor_pool(ray_session):
