@@ -837,6 +837,44 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Recrawl snapshot diff: added/removed/changed/unchanged per doc
+    between two deterministic snapshot views of the documents table
+    (old = doc_id%10!=0; new = doc_id%7!=0 with every doc_id%3==0 page
+    'edited'). Full-outer co-partitioned fingerprint join —
+    stages/relational.py:snapshot_diff."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.relational import snapshot_diff
+
+    def _snap(mod: int, bump: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ids % mod != 0
+            ids = ids[keep]
+            texts = [t["text"][int(i)].as_py()
+                     for i in np.nonzero(keep)[0]]
+            fps = [
+                hashlib.md5(
+                    (" ".join((x or "").split())
+                     + (" v2" if bump and int(i) % 3 == 0 else "")).encode()
+                ).hexdigest()
+                for i, x in zip(ids, texts)
+            ]
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "fp": pa.array(fps, pa.string())})
+        return _f
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    old_ds = docs.map_batches(_snap(10, False), batch_format="pyarrow")
+    new_ds = docs.map_batches(_snap(7, True), batch_format="pyarrow")
+    return snapshot_diff(old_ds, new_ds, key="doc_id", fp_col="fp",
+                         num_partitions=16)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed full-corpus spherical k-means (Lloyd's over streaming
     per-batch partial sums; see stages/ann.py:kmeans_train) -> per-cluster
@@ -1631,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_freq": q_doc_freq,
         "bm25_topk": q_bm25_topk,
         "contamination": q_contamination,
+        "snapshot_diff": q_snapshot_diff,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -1907,6 +1946,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS df FROM "
             "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) "
             "AS word FROM documents) GROUP BY word"
+        ),
+        "snapshot_diff": (
+            "WITH osnap AS (SELECT doc_id, "
+            "md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp "
+            "FROM documents WHERE doc_id % 10 <> 0), "
+            "nsnap AS (SELECT doc_id, "
+            "md5(regexp_replace(trim(text), '\\s+', ' ', 'g') || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' v2' ELSE '' END) AS fp "
+            "FROM documents WHERE doc_id % 7 <> 0) "
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN o.fp <> n.fp THEN 'changed' "
+            "ELSE 'unchanged' END AS status, "
+            "COALESCE(o.fp, '') AS fp_old, "
+            "COALESCE(n.fp, '') AS fp_new "
+            "FROM osnap o FULL OUTER JOIN nsnap n ON o.doc_id = n.doc_id"
         ),
         "contamination": (
             "WITH ws AS (SELECT doc_id, source, "

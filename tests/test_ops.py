@@ -571,6 +571,30 @@ def test_ivf_topk_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.5  # probing half the lists
 
 
+def test_snapshot_diff_classifies(ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.relational import snapshot_diff
+
+    old = rd.from_items([
+        {"doc_id": 1, "fp": "a"},   # unchanged
+        {"doc_id": 2, "fp": "b"},   # changed
+        {"doc_id": 3, "fp": "c"},   # removed
+    ]).repartition(2)
+    new = rd.from_items([
+        {"doc_id": 1, "fp": "a"},
+        {"doc_id": 2, "fp": "B"},
+        {"doc_id": 4, "fp": "d"},   # added
+    ]).repartition(3)
+    out = (snapshot_diff(old, new, key="doc_id", fp_col="fp",
+                         num_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["status"].tolist() == [
+        "unchanged", "changed", "removed", "added"]
+    assert out.loc[3, "fp_old"] == "" and out.loc[2, "fp_new"] == ""
+    assert out.loc[1, "fp_old"] == "b" and out.loc[1, "fp_new"] == "B"
+
+
 def test_kmeans_train_recovers_separated_clusters(ray_session):
     import ray.data as rd
 
