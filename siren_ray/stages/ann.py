@@ -164,8 +164,8 @@ class _IVFAssign:
 
 
 def ivf_build(ds, index_dir: str, *, n_lists: int = 16,
-              emb_col: str = "embedding", train_sample: int = 2048
-              ) -> np.ndarray:
+              emb_col: str = "embedding", train_sample: int = 2048,
+              train: str = "sample") -> np.ndarray:
     """Build a persisted IVF index: assign every vector to its coarse
     list and write the assignment Parquet PARTITIONED BY ``ivf_list``, so
     queries prune at the read (list id = partition directory). Returns
@@ -174,24 +174,37 @@ def ivf_build(ds, index_dir: str, *, n_lists: int = 16,
     This is the 100 TB shape: the assignment pass streams the corpus
     once; every later query batch reads only ``nprobe``/:attr:`n_lists`
     of the bytes.
+
+    ``train="sample"`` (default) runs driver-side k-means on a uniform
+    random sample; ``train="full"`` runs the distributed full-corpus
+    :func:`kmeans_train` (sample-initialized, per-batch partial sums) —
+    better-balanced lists when the corpus has structure the sample
+    under-represents, at the cost of ``iters`` extra streaming passes.
     """
     import shutil
 
-    # UNIFORM random training sample, not a prefix: ds.limit() reads the
-    # first file(s), which on partitioned data is one domain/day shard —
-    # biased centroids -> skewed lists -> pruning stops helping.
-    # random_sample is a per-block vectorized Bernoulli draw (no shuffle,
-    # deterministic under the seed); the expected draw is 1.25x
-    # train_sample and ALL drawn rows train, so no prefix re-enters.
-    n = ds.count()
-    if n > train_sample:
-        frac = min(1.0, (1.25 * train_sample) / n)
-        sample_tbl = ds.random_sample(frac, seed=7).to_pandas()
-        if len(sample_tbl) < max(n_lists, train_sample // 4):
-            sample_tbl = ds.limit(train_sample).to_pandas()  # unlucky draw
+    if train == "full":
+        cents = kmeans_train(ds, n_lists, emb_col=emb_col,
+                             train_sample=train_sample)
+    elif train == "sample":
+        # UNIFORM random training sample, not a prefix: ds.limit() reads
+        # the first file(s), which on partitioned data is one domain/day
+        # shard — biased centroids -> skewed lists -> pruning stops
+        # helping. random_sample is a per-block vectorized Bernoulli draw
+        # (no shuffle, deterministic under the seed); the expected draw
+        # is 1.25x train_sample and ALL drawn rows train, so no prefix
+        # re-enters.
+        n = ds.count()
+        if n > train_sample:
+            frac = min(1.0, (1.25 * train_sample) / n)
+            sample_tbl = ds.random_sample(frac, seed=7).to_pandas()
+            if len(sample_tbl) < max(n_lists, train_sample // 4):
+                sample_tbl = ds.limit(train_sample).to_pandas()  # unlucky
+        else:
+            sample_tbl = ds.to_pandas()
+        cents = kmeans_fit(np.array(sample_tbl[emb_col].tolist()), n_lists)
     else:
-        sample_tbl = ds.to_pandas()
-    cents = kmeans_fit(np.array(sample_tbl[emb_col].tolist()), n_lists)
+        raise ValueError(f"train must be 'sample' or 'full', got {train!r}")
     cents_ref = ray.put(cents)
     assigned = ds.map_batches(
         _IVFAssign,
@@ -217,7 +230,7 @@ def ivf_build(ds, index_dir: str, *, n_lists: int = 16,
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
              emb_col: str = "embedding", train_sample: int = 2048,
-             index_dir: str | None = None):
+             index_dir: str | None = None, train: str = "sample"):
     """IVF approximate top-k: assign vectors to coarse lists once
     (persisted, partitioned by list), then score ONLY the union of the
     ``nprobe`` closest lists per query — pruned at the Parquet read, not
@@ -234,7 +247,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
         cents = np.load(cents_path)
     else:
         cents = ivf_build(ds, index_dir, n_lists=n_lists, emb_col=emb_col,
-                          train_sample=train_sample)
+                          train_sample=train_sample, train=train)
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     probed_lists = sorted({int(x) for x in probe.ravel()})
@@ -307,10 +320,11 @@ def kmeans_train(ds, n_clusters: int, *, emb_col: str = "embedding",
     second level already caps driver bytes).
 
     Centroids are broadcast once per iteration (``ray.put``; per-batch
-    ``ray.get`` is a zero-copy local read). Initialization is a uniform
-    random sample (per-block Bernoulli — no shuffle, no prefix bias, same
-    rationale as :func:`ivf_build`). Empty clusters keep their previous
-    centroid. Stops early when the max centroid shift (L2) drops below
+    ``ray.get`` is a zero-copy local read). Initialization draws a
+    uniform random sample (per-block Bernoulli — no shuffle, no prefix
+    bias, same rationale as :func:`ivf_build`) then seeds by greedy
+    farthest-point selection within it. Empty clusters keep their
+    previous centroid. Stops early when the max centroid shift (L2) drops below
     ``tol``. Assignment is cosine (vectors and centroids normalized),
     consistent with the IVF probe math. Returns the (K, dim) float32
     centroid matrix — the only driver-side state.
@@ -329,9 +343,20 @@ def kmeans_train(ds, n_clusters: int, *, emb_col: str = "embedding",
             sample = ds.limit(take).to_pandas()  # unlucky draw fallback
     else:
         sample = ds.to_pandas()
-    rng = np.random.RandomState(seed)
     init = _normalize(np.array(sample[emb_col].tolist(), dtype=np.float64))
-    cents = init[rng.choice(len(init), size=n_clusters, replace=False)]
+    # Greedy farthest-point init (k-means++-flavored, deterministic given
+    # the sample SET): each next centroid is the sample point least
+    # similar to its nearest chosen centroid. Unlike a random draw this
+    # cannot put two seeds in one tight cluster, so convergence does not
+    # depend on init luck — important because the Bernoulli sample's
+    # contents may vary with block execution order.
+    chosen = [0]
+    best_sim = init @ init[0]
+    for _ in range(1, n_clusters):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, init @ init[nxt])
+    cents = init[chosen]
 
     dim = cents.shape[1]
     sum_type = pa.list_(pa.float64(), dim)
