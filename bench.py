@@ -308,6 +308,10 @@ def run_query_bench(sf_dir: str) -> dict:
         "dedup_lines",
         "word_stats",
         "doc_freq",
+        "bm25_topk",
+        "contamination",
+        "snapshot_diff",
+        "kmeans_clusters",
     ]
     qs = entrymod.queries()
     out = {}

@@ -357,7 +357,8 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
               how: str = "inner", suffix: str = "_r",
               num_partitions: int = _TOPK_PARTITIONS,
               broadcast: bool | str = "auto",
-              broadcast_threshold_bytes: int = 32 << 20):
+              broadcast_threshold_bytes: int = 32 << 20,
+              salt_hot: bool = False, hot_salt: int = 8, hot_k: int = 16):
     """General distributed equi-join (``inner`` or ``left``) where BOTH
     sides may exceed any single node's memory — the join Ray Data lacks
     as a single call and the one a training-data pipeline runs
@@ -380,6 +381,18 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
     broadcast. Left-join null padding follows pandas: right int columns
     become float64 where unmatched — cast downstream if exactness
     matters (the SQL oracles cast).
+
+    Skew: with ``salt_hot=True``, a Misra-Gries pass over the left key
+    column (:func:`heavy_hitters`, per-block exact counts, tiny driver
+    merge — NOT a full groupby) finds keys whose lower-bound count
+    exceeds a partition's fair share; their left rows are sprayed
+    round-robin across ``hot_salt`` extra salted partitions while the
+    matching right rows are REPLICATED to all of them (the standard
+    salted-join remedy: one Zipf host/domain key no longer pins an
+    entire partition to one worker). Cold keys take the normal path; an
+    empty hot set degenerates to the plain join. Right-side replication
+    is bounded by hot_salt x (right rows per hot key) — the usual
+    dim-table assumption.
     """
     import ray
     import ray.data as rd
@@ -414,16 +427,56 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
         return left_ds.map_batches(_BcastJoin, batch_format="pyarrow",
                                    concurrency=(1, 4))
 
+    hot_vals: np.ndarray | None = None
+    S = 0
+    if salt_hot:
+        hh = heavy_hitters(left_ds.select_columns([on]), on, k=hot_k)
+        n_left_rows = left_ds.count()
+        share = max(1, n_left_rows // P)
+        hh = hh[hh["count_lo"] > share]
+        if len(hh):
+            hot_vals = hh["item"].to_numpy(dtype=object)
+            S = max(2, int(hot_salt))
+    NP = P + S  # normal partitions + shared salted partitions
+
+    def _hot_mask(col):
+        """Boolean hot-key membership for an Arrow key column (MG items
+        come back as strings; compare in the column's own dtype)."""
+        if pa.types.is_integer(col.type):
+            hv = hot_vals.astype(np.int64)
+            return np.isin(np.asarray(col, dtype=np.int64), hv)
+        vals = np.asarray(col.to_pylist(), dtype=object)
+        return np.isin(vals, hot_vals.astype(str))
+
     @ray.remote
-    def _split(tbl: pa.Table, col: str):
+    def _split(tbl: pa.Table, col: str, is_left: bool):
         if tbl.num_rows == 0 or col not in tbl.schema.names:
-            return [tbl.slice(0, 0)] * P
+            return [tbl.slice(0, 0)] * NP
         pk = _key_partition(tbl[col], P)
+        if hot_vals is not None:
+            hot = _hot_mask(tbl[col])
+            if is_left:
+                # spray hot left rows round-robin over the salted range
+                nh = int(hot.sum())
+                pk[hot] = P + (np.arange(nh, dtype=np.int64) % S)
+            else:
+                # hot right rows replicate to EVERY salted partition and
+                # leave their normal partition (no left rows remain there)
+                out = []
+                cold = tbl.filter(pa.array(~hot))
+                cpk = pk[~hot]
+                order = np.argsort(cpk, kind="stable")
+                ks = cpk[order]
+                bounds = np.searchsorted(ks, np.arange(P + 1))
+                out = [cold.take(pa.array(order[bounds[p]:bounds[p + 1]]))
+                       for p in range(P)]
+                hot_rows = tbl.filter(pa.array(hot))
+                return out + [hot_rows] * S
         order = np.argsort(pk, kind="stable")
         ks = pk[order]
-        bounds = np.searchsorted(ks, np.arange(P + 1))
+        bounds = np.searchsorted(ks, np.arange(NP + 1))
         return [tbl.take(pa.array(order[bounds[p]:bounds[p + 1]]))
-                for p in range(P)]
+                for p in range(NP)]
 
     @ray.remote
     def _join(n_left: int, *shards):
@@ -439,9 +492,9 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
                         suffixes=("", suffix))
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    left_sh = [_split.options(num_returns=P).remote(b, on)
+    left_sh = [_split.options(num_returns=NP).remote(b, on, True)
                for b in left_ds.to_arrow_refs()]
-    right_sh = [_split.options(num_returns=P).remote(b, rkey)
+    right_sh = [_split.options(num_returns=NP).remote(b, rkey, False)
                 for b in right_ds.to_arrow_refs()]
     parts = [
         _join.remote(
@@ -449,7 +502,7 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
             *[left_sh[i][p] for i in range(len(left_sh))],
             *[right_sh[j][p] for j in range(len(right_sh))],
         )
-        for p in range(P)
+        for p in range(NP)
     ]
     return rd.from_arrow_refs(parts)
 

@@ -571,6 +571,47 @@ def test_ivf_topk_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.5  # probing half the lists
 
 
+def test_hash_join_salt_hot_keys(ray_session):
+    """Zipf-skewed left side: salted join equals the broadcast join and
+    actually spreads the hot key over multiple output partitions."""
+    import ray.data as rd
+
+    from siren_ray.stages.relational import hash_join
+
+    rng = np.random.RandomState(5)
+    # 4000 rows of key 7 (one Zipf host), 1000 uniform cold keys
+    keys = np.concatenate([np.full(4000, 7), rng.randint(100, 200, 1000)])
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(np.arange(len(keys)), pa.int64()),
+    })).repartition(8)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(300, dtype=np.int64), pa.int64()),
+        "label": pa.array([f"L{i}" for i in range(300)], pa.string()),
+    })).repartition(4)
+
+    base = hash_join(left, right, on="k", how="inner",
+                     broadcast=True).to_pandas()
+    salted = hash_join(left, right, on="k", how="inner", broadcast=False,
+                       num_partitions=8, salt_hot=True,
+                       hot_salt=4).to_pandas()
+    cols = ["k", "v", "label"]
+    a = base[cols].sort_values(["k", "v"]).reset_index(drop=True)
+    b = salted[cols].sort_values(["k", "v"]).reset_index(drop=True)
+    assert a.equals(b)
+
+    # balance: without salting the hot key pins 4000 rows to ONE
+    # partition; salted, no output partition may hold more than the hot
+    # count / hot_salt + the cold share (with slack)
+    import ray as _ray
+
+    out = hash_join(left, right, on="k", how="inner", broadcast=False,
+                    num_partitions=8, salt_hot=True, hot_salt=4)
+    sizes = [b.num_rows for b in _ray.get(out.to_arrow_refs())]
+    assert sum(sizes) == 5000
+    assert max(sizes) < 4000  # the hot key no longer lands in one task
+
+
 def test_snapshot_diff_classifies(ray_session):
     import ray.data as rd
 
