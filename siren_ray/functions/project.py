@@ -19,6 +19,7 @@ nondeterministic per run. This engine pins sorted order instead.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 
@@ -71,6 +72,66 @@ def write_routed_parquet(ds, out_dir: str,
     url)."""
     ds.write_parquet(out_dir, partition_cols=list(partition_cols))
     return out_dir
+
+
+def write_resumable_parquet(ds, out_dir: str, *,
+                            partition_col: str = "origin") -> dict:
+    """Resumable hive-partitioned Parquet sink: a partition directory is
+    FINISHED once its ``_SUCCESS`` marker exists; a re-run after a crash
+    (1) deletes partition dirs that lack the marker (partial parts from
+    the failed attempt — parts are UUID-named, so a naive rewrite would
+    DUPLICATE rows, not overwrite), (2) filters finished partitions out
+    of the dataset BEFORE the write so their bytes are never recomputed
+    or re-shipped, (3) writes the remainder, and (4) stamps markers
+    last — the crash-safe ordering (data durable before the marker, same
+    discipline as the crawl checkpoints, pipelines/frontier.py).
+
+    ``partition_col`` must be low-cardinality with filesystem-simple
+    values (origin/scraper/day bucket — the same contract as
+    :func:`write_routed_parquet`). Returns
+    ``{"skipped": [...], "written": [...]}`` partition values (as
+    directory-name strings) for lineage.
+    """
+    import shutil
+
+    import pyarrow.compute as pc
+
+    prefix = f"{partition_col}="
+    os.makedirs(out_dir, exist_ok=True)
+    done, partial = [], []
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if not (name.startswith(prefix) and os.path.isdir(p)):
+            continue
+        val = name[len(prefix):]
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            done.append(val)
+        else:
+            partial.append(val)
+            shutil.rmtree(p)
+
+    if done:
+        done_arr = pa.array(done, pa.string())
+
+        def _drop_done(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or partition_col not in t.schema.names:
+                return t
+            key = pc.cast(t[partition_col], pa.string())
+            return t.filter(pc.invert(pc.is_in(key, value_set=done_arr)))
+
+        ds = ds.map_batches(_drop_done, batch_format="pyarrow")
+
+    ds.write_parquet(out_dir, partition_cols=[partition_col])
+
+    written = []
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if (name.startswith(prefix) and os.path.isdir(p)
+                and not os.path.exists(os.path.join(p, "_SUCCESS"))):
+            with open(os.path.join(p, "_SUCCESS"), "w"):
+                pass
+            written.append(name[len(prefix):])
+    return {"skipped": done, "written": written}
 
 
 def flatten_struct(batch: pa.Table, struct_col: str, *,

@@ -133,6 +133,47 @@ def test_flatten_struct_wide_row():
     assert out["page"].to_pylist() == [MISSING, MISSING]
 
 
+def test_write_resumable_parquet_skips_finished(ray_session, tmp_path):
+    """Crash-resume: finished partitions (with _SUCCESS) are untouched
+    byte-for-byte; a partial partition (no marker) is cleaned and
+    rewritten; total rows come back exactly once."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from siren_ray.functions.project import write_resumable_parquet
+
+    items = [{"origin": f"s{i % 3}", "n": i} for i in range(30)]
+    ds = rd.from_items(items).repartition(4)
+    out = str(tmp_path / "resume")
+
+    r1 = write_resumable_parquet(ds, out, partition_col="origin")
+    assert sorted(r1["written"]) == ["s0", "s1", "s2"] and not r1["skipped"]
+
+    # simulate a crash that finished s0/s1 but died mid-s2: drop s2's
+    # marker and leave a stray partial part behind
+    import os as _os
+    s2 = _os.path.join(out, "origin=s2")
+    _os.remove(_os.path.join(s2, "_SUCCESS"))
+    with open(_os.path.join(s2, "junk-partial.parquet"), "w") as f:
+        f.write("not parquet")
+    before = {
+        d: sorted(_os.listdir(_os.path.join(out, d)))
+        for d in ("origin=s0", "origin=s1")
+    }
+
+    r2 = write_resumable_parquet(ds, out, partition_col="origin")
+    assert r2["skipped"] == ["s0", "s1"] and r2["written"] == ["s2"]
+    after = {
+        d: sorted(_os.listdir(_os.path.join(out, d)))
+        for d in ("origin=s0", "origin=s1")
+    }
+    assert before == after  # finished partitions never rewritten
+    back = pads.dataset(out, partitioning="hive",
+                        ignore_prefixes=["_", "."]).to_table()
+    assert back.num_rows == 30  # no duplicates from the resume
+    assert sorted(back["n"].to_pylist()) == list(range(30))
+
+
 def test_write_routed_parquet(ray_session, tmp_path):
     """W6: rows route into one hive folder per origin value; re-read
     recovers the full set per partition."""
