@@ -837,6 +837,48 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+def q_curation_report(sf_dir: str):
+    """Flagship LLM-data curation composite: quality gate -> exact-text
+    first-wins dedup -> token count -> per-source corpus report
+    (n_docs, total_tokens). Chains the individually-oracle-checked
+    kernels; the whole chain is itself oracle-checked as ONE CTE query."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import quality_batch, token_count_ws
+    from siren_ray.stages.dedup import dedup_exact
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source", "text"])
+    def _gate(t: pa.Table) -> pa.Table:
+        qb = quality_batch(t)
+        return qb.filter(qb["quality_ok"]).select(
+            ["doc_id", "source", "text"])
+
+    gated = ds.map_batches(_gate, batch_format="pyarrow")
+    kept = dedup_exact(gated, "text", "doc_id")
+    toks = kept.map_batches(
+        lambda t: pa.table({"source": t["source"],
+                            "n_tokens": token_count_ws(t["text"])}),
+        batch_format="pyarrow",
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("source", sort=False).agg(
+            n_docs=("n_tokens", "size"), total_tokens=("n_tokens", "sum"))
+        return pa.Table.from_pandas(df.reset_index(), preserve_index=False)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("n_docs", "sum"), total_tokens=("total_tokens", "sum"))
+        return g.reset_index()
+
+    return (
+        toks.map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
 def q_snapshot_diff(sf_dir: str):
     """Recrawl snapshot diff: added/removed/changed/unchanged per doc
     between two deterministic snapshot views of the documents table
@@ -1670,6 +1712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "contamination": q_contamination,
         "snapshot_diff": q_snapshot_diff,
+        "curation_report": q_curation_report,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -1946,6 +1989,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS df FROM "
             "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) "
             "AS word FROM documents) GROUP BY word"
+        ),
+        "curation_report": (
+            "WITH gated AS (SELECT doc_id, source, text FROM documents "
+            "WHERE len(text) >= 20 "
+            "AND (CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END) >= 5 "
+            "AND CAST(len(regexp_replace(text, '[\\w\\s]', '', 'g')) "
+            "AS DOUBLE) / greatest(len(text), 1) <= 0.3), "
+            "kept AS (SELECT min(doc_id) AS doc_id, "
+            "arg_min(source, doc_id) AS source, text "
+            "FROM gated GROUP BY text), "
+            "tok AS (SELECT source, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM kept) "
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens "
+            "FROM tok GROUP BY source"
         ),
         "snapshot_diff": (
             "WITH osnap AS (SELECT doc_id, "

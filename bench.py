@@ -312,6 +312,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "contamination",
         "snapshot_diff",
         "kmeans_clusters",
+        "curation_report",
     ]
     qs = entrymod.queries()
     out = {}
