@@ -837,6 +837,18 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking: 64-token windows at stride 48 (flat-map
+    row explosion inside the batch; functions/textstats.py:
+    chunk_documents)."""
+    from siren_ray.functions.textstats import chunk_documents
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        lambda t: chunk_documents(t, size=64, stride=48),
+        batch_format="pyarrow",
+    )
+
+
 def q_curation_report(sf_dir: str):
     """Flagship LLM-data curation composite: quality gate -> exact-text
     first-wins dedup -> token count -> per-source corpus report
@@ -1713,6 +1725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "snapshot_diff": q_snapshot_diff,
         "curation_report": q_curation_report,
+        "chunk_documents": q_chunk_documents,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -1989,6 +2002,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS df FROM "
             "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) "
             "AS word FROM documents) GROUP BY word"
+        ),
+        "chunk_documents": (
+            "WITH ws AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w "
+            "FROM documents WHERE trim(text) <> ''), "
+            "n AS (SELECT doc_id, w, len(w) AS nw FROM ws), "
+            "idx AS (SELECT doc_id, w, nw, "
+            "unnest(generate_series(0, CASE WHEN nw <= 64 THEN 0 ELSE "
+            "CAST(ceil((nw - 64) / 48.0) AS BIGINT) END)) AS chunk_id "
+            "FROM n) "
+            "SELECT doc_id, chunk_id, "
+            "array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')"
+            " AS chunk_text, "
+            "CAST(least(64, nw - chunk_id * 48) AS BIGINT) AS n_tokens "
+            "FROM idx"
         ),
         "curation_report": (
             "WITH gated AS (SELECT doc_id, source, text FROM documents "

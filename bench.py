@@ -313,6 +313,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "snapshot_diff",
         "kmeans_clusters",
         "curation_report",
+        "chunk_documents",
     ]
     qs = entrymod.queries()
     out = {}

@@ -284,3 +284,50 @@ def shingles(text: str, k: int = 5) -> list[str]:
     if len(words) < k:
         return [" ".join(words)] if words else []
     return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
+def chunk_documents(batch: pa.Table, *, size: int = 64, stride: int = 48,
+                    id_col: str = "doc_id", text_col: str = "text"
+                    ) -> pa.Table:
+    """Context-window chunking: split each document into overlapping
+    whitespace-token windows of ``size`` tokens stepping by ``stride``
+    (overlap = size - stride) — the standard prep before tokenize/pack
+    in a training-data pipeline. Row explosion happens INSIDE the batch
+    (flat-map shape: N docs in, sum(ceil) chunks out), so the operator
+    composes with map_batches and streams; no doc's text is ever held
+    outside its batch.
+
+    Chunk boundaries are token offsets over ``text.split()`` and the
+    chunk text is the ``' '``-join of its tokens (whitespace-normalized,
+    matching the fingerprint kernel's normalization). A document with
+    fewer than ``size`` tokens yields exactly one chunk; an
+    empty/whitespace doc yields none. Output: (id_col, chunk_id,
+    chunk_text, n_tokens) with chunk_id counting from 0 at stride
+    steps. The per-doc Python loop is over DOCUMENTS (strings must be
+    assembled per chunk); the split itself is one pass per doc.
+    """
+    ids_out, cid_out, txt_out, ntok_out = [], [], [], []
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    for did, text in zip(ids, texts):
+        words = (text or "").split()
+        n = len(words)
+        if n == 0:
+            continue
+        start, cid = 0, 0
+        while True:
+            piece = words[start:start + size]
+            ids_out.append(did)
+            cid_out.append(cid)
+            txt_out.append(" ".join(piece))
+            ntok_out.append(len(piece))
+            if start + size >= n:
+                break
+            start += stride
+            cid += 1
+    return pa.table({
+        id_col: pa.array(ids_out, batch[id_col].type),
+        "chunk_id": pa.array(cid_out, pa.int64()),
+        "chunk_text": pa.array(txt_out, pa.string()),
+        "n_tokens": pa.array(ntok_out, pa.int64()),
+    })

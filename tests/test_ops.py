@@ -612,6 +612,33 @@ def test_ivf_topk_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.5  # probing half the lists
 
 
+def test_chunk_documents_boundaries():
+    from siren_ray.functions.textstats import chunk_documents
+
+    w = lambda n: " ".join(f"t{i}" for i in range(n))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([w(3), w(10), w(14), "", "   "], pa.string()),
+    })
+    out = chunk_documents(t, size=10, stride=4)
+    df = out.to_pandas()
+    # doc 1: 3 < size -> one chunk of 3; doc 2: exactly size -> one chunk
+    # doc 3: 14 tokens -> chunks at 0 (10) and 4 (10, covers to 14)
+    # docs 4/5: empty/whitespace -> no chunks
+    assert df[df.doc_id == 1]["n_tokens"].tolist() == [3]
+    assert df[df.doc_id == 2]["n_tokens"].tolist() == [10]
+    assert df[df.doc_id == 3]["n_tokens"].tolist() == [10, 10]
+    assert df[df.doc_id == 3]["chunk_id"].tolist() == [0, 1]
+    assert df[df.doc_id == 3]["chunk_text"].tolist()[1].startswith("t4 ")
+    assert set(df.doc_id) == {1, 2, 3}
+    # exact stride multiple: 18 = 10 + 2*4 -> last chunk starts at 8
+    t2 = pa.table({"doc_id": pa.array([9], pa.int64()),
+                   "text": pa.array([w(18)], pa.string())})
+    df2 = chunk_documents(t2, size=10, stride=4).to_pandas()
+    assert df2["chunk_id"].tolist() == [0, 1, 2]
+    assert df2["n_tokens"].tolist() == [10, 10, 10]
+
+
 def test_hash_join_salt_hot_keys(ray_session):
     """Zipf-skewed left side: salted join equals the broadcast join and
     actually spreads the hot key over multiple output partitions."""
