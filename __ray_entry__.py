@@ -837,6 +837,40 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+def q_incremental_ingest(sf_dir: str):
+    """Incremental corpus ingest: keep only increment docs (doc_id odd)
+    whose text does not already exist in the base corpus (doc_id even) —
+    a co-partitioned anti-join on an int64 text fingerprint
+    (stages/dedup.py:hash_antijoin), so neither the base key set nor the
+    increment touches the driver. 64-bit fingerprint: at 1e10 docs the
+    expected false-drop count is ~3 (birthday bound) — the standard
+    fingerprint-dedup tradeoff, exact at test scale."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.dedup import hash_antijoin
+    from siren_ray.util import hash_strings
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _half(parity: int, as_keys: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ids % 2 == parity
+            sub = t.filter(pa.array(keep))
+            fp = hash_strings(sub["text"].to_pylist()).astype(np.int64)
+            if as_keys:
+                return pa.table({"id": pa.array(fp, pa.int64())})
+            return pa.table({"doc_id": sub["doc_id"],
+                             "fp": pa.array(fp, pa.int64())})
+        return _f
+
+    base_keys = docs.map_batches(_half(0, True), batch_format="pyarrow")
+    inc = docs.map_batches(_half(1, False), batch_format="pyarrow")
+    return hash_antijoin(inc, base_keys, "fp",
+                         num_partitions=16).select_columns(["doc_id"])
+
+
 def q_chunk_documents(sf_dir: str):
     """Context-window chunking: 64-token windows at stride 48 (flat-map
     row explosion inside the batch; functions/textstats.py:
@@ -1726,6 +1760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "curation_report": q_curation_report,
         "chunk_documents": q_chunk_documents,
+        "incremental_ingest": q_incremental_ingest,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "minhash_pairs": q_minhash_pairs,
@@ -2002,6 +2037,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS df FROM "
             "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) "
             "AS word FROM documents) GROUP BY word"
+        ),
+        "incremental_ingest": (
+            "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 "
+            "AND text NOT IN "
+            "(SELECT text FROM documents WHERE doc_id % 2 = 0)"
         ),
         "chunk_documents": (
             "WITH ws AS (SELECT doc_id, "
