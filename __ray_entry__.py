@@ -883,6 +883,51 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction (functions/pii.py): deterministic synthetic PII is
+    appended per doc (so the redaction provably fires on every row),
+    then email/IP/phone are redacted sequentially and counted
+    independently — all RE2 kernels shared verbatim with the oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from siren_ray.functions.pii import pii_counts, redact_pii
+
+    def _f(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].cast(pa.string())
+        import numpy as np
+        ip_oct = pa.array(
+            np.asarray(t["doc_id"], dtype=np.int64) % 200
+        ).cast(pa.string())
+        aug = pc.binary_join_element_wise(
+            t["text"], " contact user", did, "@example.com from 10.",
+            ip_oct, ".0.1 call +1 415-555-0123", "")
+        out = {"doc_id": t["doc_id"], "clean": redact_pii(aug)}
+        out.update(pii_counts(aug))
+        return pa.table(out)
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _f, batch_format="pyarrow")
+
+
+def q_normalized_dedup(sf_dir: str):
+    """Case/punct/whitespace-folding normalization (functions/pii.py:
+    normalize_text) feeding first-wins exact dedup on the normalized
+    form — the canonical pre-fuzzy-dedup fold at corpus scale (map-only
+    normalize, then the one hash-partition dedup shuffle)."""
+    import pyarrow as pa
+
+    from siren_ray.functions.pii import normalize_text
+    from siren_ray.stages.dedup import dedup_exact
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "norm": normalize_text(t["text"])}),
+        batch_format="pyarrow",
+    )
+    return dedup_exact(ds, "norm", "doc_id")
+
+
 def q_curation_report(sf_dir: str):
     """Flagship LLM-data curation composite: quality gate -> exact-text
     first-wins dedup -> token count -> per-source corpus report
@@ -1759,6 +1804,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "snapshot_diff": q_snapshot_diff,
         "curation_report": q_curation_report,
+        "pii_redact": q_pii_redact,
+        "normalized_dedup": q_normalized_dedup,
         "chunk_documents": q_chunk_documents,
         "incremental_ingest": q_incremental_ingest,
         # rows-only (non-SQL-expressible)
@@ -1792,6 +1839,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # RE2 pattern strings shared VERBATIM with the engine kernels
+    # (functions/pii.py) — Arrow and DuckDB both compile them with RE2,
+    # so redaction parity is by construction, not by reimplementation.
+    from siren_ray.functions.pii import (EMAIL_RE, IPV4_RE, NORM_STRIP_RE,
+                                         PHONE_RE)
+
     return {
         "date_window": (
             "SELECT event_id, ts FROM events "
@@ -2074,6 +2127,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, "
             "CAST(sum(n_tokens) AS BIGINT) AS total_tokens "
             "FROM tok GROUP BY source"
+        ),
+        "pii_redact": (
+            "WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id"
+            " || '@example.com from 10.' || (doc_id % 200) || "
+            "'.0.1 call +1 415-555-0123' AS a FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(a, '"
+            + EMAIL_RE + "', '<EMAIL>', 'g'), '" + IPV4_RE
+            + "', '<IP>', 'g'), '" + PHONE_RE + "', '<PHONE>', 'g') "
+            "AS clean, "
+            "len(regexp_extract_all(a, '" + EMAIL_RE + "')) AS n_email, "
+            "len(regexp_extract_all(a, '" + IPV4_RE + "')) AS n_ip, "
+            "len(regexp_extract_all(a, '" + PHONE_RE + "')) AS n_phone "
+            "FROM aug"
+        ),
+        "normalized_dedup": (
+            "WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text)"
+            ", '" + NORM_STRIP_RE + "', ' ', 'g')) AS norm FROM documents)"
+            " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
         "snapshot_diff": (
             "WITH osnap AS (SELECT doc_id, "

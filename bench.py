@@ -314,6 +314,8 @@ def run_query_bench(sf_dir: str) -> dict:
         "kmeans_clusters",
         "curation_report",
         "chunk_documents",
+        "pii_redact",
+        "normalized_dedup",
     ]
     qs = entrymod.queries()
     out = {}
