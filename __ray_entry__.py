@@ -928,6 +928,20 @@ def q_normalized_dedup(sf_dir: str):
     return dedup_exact(ds, "norm", "doc_id")
 
 
+def q_lm_perplexity(sf_dir: str):
+    """Hashed bigram-LM quality scoring (stages/lm.py): train the
+    bounded-memory count model on the documents table in one streaming
+    pass, broadcast it, score every doc with add-alpha perplexity —
+    the CCNet-recipe shape with a hashed bigram model standing in for
+    KenLM (not in the container). Rows-only: perplexity is a float
+    model score with no SQL equivalent."""
+    from siren_ray.stages.lm import bigram_lm_train, perplexity_score
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    lm = bigram_lm_train(ds, uni_bits=18, big_bits=20)
+    return perplexity_score(ds, lm)
+
+
 def q_curation_report(sf_dir: str):
     """Flagship LLM-data curation composite: quality gate -> exact-text
     first-wins dedup -> token count -> per-source corpus report
@@ -1821,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "embedding_neardup_removed": q_embedding_neardup_removed,
         "approx_distinct": q_approx_distinct,
+        "lm_perplexity": q_lm_perplexity,
         "jaccard_neardup": q_jaccard_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,

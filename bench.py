@@ -316,6 +316,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "chunk_documents",
         "pii_redact",
         "normalized_dedup",
+        "lm_perplexity",
     ]
     qs = entrymod.queries()
     out = {}
