@@ -928,6 +928,44 @@ def q_normalized_dedup(sf_dir: str):
     return dedup_exact(ds, "norm", "doc_id")
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """Common-Crawl-shaped ingest edge (sources/warc.py): serialize the
+    documents table into per-record-gzip WARC shards (one shard per
+    block, written by the owning task), read them back through
+    read_binary_files + member/record splitting, and recover (doc_id,
+    text) from the archive. Oracle = the original table: proves the
+    archive round-trip is lossless."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from siren_ray.sources.warc import read_warc, write_warc_shards
+
+    def _to_pages(t: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            pa.array(["https://docs.example.com/d/"] * t.num_rows),
+            t["doc_id"].cast(pa.string()), "")
+        ts = pa.array([datetime(2024, 1, 1, tzinfo=timezone.utc)]
+                      * t.num_rows).cast(pa.timestamp("us"))
+        return pa.table({"url": url, "warc_ts": ts, "html": t["text"]})
+
+    out_dir = tempfile.mkdtemp(prefix="warc_rt_")
+    pages = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _to_pages, batch_format="pyarrow")
+    write_warc_shards(pages, out_dir, content_type="text/plain")
+
+    def _back(t: pa.Table) -> pa.Table:
+        doc_id = pc.cast(pc.replace_substring_regex(
+            t["url"], pattern=r"^https://docs\.example\.com/d/",
+            replacement=""), pa.int64())
+        return pa.table({"doc_id": doc_id, "text": t["text"]})
+
+    return read_warc(out_dir, text=True).map_batches(
+        _back, batch_format="pyarrow")
+
+
 def q_lm_perplexity(sf_dir: str):
     """Hashed bigram-LM quality scoring (stages/lm.py): train the
     bounded-memory count model on the documents table in one streaming
@@ -1820,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_report": q_curation_report,
         "pii_redact": q_pii_redact,
         "normalized_dedup": q_normalized_dedup,
+        "warc_roundtrip": q_warc_roundtrip,
         "chunk_documents": q_chunk_documents,
         "incremental_ingest": q_incremental_ingest,
         # rows-only (non-SQL-expressible)
@@ -2162,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
             ", '" + NORM_STRIP_RE + "', ' ', 'g')) AS norm FROM documents)"
             " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
+        "warc_roundtrip": "SELECT doc_id, text FROM documents",
         "snapshot_diff": (
             "WITH osnap AS (SELECT doc_id, "
             "md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp "

@@ -317,6 +317,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "pii_redact",
         "normalized_dedup",
         "lm_perplexity",
+        "warc_roundtrip",
     ]
     qs = entrymod.queries()
     out = {}

@@ -1,0 +1,96 @@
+"""WARC-style gzip source (sources/warc.py): round-trip fidelity,
+multi-member splitting, malformed-member recorded-drop semantics."""
+
+import gzip
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from siren_ray.sources.warc import (_parse_record, _split_members,
+                                    read_warc, write_warc_shards)
+
+ROWS = [
+    {"url": f"https://ex.com/p/{i}", "warc_ts": None,
+     "html": f"<html><body>page {i} éé</body></html>".encode()}
+    for i in range(57)
+]
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("warc"))
+    ds = rd.from_items(ROWS, override_num_blocks=4)
+    import datetime
+
+    ds = ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("warc_ts"),
+            "warc_ts",
+            pa.array([datetime.datetime(2024, 1, 1, 0, 0, i % 60)
+                      for i in range(t.num_rows)], pa.timestamp("us"))),
+        batch_format="pyarrow")
+    n = write_warc_shards(ds, d)
+    assert 1 <= n <= 4
+    return d
+
+
+def test_roundtrip_bodies_and_urls(warc_dir):
+    out = read_warc(warc_dir).to_pandas().sort_values("url")
+    assert len(out) == len(ROWS)
+    want = {r["url"]: r["html"] for r in ROWS}
+    for u, h in zip(out["url"], out["html"]):
+        assert want[u] == h
+    assert out["warc_ts"].notna().all()
+    assert str(out["warc_ts"].iloc[0]).startswith("2024-01-01")
+
+
+def test_member_split_and_truncation():
+    a = gzip.compress(b"first")
+    b = gzip.compress(b"second")
+    assert list(_split_members(a + b)) == [b"first", b"second"]
+    # truncated final member: earlier members still parse, no raise
+    assert list(_split_members(a + b[: len(b) // 2])) == [b"first"]
+    assert list(_split_members(b"notgzip")) == []
+
+
+def test_malformed_records_skipped(warc_dir, tmp_path):
+    d = str(tmp_path)
+    # copy one real shard + one garbage-in-the-middle shard
+    shard = sorted(os.listdir(warc_dir))[0]
+    with open(os.path.join(warc_dir, shard), "rb") as f:
+        real = f.read()
+    junk = gzip.compress(b"HTTP/1.1 200 OK\r\n\r\nnot a warc record")
+    with open(os.path.join(d, "mix.warc.gz"), "wb") as f:
+        f.write(junk + real)
+    out = read_warc(d).to_pandas()
+    # junk member dropped, every real record behind it survives
+    n_real = sum(1 for _ in _split_members(real))
+    assert len(out) == n_real
+
+
+def test_plain_stream_framing(warc_dir):
+    """Uncompressed .warc layout (and Ray's auto-gunzipped view of
+    .warc.gz) splits by Content-Length walking, same results."""
+    from siren_ray.sources.warc import _split_any, _split_records_plain
+
+    shard = sorted(os.listdir(warc_dir))[0]
+    with open(os.path.join(warc_dir, shard), "rb") as f:
+        blob = f.read()
+    via_gzip = list(_split_members(blob))
+    plain = b"".join(via_gzip)
+    via_plain = list(_split_records_plain(plain))
+    assert len(via_plain) == len(via_gzip)
+    for a, b in zip(via_gzip, via_plain):
+        assert _parse_record(a) == _parse_record(b)
+    # dispatcher picks the right framing for both
+    assert len(list(_split_any(blob))) == len(via_gzip)
+    assert len(list(_split_any(plain))) == len(via_gzip)
+
+
+def test_parse_record_rejects_non_response():
+    rec = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: x\r\nContent-Length: 0\r\n\r\n")
+    assert _parse_record(rec) is None
+    assert _parse_record(b"garbage") is None
