@@ -58,6 +58,7 @@ from ..stages.politeness import (
     is_disallowed,
     load_robots,
     robots_filter_batch,
+    robots_ok_mask,
 )
 from ..util import hash_strings, hosts_of, paths_of
 
@@ -288,8 +289,16 @@ class _Crawl:
         }
         self._pool: list | None = None  # persistent fetch actors (driver mode)
         self._next_frontier: pa.Table | None = None  # in-memory round handoff
-        if cfg.scheduler == "driver":
-            self._fetch_pool()  # actors spawn in background during setup
+        if cfg.scheduler in ("driver", "auto"):
+            # spawn + warm the pools NOW so worker-process startup and
+            # library imports overlap driver-side setup (seeds, robots,
+            # round-0 scheduling) instead of serializing into round 0 —
+            # a fixed cost that otherwise divides scaling efficiency.
+            # Fire-and-forget: never ray.get here.
+            for a in self._fetch_pool():
+                a.__ray_ready__.remote()
+            for s in self.seen.shards:
+                s.size.remote()
 
     _WORKER_ENV = {
         "env_vars": {
@@ -338,18 +347,16 @@ class _Crawl:
         order = np.argsort(buckets, kind="stable")
         sel = sel.take(pa.array(order))
         buckets = buckets[order]
+        # bucket-boundary segmentation without a per-row Python loop
+        # (this runs on the serial driver path every round)
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], n]
         chunks = []
-        i = 0
-        while i < n:
-            b = buckets[i]
-            j = i
-            while j < n and buckets[j] == b and j - i < size:
-                j += 1
-            # contiguous balanced bucket->actor ranges (cache-stable)
-            chunks.append(
-                (sel.slice(i, j - i), int(b) * pool_size // cfg.num_buckets)
-            )
-            i = j
+        for s, e, b in zip(starts, ends, buckets[starts]):
+            actor = int(b) * pool_size // cfg.num_buckets
+            for i in range(int(s), int(e), size):
+                # contiguous balanced bucket->actor ranges (cache-stable)
+                chunks.append((sel.slice(i, min(size, int(e) - i)), actor))
         return chunks
 
     # -- round scheduling, driver mode ------------------------------------
@@ -363,11 +370,8 @@ class _Crawl:
         unseen = ~self.seen.contains(df["url"].to_numpy())
         df = df[unseen]
         n_cand = len(df)
-        rob_ok = np.fromiter(
-            (not is_disallowed(self.robots, h, p)
-             for h, p in zip(df["host"], df["path"])),
-            dtype=bool, count=len(df),
-        )
+        rob_ok = robots_ok_mask(self.robots, df["host"].to_numpy(),
+                                df["path"].to_numpy())
         robots_bad = df[~rob_ok]
         df = df[rob_ok]
         quotas = {

@@ -67,15 +67,43 @@ def is_disallowed(robots: dict, host: str, path: str) -> bool:
     return any(path.startswith(p) for p in entry[0])
 
 
+def robots_ok_mask(robots: dict, hosts, paths) -> np.ndarray:
+    """Vectorized robots check: True where (host, path) is allowed.
+
+    Rows whose host has no robots entry (the common case) never touch
+    Python per-row code; restricted hosts are handled one host at a
+    time with vectorized ``str.startswith`` per disallow prefix —
+    O(restricted_hosts x prefixes) kernel calls instead of one Python
+    call per frontier row (this sits on the serial driver-scheduling
+    path, where per-row cost divides scaling efficiency at width).
+    """
+    hosts = np.asarray(hosts, dtype=object)
+    ok = np.ones(len(hosts), dtype=bool)
+    if not robots or not len(hosts):
+        return ok
+    restricted = [h for h in pd.unique(hosts)
+                  if robots.get(h) and robots[h][0]]
+    if not restricted:
+        return ok
+    paths_s = None
+    for h in restricted:
+        idx = np.flatnonzero(hosts == h)
+        if not len(idx):
+            continue
+        if paths_s is None:
+            paths_s = pd.Series(np.asarray(paths, dtype=object))
+        p = paths_s.iloc[idx]
+        bad = np.zeros(len(idx), dtype=bool)
+        for pref in robots[h][0]:
+            bad |= p.str.startswith(pref).to_numpy(dtype=bool)
+        ok[idx[bad]] = False
+    return ok
+
+
 def robots_filter_batch(batch: pa.Table, robots: dict) -> pa.Table:
     """Adds a boolean ``robots_ok`` column (expects url/host/path columns)."""
-    hosts = batch["host"].to_pylist()
-    paths = batch["path"].to_pylist()
-    ok = np.fromiter(
-        (not is_disallowed(robots, h, p) for h, p in zip(hosts, paths)),
-        dtype=bool,
-        count=len(hosts),
-    )
+    ok = robots_ok_mask(robots, batch["host"].to_pylist(),
+                        batch["path"].to_pylist())
     return batch.append_column("robots_ok", pa.array(ok))
 
 
