@@ -980,6 +980,25 @@ def q_lm_perplexity(sf_dir: str):
     return perplexity_score(ds, lm)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing (functions/packing.py): token-count the
+    documents, FFD-pack each block into 256-token sequences. Map-only,
+    block-local bins (see module docstring). Rows-only: the packing
+    ASSIGNMENT has no SQL equivalent; coverage/capacity invariants are
+    unit-tested in t:test_packing."""
+    import pyarrow as pa
+
+    from siren_ray.functions.packing import pack_sequences
+    from siren_ray.functions.textstats import token_count_ws
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "n_tokens": token_count_ws(t["text"])}),
+        batch_format="pyarrow",
+    )
+    return pack_sequences(ds, seq_len=256)
+
+
 def q_curation_report(sf_dir: str):
     """Flagship LLM-data curation composite: quality gate -> exact-text
     first-wins dedup -> token count -> per-source corpus report
@@ -1875,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_removed": q_embedding_neardup_removed,
         "approx_distinct": q_approx_distinct,
         "lm_perplexity": q_lm_perplexity,
+        "pack_sequences": q_pack_sequences,
         "jaccard_neardup": q_jaccard_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,

@@ -318,6 +318,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "normalized_dedup",
         "lm_perplexity",
         "warc_roundtrip",
+        "pack_sequences",
     ]
     qs = entrymod.queries()
     out = {}
