@@ -980,6 +980,52 @@ def q_lm_perplexity(sf_dir: str):
     return perplexity_score(ds, lm)
 
 
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER distributed hash join (relational.py:hash_join
+    how='outer'): customers missing from one side and orders missing
+    from the other both survive with null padding; per-partition outer
+    merges over disjoint key ranges compose exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.relational import hash_join
+
+    import ray.data as rd
+
+    left = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"]).map_batches(
+        lambda t: t.filter(pa.array(
+            np.asarray(t["c_custkey"], dtype=np.int64) % 3 != 0)),
+        batch_format="pyarrow")
+    right = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pa.array(
+            np.asarray(t["o_custkey"], dtype=np.int64) % 2 == 0)),
+        batch_format="pyarrow")
+    joined = hash_join(left, right, on="c_custkey", right_on="o_custkey",
+                       how="outer", broadcast=False)
+
+    def _project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = pc.coalesce(t["c_custkey"].cast(pa.int64(), safe=False)
+                        if t["c_custkey"].type != pa.int64()
+                        else t["c_custkey"],
+                        t["o_custkey"].cast(pa.int64(), safe=False)
+                        if t["o_custkey"].type != pa.int64()
+                        else t["o_custkey"])
+        return pa.table({
+            "k": k,
+            "c_name": t["c_name"],
+            "o_orderkey_d": t["o_orderkey"].cast(pa.float64()),
+            "o_totalprice": t["o_totalprice"].cast(pa.float64()),
+        })
+
+    return joined.map_batches(_project, batch_format="pyarrow")
+
+
 def q_pack_sequences(sf_dir: str):
     """Training-sequence packing (functions/packing.py): token-count the
     documents, FFD-pack each block into 256-token sequences. Map-only,
@@ -1895,6 +1941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q_approx_distinct,
         "lm_perplexity": q_lm_perplexity,
         "pack_sequences": q_pack_sequences,
+        "full_outer_join": q_full_outer_join,
         "jaccard_neardup": q_jaccard_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,
@@ -2222,6 +2269,16 @@ def oracle_sql() -> dict[str, str]:
             " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
         "warc_roundtrip": "SELECT doc_id, text FROM documents",
+        "full_outer_join": (
+            "SELECT COALESCE(c.c_custkey, o.o_custkey) AS k, c.c_name, "
+            "CAST(o.o_orderkey AS DOUBLE) AS o_orderkey_d, "
+            "CAST(o.o_totalprice AS DOUBLE) AS o_totalprice "
+            "FROM (SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey % 3 <> 0) c "
+            "FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice "
+            "FROM orders WHERE o_custkey % 2 = 0) o "
+            "ON c.c_custkey = o.o_custkey"
+        ),
         "snapshot_diff": (
             "WITH osnap AS (SELECT doc_id, "
             "md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp "

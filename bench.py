@@ -319,6 +319,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "lm_perplexity",
         "warc_roundtrip",
         "pack_sequences",
+        "full_outer_join",
     ]
     qs = entrymod.queries()
     out = {}

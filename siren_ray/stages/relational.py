@@ -359,8 +359,8 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
               broadcast: bool | str = "auto",
               broadcast_threshold_bytes: int = 32 << 20,
               salt_hot: bool = False, hot_salt: int = 8, hot_k: int = 16):
-    """General distributed equi-join (``inner`` or ``left``) where BOTH
-    sides may exceed any single node's memory — the join Ray Data lacks
+    """General distributed equi-join (``inner``, ``left`` or full
+    ``outer``) where BOTH sides may exceed any single node's memory — the join Ray Data lacks
     as a single call and the one a training-data pipeline runs
     constantly (page text ⋈ per-URL metadata/scores/labels).
 
@@ -397,8 +397,20 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
     import ray
     import ray.data as rd
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"hash_join supports inner/left, got {how!r}")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(
+            f"hash_join supports inner/left/outer, got {how!r}")
+    if how == "outer":
+        # FULL OUTER rides the shuffle path only: a broadcast merge
+        # would re-emit right-unmatched rows once per left batch, and
+        # salted replication would duplicate them across salt partitions.
+        # Key-partitioned shards are disjoint, so per-partition outer
+        # merges compose exactly.
+        if salt_hot:
+            raise ValueError("hash_join: salt_hot is incompatible with "
+                             "how='outer' (replicated right rows would "
+                             "duplicate unmatched output)")
+        broadcast = False
     rkey = right_on or on
     P = max(2, int(num_partitions))
 
@@ -488,6 +500,8 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
         rdf = rt.to_pandas()
         if rkey not in rdf.columns:  # all-empty columnless shards
             rdf = pd.DataFrame({rkey: pd.Series(dtype="int64")})
+        if on not in ldf.columns:
+            ldf = pd.DataFrame({on: pd.Series(dtype="int64")})
         out = ldf.merge(rdf, how=how, left_on=on, right_on=rkey,
                         suffixes=("", suffix))
         return pa.Table.from_pandas(out, preserve_index=False)

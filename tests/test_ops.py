@@ -1022,6 +1022,37 @@ def test_hash_join_inner_left_and_broadcast_equivalence(ray_session):
             == want.sort_values("lv")["score"].to_numpy()).all()
 
 
+def test_hash_join_full_outer(ray_session):
+    """FULL OUTER: unmatched rows from BOTH sides survive exactly once
+    across partitions; salt_hot+outer is rejected."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from siren_ray.stages.relational import hash_join
+
+    left = pd.DataFrame({"k": np.arange(0, 25, dtype="int64"),
+                         "lv": np.arange(25, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(15, 40, dtype="int64"),
+                          "rv": np.arange(100, 125, dtype="int64")})
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(4)
+    got = hash_join(lds, rds, on="k", how="outer",
+                    num_partitions=6).to_pandas()
+    want = left.merge(right, how="outer", on="k")
+    assert len(got) == len(want) == 40
+    g = got.sort_values("k").reset_index(drop=True)
+    w = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_series_equal(g["lv"].astype("float64"),
+                                   w["lv"].astype("float64"),
+                                   check_names=False)
+    pd.testing.assert_series_equal(g["rv"].astype("float64"),
+                                   w["rv"].astype("float64"),
+                                   check_names=False)
+    with _pytest.raises(ValueError):
+        hash_join(lds, rds, on="k", how="outer", salt_hot=True)
+
+
 def test_kll_quantile_sketch_accuracy_and_merge(ray_session):
     """Rank error <= ~2% at k=200 on 200k values (normal + zipf), and
     merging per-block sketches equals sketching the whole stream within
