@@ -980,6 +980,43 @@ def q_lm_perplexity(sf_dir: str):
     return perplexity_score(ds, lm)
 
 
+def q_grouped_agg(sf_dir: str):
+    """Generic partial-combine grouped aggregation
+    (relational.py:grouped_agg): count/sum/min/max/mean in one reusable
+    operator — each batch reduces to <= one row per group before the
+    shuffle. Integer cents for exact cross-engine sums."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.relational import grouped_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_c": pa.array(_cents(t["l_quantity"]), pa.int64()),
+            "price_c": pa.array(_cents(t["l_extendedprice"]), pa.int64()),
+        })
+
+    return grouped_agg(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_rows": ("qty_c", "count"),
+            "sum_qty_c": ("qty_c", "sum"),
+            "min_price_c": ("price_c", "min"),
+            "max_price_c": ("price_c", "max"),
+            "avg_qty_c": ("qty_c", "mean"),
+        },
+    )
+
+
 def q_full_outer_join(sf_dir: str):
     """FULL OUTER distributed hash join (relational.py:hash_join
     how='outer'): customers missing from one side and orders missing
@@ -1942,6 +1979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": q_lm_perplexity,
         "pack_sequences": q_pack_sequences,
         "full_outer_join": q_full_outer_join,
+        "grouped_agg": q_grouped_agg,
         "jaccard_neardup": q_jaccard_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,
@@ -2269,6 +2307,17 @@ def oracle_sql() -> dict[str, str]:
             " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
         "warc_roundtrip": "SELECT doc_id, text FROM documents",
+        "grouped_agg": (
+            "WITH t AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c "
+            "FROM lineitem) "
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
+            "CAST(sum(qty_c) AS BIGINT) AS sum_qty_c, "
+            "min(price_c) AS min_price_c, max(price_c) AS max_price_c, "
+            "CAST(sum(qty_c) AS DOUBLE) / count(*) AS avg_qty_c "
+            "FROM t GROUP BY l_returnflag, l_linestatus"
+        ),
         "full_outer_join": (
             "SELECT COALESCE(c.c_custkey, o.o_custkey) AS k, c.c_name, "
             "CAST(o.o_orderkey AS DOUBLE) AS o_orderkey_d, "

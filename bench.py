@@ -320,6 +320,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "warc_roundtrip",
         "pack_sequences",
         "full_outer_join",
+        "grouped_agg",
     ]
     qs = entrymod.queries()
     out = {}

@@ -925,3 +925,77 @@ def snapshot_diff(old_ds, new_ds, *, key: str, fp_col: str,
         for p in range(P)
     ]
     return rd.from_arrow_refs(parts)
+
+
+# --- generic partial-combine grouped aggregation ---------------------------
+
+_AGG_FNS = ("sum", "count", "min", "max", "mean")
+
+
+def grouped_agg(ds, by, aggs: dict, *, batch_format: str = "pyarrow"):
+    """Generic distributed grouped aggregation with map-side partials.
+
+    ``aggs``: ``{out_col: (in_col, fn)}`` with fn in sum/count/min/max/
+    mean. Every batch reduces to at most one row per group BEFORE the
+    shuffle (the partial/combiner discipline every bespoke aggregate in
+    this repo follows — this is that pattern as one reusable operator),
+    so the groupby exchange moves O(groups x blocks) partial rows, never
+    data rows. ``mean`` decomposes into (sum, count) partials and
+    divides at the end — associative, so parallelism- and
+    batching-invariant for integer inputs; float sums are subject to
+    the usual reassociation (use integer units for exact compares, as
+    the oracles do).
+
+    No reference counterpart (the reference has no numeric aggregation,
+    SURVEY.md §2.5); this is engine infrastructure from the task brief.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    for out, (col, fn) in aggs.items():
+        if fn not in _AGG_FNS:
+            raise ValueError(f"grouped_agg: unknown fn {fn!r} for {out!r}")
+
+    # partial column plan: mean -> hidden sum+count
+    plan = {}  # partial_col -> (in_col, partial_fn)
+    finals = {}  # out_col -> ("direct", pcol, fn) | ("mean", scol, ccol)
+    for out, (col, fn) in aggs.items():
+        if fn == "mean":
+            scol, ccol = f"__s_{out}", f"__c_{out}"
+            plan[scol] = (col, "sum")
+            plan[ccol] = (col, "count")
+            finals[out] = ("mean", scol, ccol)
+        else:
+            pcol = f"__p_{out}"
+            plan[pcol] = (col, fn)
+            finals[out] = ("direct", pcol, fn)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(by_cols, sort=False)
+        cols = {}
+        for pcol, (col, fn) in plan.items():
+            cols[pcol] = getattr(g[col], fn)()
+        out = pd.DataFrame(cols).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # combine partials: sum/count re-SUM, min/max re-min/max
+    _COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(by_cols, sort=False)
+        merged = {}
+        for pcol, (_, fn) in plan.items():
+            merged[pcol] = getattr(g[pcol], _COMBINE[fn])()
+        m = pd.DataFrame(merged)
+        out = pd.DataFrame(index=m.index)
+        for ocol, spec in finals.items():
+            if spec[0] == "mean":
+                out[ocol] = m[spec[1]] / m[spec[2]]
+            else:
+                out[ocol] = m[spec[1]]
+        return out.reset_index()
+
+    return (
+        ds.map_batches(_partial, batch_format=batch_format)
+        .groupby(by_cols[0] if len(by_cols) == 1 else by_cols)
+        .map_groups(_final, batch_format="pandas")
+    )

@@ -1053,6 +1053,39 @@ def test_hash_join_full_outer(ray_session):
         hash_join(lds, rds, on="k", how="outer", salt_hot=True)
 
 
+def test_grouped_agg_matches_pandas(ray_session):
+    """Generic partial-combine aggregation == whole-frame pandas groupby
+    for count/sum/min/max/mean, at two block layouts (invariance)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import grouped_agg
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=400),
+        "h": rng.randint(0, 2, size=400).astype("int64"),
+        "v": rng.randint(-50, 50, size=400).astype("int64"),
+    })
+    want = df.groupby(["g", "h"]).agg(
+        n=("v", "count"), s=("v", "sum"), lo=("v", "min"),
+        hi=("v", "max"), avg=("v", "mean")).reset_index()
+    for blocks in (1, 7):
+        got = grouped_agg(
+            rd.from_pandas(df).repartition(blocks), ["g", "h"],
+            {"n": ("v", "count"), "s": ("v", "sum"), "lo": ("v", "min"),
+             "hi": ("v", "max"), "avg": ("v", "mean")},
+        ).to_pandas().sort_values(["g", "h"]).reset_index(drop=True)
+        w = want.sort_values(["g", "h"]).reset_index(drop=True)
+        for c in ("n", "s", "lo", "hi"):
+            assert (got[c].to_numpy() == w[c].to_numpy()).all(), c
+        assert np.allclose(got["avg"], w["avg"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grouped_agg(rd.from_pandas(df), "g", {"x": ("v", "median")})
+
+
 def test_kll_quantile_sketch_accuracy_and_merge(ray_session):
     """Rank error <= ~2% at k=200 on 200k values (normal + zipf), and
     merging per-block sketches equals sketching the whole stream within
