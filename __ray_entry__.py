@@ -980,6 +980,33 @@ def q_lm_perplexity(sf_dir: str):
     return perplexity_score(ds, lm)
 
 
+def q_window_ops(sf_dir: str):
+    """Generic per-key ordered window functions (events.py:window_ops):
+    LAG/LEAD/running-SUM/ROW_NUMBER in ONE shuffle + one sorted pass per
+    partition. Integer cents keep the running sum association-free."""
+    import pyarrow as pa
+
+    from siren_ray.stages.events import window_ops
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "user_id": t["user_id"],
+            "value_c": pa.array(_cents(t["value"]), pa.int64()),
+        })
+
+    out = window_ops(ds.map_batches(_prep, batch_format="pyarrow"),
+                     value_col="value_c")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "lag_v", "lead_v",
+                            "cumsum_v", "row_number"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_grouped_agg(sf_dir: str):
     """Generic partial-combine grouped aggregation
     (relational.py:grouped_agg): count/sum/min/max/mean in one reusable
@@ -1980,6 +2007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "full_outer_join": q_full_outer_join,
         "grouped_agg": q_grouped_agg,
+        "window_ops": q_window_ops,
         "jaccard_neardup": q_jaccard_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,
@@ -2307,6 +2335,18 @@ def oracle_sql() -> dict[str, str]:
             " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
         "warc_roundtrip": "SELECT doc_id, text FROM documents",
+        "window_ops": (
+            "WITH t AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS value_c FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(LAG(value_c) OVER w AS DOUBLE) AS lag_v, "
+            "CAST(LEAD(value_c) OVER w AS DOUBLE) AS lead_v, "
+            "CAST(SUM(value_c) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS cumsum_v, "
+            "ROW_NUMBER() OVER w AS row_number "
+            "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
         "grouped_agg": (
             "WITH t AS (SELECT l_returnflag, l_linestatus, "
             "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c, "

@@ -321,6 +321,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "pack_sequences",
         "full_outer_join",
         "grouped_agg",
+        "window_ops",
     ]
     qs = entrymod.queries()
     out = {}

@@ -108,3 +108,53 @@ def rolling_sum(ds, *, by_col: str = "user_id", ts_col: str = "ts",
         .groupby("_pk")
         .map_groups(_roll, batch_format="pandas")
     )
+
+
+def window_ops(ds, *, by_col: str = "user_id", ts_col: str = "ts",
+               order_col: str = "event_id", value_col: str = "value",
+               ops: tuple[str, ...] = ("lag", "lead", "cumsum",
+                                       "row_number"),
+               num_partitions: int = _SESSION_PARTITIONS):
+    """Generic per-key ordered window functions in one pass: any subset
+    of lag / lead / cumsum / row_number over ``value_col``, ordered by
+    (``ts_col``, ``order_col``) within ``by_col`` — SQL
+    ``LAG(v)/LEAD(v)/SUM(v)/ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY ts, id)``.
+
+    Same scale shape as :func:`sessionize`/:func:`rolling_sum`: ONE hash
+    shuffle on a coarse key bucket, one mergesort per partition, then
+    C-level grouped shift/cumsum/cumcount kernels — never per-key
+    dispatch. lag/lead are null at group edges (SQL default); cumsum is
+    the RUNNING total including the current row. All requested columns
+    come from the same sorted frame, so one shuffle serves every op.
+    """
+    allowed = {"lag", "lead", "cumsum", "row_number"}
+    bad = set(ops) - allowed
+    if bad:
+        raise ValueError(f"window_ops: unknown ops {sorted(bad)}")
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = np.asarray(t[by_col], dtype=np.int64)
+        return t.append_column(
+            "_pk", pa.array(u % num_partitions, pa.int64())
+        )
+
+    def _win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by_col, ts_col, order_col],
+                            kind="mergesort").reset_index(drop=True)
+        g = df.groupby(by_col, sort=False)
+        if "lag" in ops:
+            df["lag_v"] = g[value_col].shift(1)
+        if "lead" in ops:
+            df["lead_v"] = g[value_col].shift(-1)
+        if "cumsum" in ops:
+            df["cumsum_v"] = g[value_col].cumsum()
+        if "row_number" in ops:
+            df["row_number"] = (g.cumcount() + 1).astype("int64")
+        return df.drop(columns=["_pk"])
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_win, batch_format="pandas")
+    )

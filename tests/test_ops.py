@@ -1053,6 +1053,46 @@ def test_hash_join_full_outer(ray_session):
         hash_join(lds, rds, on="k", how="outer", salt_hot=True)
 
 
+def test_window_ops_matches_pandas(ray_session):
+    """lag/lead/cumsum/row_number == whole-frame pandas ground truth;
+    group edges null; block layout does not change results."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.events import window_ops
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 9, size=300).astype("int64"),
+        "ts": rng.permutation(300).astype("int64"),
+        "event_id": np.arange(300, dtype="int64"),
+        "value": rng.randint(-5, 20, size=300).astype("int64"),
+    })
+    ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True)
+    g = ref.groupby("user_id", sort=False)
+    ref["lag_v"] = g["value"].shift(1)
+    ref["lead_v"] = g["value"].shift(-1)
+    ref["cumsum_v"] = g["value"].cumsum()
+    ref["row_number"] = (g.cumcount() + 1).astype("int64")
+    for blocks in (1, 6):
+        got = window_ops(rd.from_pandas(df).repartition(blocks),
+                         num_partitions=5).to_pandas()
+        got = got.sort_values("event_id").reset_index(drop=True)
+        w = ref.sort_values("event_id").reset_index(drop=True)
+        for c in ("lag_v", "lead_v"):
+            a, b = got[c].to_numpy(float), w[c].to_numpy(float)
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+        assert (got["cumsum_v"].to_numpy("int64")
+                == w["cumsum_v"].to_numpy("int64")).all()
+        assert (got["row_number"].to_numpy("int64")
+                == w["row_number"].to_numpy("int64")).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        window_ops(rd.from_pandas(df), ops=("median",))
+
+
 def test_grouped_agg_matches_pandas(ray_session):
     """Generic partial-combine aggregation == whole-frame pandas groupby
     for count/sum/min/max/mean, at two block layouts (invariance)."""
