@@ -980,6 +980,18 @@ def q_lm_perplexity(sf_dir: str):
     return perplexity_score(ds, lm)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (relational.py:weighted_sample — Efraimidis-Spirakis keys from
+    md5-derived uniforms, selection via the sort-free global top-k).
+    Longer documents (weight = n_chars) are proportionally likelier."""
+    from siren_ray.stages.relational import weighted_sample
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    return weighted_sample(docs, 100, weight_col="n_chars",
+                           id_col="doc_id")
+
+
 def q_window_ops(sf_dir: str):
     """Generic per-key ordered window functions (events.py:window_ops):
     LAG/LEAD/running-SUM/ROW_NUMBER in ONE shuffle + one sorted pass per
@@ -2008,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": q_full_outer_join,
         "grouped_agg": q_grouped_agg,
         "window_ops": q_window_ops,
+        "weighted_sample": q_weighted_sample,
         "jaccard_neardup": q_jaccard_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,
@@ -2335,6 +2348,13 @@ def oracle_sql() -> dict[str, str]:
             " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
         "warc_roundtrip": "SELECT doc_id, text FROM documents",
+        "weighted_sample": (
+            "WITH t AS (SELECT doc_id, n_chars, "
+            "pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 15)) AS BIGINT) + 1) / 1152921504606846976.0, "
+            "1.0 / n_chars) AS k FROM documents) "
+            "SELECT doc_id, n_chars FROM t ORDER BY k DESC, doc_id LIMIT 100"
+        ),
         "window_ops": (
             "WITH t AS (SELECT event_id, user_id, ts, "
             "CAST(round(value * 100) AS BIGINT) AS value_c FROM events) "

@@ -322,6 +322,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "full_outer_join",
         "grouped_agg",
         "window_ops",
+        "weighted_sample",
     ]
     qs = entrymod.queries()
     out = {}

@@ -999,3 +999,39 @@ def grouped_agg(ds, by, aggs: dict, *, batch_format: str = "pyarrow"):
         .groupby(by_cols[0] if len(by_cols) == 1 else by_cols)
         .map_groups(_final, batch_format="pandas")
     )
+
+
+def weighted_sample(ds, k: int, *, weight_col: str, id_col: str,
+                    seed_salt: str = "") -> pa.Table:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): each row draws u in (0,1] from an
+    md5 of its id (engine-independent pseudo-randomness, the same
+    trick as the stratified/uniform samplers — so the sample is
+    exact-oracle-checkable, unlike rand()), scores key = u^(1/w), and
+    the global top-k keys win. Inclusion probability is proportional
+    to weight, exactly the A-Res guarantee.
+
+    Scale shape: the md5+pow is map-only; the selection rides
+    :func:`topk_global` (mergeable per-batch prune, <= k rows per block
+    to the driver; no sort shuffle). Weights must be positive.
+    ``seed_salt`` varies the draw (goes into the md5 input).
+    """
+    import hashlib
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        w = np.asarray(t[weight_col], dtype=np.float64)
+        if len(w) and (w <= 0).any():
+            raise ValueError("weighted_sample: weights must be positive")
+        h = np.array(
+            [int(hashlib.md5(f"{seed_salt}{x}".encode()
+                             ).hexdigest()[:15], 16) for x in ids],
+            dtype=np.float64,
+        )
+        u = (h + 1.0) / float(1 << 60)
+        key = np.power(u, 1.0 / w)
+        return t.append_column("_sk", pa.array(key, pa.float64()))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    out = topk_global(keyed, "_sk", k, ascending=False, tie_col=id_col)
+    return out.drop_columns(["_sk"]) if out.num_rows else out

@@ -1053,6 +1053,38 @@ def test_hash_join_full_outer(ray_session):
         hash_join(lds, rds, on="k", how="outer", salt_hot=True)
 
 
+def test_weighted_sample_properties(ray_session):
+    """A-Res weighted sampling: deterministic, exactly k rows, and a
+    dominant-weight item is selected across every salt while a
+    negligible-weight item almost never is."""
+    import ray.data as rd
+
+    from siren_ray.stages.relational import weighted_sample
+
+    items = [{"id": i, "w": 1.0} for i in range(200)]
+    items[7]["w"] = 1e6   # dominant
+    items[13]["w"] = 1e-6  # negligible
+    ds = rd.from_items(items, override_num_blocks=4)
+    a = weighted_sample(ds, 20, weight_col="w", id_col="id")
+    b = weighted_sample(ds, 20, weight_col="w", id_col="id")
+    assert a.num_rows == 20
+    assert sorted(a["id"].to_pylist()) == sorted(b["id"].to_pylist())
+    hits7 = hits13 = 0
+    for salt in map(str, range(10)):
+        got = set(weighted_sample(ds, 20, weight_col="w", id_col="id",
+                                  seed_salt=salt)["id"].to_pylist())
+        hits7 += 7 in got
+        hits13 += 13 in got
+    assert hits7 == 10
+    assert hits13 <= 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        weighted_sample(
+            rd.from_items([{"id": 1, "w": 0.0}]), 1,
+            weight_col="w", id_col="id")
+
+
 def test_window_ops_matches_pandas(ray_session):
     """lag/lead/cumsum/row_number == whole-frame pandas ground truth;
     group edges null; block layout does not change results."""
