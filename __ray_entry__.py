@@ -980,6 +980,33 @@ def q_lm_perplexity(sf_dir: str):
     return perplexity_score(ds, lm)
 
 
+def q_adaptive_quality_gate(sf_dir: str):
+    """Data-dependent quality gate: the filter threshold is COMPUTED
+    from the corpus (exact discrete p10 of per-doc token counts via the
+    bounded (value, count) histogram — relational.py:exact_quantiles_int)
+    then broadcast into a map-only filter. The adaptive-threshold shape
+    every curation pipeline needs (fixed cutoffs drift across corpora);
+    fully oracle-checkable because the quantile is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from siren_ray.functions.textstats import token_count_ws
+    from siren_ray.stages.relational import exact_quantiles_int
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "n_tokens": token_count_ws(t["text"])}),
+        batch_format="pyarrow",
+    )
+    thr_tbl = exact_quantiles_int(ds, "n_tokens", [0.10])
+    thr = int(thr_tbl["n_tokens"][0].as_py())
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_tokens"],
+                                            pa.scalar(thr))),
+        batch_format="pyarrow",
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (relational.py:weighted_sample — Efraimidis-Spirakis keys from
@@ -2021,6 +2048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_agg": q_grouped_agg,
         "window_ops": q_window_ops,
         "weighted_sample": q_weighted_sample,
+        "adaptive_quality_gate": q_adaptive_quality_gate,
         "jaccard_neardup": q_jaccard_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,
@@ -2348,6 +2376,13 @@ def oracle_sql() -> dict[str, str]:
             " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
         "warc_roundtrip": "SELECT doc_id, text FROM documents",
+        "adaptive_quality_gate": (
+            "WITH tok AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "
+            "AS n_tokens FROM documents), "
+            "thr AS (SELECT quantile_disc(n_tokens, 0.10) AS t FROM tok) "
+            "SELECT doc_id, n_tokens FROM tok, thr WHERE n_tokens >= t"
+        ),
         "weighted_sample": (
             "WITH t AS (SELECT doc_id, n_chars, "
             "pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "

@@ -323,6 +323,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "grouped_agg",
         "window_ops",
         "weighted_sample",
+        "adaptive_quality_gate",
     ]
     qs = entrymod.queries()
     out = {}
