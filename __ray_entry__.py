@@ -980,6 +980,22 @@ def q_lm_perplexity(sf_dir: str):
     return perplexity_score(ds, lm)
 
 
+def q_text_embed_neardup(sf_dir: str):
+    """Raw-text -> vector -> near-dup removal END-TO-END: feature-
+    hashing embeddings (textstats.py:hashed_text_embedding, the
+    model-free stand-in with a neural encoder's pipeline shape) feed the
+    driver-free vector dedup chain (multi-probe LSH -> distributed
+    connected components -> anti-join). Rows-only: LSH bucketing has no
+    SQL equivalent; the component kernels are individually tested."""
+    from siren_ray.functions.textstats import hashed_text_embedding
+    from siren_ray.stages.dedup import remove_embedding_neardups
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        hashed_text_embedding, batch_format="pyarrow")
+    return remove_embedding_neardups(ds, id_col="doc_id",
+                                     threshold=0.98)
+
+
 def q_adaptive_quality_gate(sf_dir: str):
     """Data-dependent quality gate: the filter threshold is COMPUTED
     from the corpus (exact discrete p10 of per-doc token counts via the
@@ -2044,6 +2060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q_approx_distinct,
         "lm_perplexity": q_lm_perplexity,
         "pack_sequences": q_pack_sequences,
+        "text_embed_neardup": q_text_embed_neardup,
         "full_outer_join": q_full_outer_join,
         "grouped_agg": q_grouped_agg,
         "window_ops": q_window_ops,

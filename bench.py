@@ -324,6 +324,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "window_ops",
         "weighted_sample",
         "adaptive_quality_gate",
+        "text_embed_neardup",
     ]
     qs = entrymod.queries()
     out = {}

@@ -331,3 +331,40 @@ def chunk_documents(batch: pa.Table, *, size: int = 64, stride: int = 48,
         "chunk_text": pa.array(txt_out, pa.string()),
         "n_tokens": pa.array(ntok_out, pa.int64()),
     })
+
+
+def hashed_text_embedding(batch: pa.Table, *, text_col: str = "text",
+                          dim: int = 64, max_words: int = 2048) -> pa.Table:
+    """Feature-hashing text embedding (Weinberger et al. 2009): each
+    word's 64-bit hash picks a bucket (low bits) and a sign (bit 32);
+    signed counts L2-normalize into a dense ``list<float>`` column.
+
+    The codec/model-free stand-in for a neural text encoder with the
+    SAME pipeline shape — map-only, one hash pass per batch, fixed
+    output dim — so everything downstream (ANN, LSH near-dup, k-means)
+    composes with raw text exactly as it would with model embeddings.
+    Near-identical texts map to near-identical vectors (cosine ~1).
+    """
+    from siren_ray.util import hash_strings
+
+    texts = batch[text_col].to_pylist()
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    words: list[str] = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        w = (t or "").lower().split()[:max_words]
+        lens[i] = len(w)
+        words.extend(w)
+    if words:
+        h = hash_strings(words).astype(np.uint64)
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+        row = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        np.add.at(out, (row, bucket), sign.astype(np.float32))
+    norms = np.linalg.norm(out, axis=1)
+    norms[norms == 0] = 1.0
+    out /= norms[:, None]
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(out.reshape(-1), pa.float32()), dim)
+    return pa.table({c: batch[c] for c in batch.column_names
+                     if c != text_col} | {"embedding": emb})

@@ -1053,6 +1053,32 @@ def test_hash_join_full_outer(ray_session):
         hash_join(lds, rds, on="k", how="outer", salt_hot=True)
 
 
+def test_hashed_text_embedding():
+    """Feature-hashing embedding: unit norm, near-identical texts have
+    cosine ~1, unrelated texts don't; empty text -> zero vector."""
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import hashed_text_embedding
+
+    t = pa.table({"doc_id": [1, 2, 3, 4], "text": [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog today",
+        "completely different subject matter entirely unrelated words",
+        "",
+    ]})
+    out = hashed_text_embedding(t)
+    assert out.column_names == ["doc_id", "embedding"]
+    m = np.array(out["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    assert np.allclose(norms[:3], 1.0) and norms[3] == 0.0
+    cos = m @ m.T
+    assert cos[0, 1] > 0.9
+    assert cos[0, 2] < 0.5
+    # deterministic
+    m2 = np.array(hashed_text_embedding(t)["embedding"].to_pylist())
+    assert np.array_equal(m, m2)
+
+
 def test_weighted_sample_properties(ray_session):
     """A-Res weighted sampling: deterministic, exactly k rows, and a
     dominant-weight item is selected across every salt while a
