@@ -980,6 +980,20 @@ def q_lm_perplexity(sf_dir: str):
     return perplexity_score(ds, lm)
 
 
+def q_data_mixture(sf_dir: str):
+    """Deterministic corpus-mixture construction
+    (relational.py:mixture_sample): 50/30/20 target proportions over
+    three sources, 40 rows total, md5-order draw per source — the
+    'hit a target training mixture' step, exact-oracle-checkable."""
+    from siren_ray.stages.relational import mixture_sample
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+    return mixture_sample(
+        docs, group_col="source", id_col="doc_id", target_rows=40,
+        proportions={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )
+
+
 def q_text_embed_neardup(sf_dir: str):
     """Raw-text -> vector -> near-dup removal END-TO-END: feature-
     hashing embeddings (textstats.py:hashed_text_embedding, the
@@ -2066,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_ops": q_window_ops,
         "weighted_sample": q_weighted_sample,
         "adaptive_quality_gate": q_adaptive_quality_gate,
+        "data_mixture": q_data_mixture,
         "jaccard_neardup": q_jaccard_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,
@@ -2393,6 +2408,17 @@ def oracle_sql() -> dict[str, str]:
             " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
         "warc_roundtrip": "SELECT doc_id, text FROM documents",
+        "data_mixture": (
+            "WITH t AS (SELECT doc_id, source, "
+            "md5(CAST(doc_id AS VARCHAR)) AS h, "
+            "CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 "
+            "WHEN 'src2' THEN 8 ELSE 0 END AS k FROM documents "
+            "WHERE source IN ('src0', 'src1', 'src2')) "
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, k, row_number() OVER ("
+            "PARTITION BY source ORDER BY h, doc_id) AS rn FROM t) "
+            "WHERE rn <= k"
+        ),
         "adaptive_quality_gate": (
             "WITH tok AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "

@@ -325,6 +325,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "weighted_sample",
         "adaptive_quality_gate",
         "text_embed_neardup",
+        "data_mixture",
     ]
     qs = entrymod.queries()
     out = {}

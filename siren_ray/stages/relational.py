@@ -1035,3 +1035,56 @@ def weighted_sample(ds, k: int, *, weight_col: str, id_col: str,
     keyed = ds.map_batches(_key, batch_format="pyarrow")
     out = topk_global(keyed, "_sk", k, ascending=False, tie_col=id_col)
     return out.drop_columns(["_sk"]) if out.num_rows else out
+
+
+def mixture_sample(ds, *, group_col: str, id_col: str,
+                   target_rows: int, proportions: dict,
+                   num_partitions: int = _TOPK_PARTITIONS):
+    """Deterministic training-data MIXTURE construction: draw
+    ``round(p_g * target_rows)`` rows from each group (source/domain)
+    in md5(id) pseudo-random order — the standard "hit a target corpus
+    mixture" step (e.g. 70% web / 20% books / 10% code) made
+    engine-independent and therefore exact-oracle-checkable, like the
+    stratified/uniform/weighted samplers.
+
+    Scale shape: one map pass attaches md5 keys and prunes each batch to
+    its group's quota (never more than k_g rows per (batch, group) enter
+    the shuffle — the grouped_topk discipline), one hash shuffle on the
+    group key, one vectorized sort+head per partition. Groups absent
+    from ``proportions`` are dropped; a group with fewer rows than its
+    quota contributes everything it has (logged — no silent shortfall).
+    """
+    import hashlib
+    import logging
+
+    ks = {g: int(round(p * target_rows)) for g, p in proportions.items()}
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hs = [hashlib.md5(str(x).encode()).hexdigest() for x in ids]
+        t = t.append_column("_h", pa.array(hs, pa.string()))
+        df = t.to_pandas()
+        df = df[df[group_col].isin(ks)]
+        df = df.sort_values([group_col, "_h", id_col], kind="mergesort")
+        df = df.groupby(group_col, sort=False, group_keys=False).apply(
+            lambda g: g.head(ks[g.name]))
+        pk = hash_strings(df[group_col].to_numpy()) % num_partitions
+        df["_pk"] = pk.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "_h", id_col], kind="mergesort")
+        out = df.groupby(group_col, sort=False, group_keys=False).apply(
+            lambda g: g.head(ks[g.name]))
+        for g, n in out.groupby(group_col, sort=False).size().items():
+            if n < ks.get(g, 0):
+                logging.getLogger(__name__).warning(
+                    "mixture_sample: group %r has %d rows < quota %d",
+                    g, n, ks[g])
+        return out.drop(columns=["_h", "_pk"]).reset_index(drop=True)
+
+    return (
+        ds.map_batches(_key, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_final, batch_format="pandas")
+    )
