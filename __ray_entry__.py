@@ -1237,9 +1237,9 @@ def q_snapshot_diff(sf_dir: str):
         def _f(t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
             keep = ids % mod != 0
+            # one bulk filter+to_pylist, not per-element Arrow access
+            texts = t.filter(pa.array(keep))["text"].to_pylist()
             ids = ids[keep]
-            texts = [t["text"][int(i)].as_py()
-                     for i in np.nonzero(keep)[0]]
             fps = [
                 hashlib.md5(
                     (" ".join((x or "").split())

@@ -303,8 +303,8 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
 
 def kmeans_train(ds, n_clusters: int, *, emb_col: str = "embedding",
                  iters: int = 8, seed: int = 3, tol: float = 1e-4,
-                 train_sample: int = 2048, combine_partitions: int = 8
-                 ) -> np.ndarray:
+                 train_sample: int = 2048, combine_partitions: int = 8,
+                 pin_input: bool = True) -> np.ndarray:
     """Distributed spherical k-means (Lloyd's) over the FULL dataset.
 
     The IVF coarse quantizer (:func:`ivf_build`) trains on a driver-side
@@ -332,6 +332,11 @@ def kmeans_train(ds, n_clusters: int, *, emb_col: str = "embedding",
     Engine addition per the task brief (training-data pipelines cluster
     embeddings for curation/balancing); no reference counterpart.
     """
+    from ..util import pin_for_multipass
+
+    # one pass per Lloyd iteration (+ the init sample): pin the
+    # projected vectors instead of re-reading them `iters` times
+    ds = pin_for_multipass(ds, enabled=pin_input)
     n = ds.count()
     if n < n_clusters:
         raise ValueError(f"kmeans_train: {n} rows < n_clusters={n_clusters}")

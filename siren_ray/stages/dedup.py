@@ -213,6 +213,21 @@ class MinHasher:
 _MAX_BUCKET = 128  # per-band-bucket pair-generation cap (O(n²) guard)
 
 
+_MINHASHER_CACHE: dict = {}
+
+
+def _cached_minhasher(num_perm: int, bands: int, k: int,
+                      text_col: str) -> "MinHasher":
+    """Per-worker-process MinHasher cache (init-once semantics without
+    an actor pool)."""
+    key = (num_perm, bands, k, text_col)
+    mh = _MINHASHER_CACHE.get(key)
+    if mh is None:
+        mh = _MINHASHER_CACHE[key] = MinHasher(
+            num_perm=num_perm, bands=bands, k=k, text_col=text_col)
+    return mh
+
+
 def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
                             bands: int = 16, k: int = 5,
                             text_col: str = "text",
@@ -247,13 +262,14 @@ def minhash_duplicate_pairs(ds, id_col: str, *, num_perm: int = 64,
                 "minhash: dropped %d wordless docs before hashing", dropped)
         return out
 
+    # TASK pool with per-worker cached state, not an actor pool: the
+    # MinHasher's state is two small RNG arrays, so paying actor-process
+    # spin-up (and, on this host, fresh-process first-touch faults) for
+    # it is pure overhead — cached construction in long-lived Ray
+    # workers gives the same init-once semantics at task-pool width.
     sigs = ds.map_batches(_droppable, batch_format="pyarrow").map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "num_perm": num_perm, "bands": bands, "k": k, "text_col": text_col,
-        },
+        lambda t: _cached_minhasher(num_perm, bands, k, text_col)(t),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -623,7 +639,8 @@ def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
                            num_perm: int = 64, bands: int = 16, k: int = 5,
                            method: str = "driver",
                            num_partitions: int = 64,
-                           verify_jaccard: float | None = None):
+                           verify_jaccard: float | None = None,
+                           pin_input: bool = True):
     """End-to-end near-dup removal: MinHash+LSH candidate pairs ->
     duplicate clusters -> drop every non-minimum member.
 
@@ -645,6 +662,12 @@ def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
     """
     import ray
 
+    from ..util import pin_for_multipass
+
+    # this operator consumes ds up to FOUR times (signatures, verify
+    # text join, nodes, final anti-join) — pin the projected input so
+    # each pass doesn't re-execute the upstream read+transform chain
+    ds = pin_for_multipass(ds, enabled=pin_input)
     pairs_ds = minhash_duplicate_pairs(
         ds, id_col, num_perm=num_perm, bands=bands, k=k, text_col=text_col
     )
@@ -784,20 +807,20 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, id_col: str,
                     else np.empty(0, dtype=np.int64))
         ids_ref = ray.put(cand_ids)  # sorted by construction
 
-        class _KeepCandidates:
-            def __init__(self):
-                self.ids = ray.get(ids_ref)
+        def _keep_candidates(t: pa.Table) -> pa.Table:
+            # task pool, not an actor pool: ray.get of an
+            # already-fetched broadcast object is a zero-copy local
+            # read per task, so no per-actor state (or spin-up) needed
+            cand = ray.get(ids_ref)
+            if t.num_rows == 0 or not len(cand):
+                return t.slice(0, 0)
+            ids = np.asarray(t["id"], dtype=np.int64)
+            pos = np.searchsorted(cand, ids)
+            pos[pos >= len(cand)] = 0
+            return t.filter(pa.array(cand[pos] == ids))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if t.num_rows == 0 or not len(self.ids):
-                    return t.slice(0, 0)
-                ids = np.asarray(t["id"], dtype=np.int64)
-                pos = np.searchsorted(self.ids, ids)
-                pos[pos >= len(self.ids)] = 0
-                return t.filter(pa.array(self.ids[pos] == ids))
-
-        texts = texts.map_batches(_KeepCandidates, batch_format="pyarrow",
-                                  concurrency=(1, 4)).materialize()
+        texts = texts.map_batches(_keep_candidates,
+                                  batch_format="pyarrow").materialize()
     else:
         broadcast = False
 
@@ -877,23 +900,23 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
 
     from ..util import embedding_matrix
 
-    class Signer:
-        def __init__(self):
-            self.planes = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch.append_column("lsh_sig",
-                                           pa.array([], pa.int64()))
-            mat = embedding_matrix(batch[emb_col], dtype=np.float32)
-            if self.planes is None:
-                rng = np.random.RandomState(seed)
-                self.planes = rng.standard_normal(
-                    (mat.shape[1], n_planes)
-                ).astype(np.float32)
-            bits = (mat @ self.planes) > 0
-            sig = bits @ (1 << np.arange(n_planes))
-            return batch.append_column("lsh_sig", pa.array(sig.astype(np.int64)))
+    def _sign(batch: pa.Table) -> pa.Table:
+        # task pool with per-worker cached planes (deterministic from
+        # (seed, dim, n_planes)) — actor spin-up for a tiny RNG matrix
+        # is pure fixed cost (see _cached_minhasher)
+        if batch.num_rows == 0:
+            return batch.append_column("lsh_sig",
+                                       pa.array([], pa.int64()))
+        mat = embedding_matrix(batch[emb_col], dtype=np.float32)
+        key = ("planes", seed, mat.shape[1], n_planes)
+        planes = _MINHASHER_CACHE.get(key)
+        if planes is None:
+            rng = np.random.RandomState(seed)
+            planes = _MINHASHER_CACHE[key] = rng.standard_normal(
+                (mat.shape[1], n_planes)).astype(np.float32)
+        bits = (mat @ planes) > 0
+        sig = bits @ (1 << np.arange(n_planes))
+        return batch.append_column("lsh_sig", pa.array(sig.astype(np.int64)))
 
     def _empty_pairs() -> pa.Table:
         return pa.table({
@@ -996,7 +1019,7 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
             pa.array(sigs, pa.int64()),
         )
 
-    sigs = ds.map_batches(Signer, batch_format="pyarrow", concurrency=(1, 2))
+    sigs = ds.map_batches(_sign, batch_format="pyarrow")
     if probes:
         sigs = sigs.map_batches(_explode_probes, batch_format="pyarrow")
     pairs = (
@@ -1014,12 +1037,16 @@ def remove_embedding_neardups(ds, id_col: str = "vec_id",
                               emb_col: str = "embedding", *,
                               threshold: float = 0.95,
                               n_planes: int = 12, probes: int = 1,
-                              num_partitions: int = 64):
+                              num_partitions: int = 64,
+                              pin_input: bool = True):
     """Drop near-duplicate VECTORS, keeping the minimum id per duplicate
     cluster — the embedding analog of
     :func:`remove_near_duplicates(method="distributed")`: multi-probe
     LSH pairs -> distributed connected components -> hash anti-join.
     Nothing touches the driver; output row order is partition-major."""
+    from ..util import pin_for_multipass
+
+    ds = pin_for_multipass(ds, enabled=pin_input)  # 3 passes below
     pairs = embedding_neardup_pairs(
         ds, id_col, emb_col, threshold=threshold, n_planes=n_planes,
         probes=probes,

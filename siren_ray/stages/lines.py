@@ -59,7 +59,8 @@ def _line_hashes(flat: pa.Array) -> np.ndarray:
 
 def remove_frequent_lines(ds, *, text_col: str = "text",
                           separator: str = "\n", min_count: int = 3,
-                          max_frequent: int = _MAX_FREQUENT):
+                          max_frequent: int = _MAX_FREQUENT,
+                          pin_input: bool = True):
     """Remove every line occurring ``>= min_count`` times corpus-wide
     (ALL occurrences — boilerplate is noise wherever it appears, the
     CCNet/C4 paragraph-dedup semantics). Returns the dataset with
@@ -85,6 +86,11 @@ def remove_frequent_lines(ds, *, text_col: str = "text",
     ~2^64/|distinct| docs — negligible against the removal rate itself.
     """
     import ray
+
+    from ..util import pin_for_multipass
+
+    # two passes (count stats, then rewrite): pin the input once
+    ds = pin_for_multipass(ds, enabled=pin_input)
 
     def _partial_counts(t: pa.Table) -> pa.Table:
         flat, _ = _split_lines(t, text_col, separator)

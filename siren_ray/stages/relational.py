@@ -17,6 +17,10 @@ from ..util import hash_strings
 
 _TOPK_PARTITIONS = 64
 
+# per-worker-process decoded broadcast-side cache for hash_join's
+# broadcast path (one entry: broadcasts are per-join; see _bcast_join)
+_BCAST_DF_CACHE: dict = {}
+
 
 def grouped_topk(ds, group_col: str, order_col: str, k: int, *,
                  ascending: bool = False, tie_col: str | None = None,
@@ -426,18 +430,23 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
                 if rrefs else pa.table({rkey: pa.array([], pa.int64())}))
         right_ref = ray.put(rtbl)
 
-        class _BcastJoin:
-            def __init__(self):
-                self.right = ray.get(right_ref).to_pandas()
+        def _bcast_join(t: pa.Table) -> pa.Table:
+            # task pool + per-worker decoded-right cache: ray.get of an
+            # already-local broadcast object is zero-copy, and the
+            # pandas decode happens once per worker process instead of
+            # paying an actor pool's spin-up (slow on this host: fresh
+            # actor processes fault every page through the hypervisor)
+            right = _BCAST_DF_CACHE.get(right_ref.hex())
+            if right is None:
+                right = ray.get(right_ref).to_pandas()
+                _BCAST_DF_CACHE.clear()  # one live broadcast per worker
+                _BCAST_DF_CACHE[right_ref.hex()] = right
+            ldf = t.to_pandas()
+            out = ldf.merge(right, how=how, left_on=on,
+                            right_on=rkey, suffixes=("", suffix))
+            return pa.Table.from_pandas(out, preserve_index=False)
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                ldf = t.to_pandas()
-                out = ldf.merge(self.right, how=how, left_on=on,
-                                right_on=rkey, suffixes=("", suffix))
-                return pa.Table.from_pandas(out, preserve_index=False)
-
-        return left_ds.map_batches(_BcastJoin, batch_format="pyarrow",
-                                   concurrency=(1, 4))
+        return left_ds.map_batches(_bcast_join, batch_format="pyarrow")
 
     hot_vals: np.ndarray | None = None
     S = 0

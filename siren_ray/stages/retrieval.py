@@ -48,7 +48,7 @@ def _term_table(queries: list[str]):
 
 def bm25_topk(docs_ds, queries: list[str], *, id_col: str = "doc_id",
               text_col: str = "text", k: int = 10, k1: float = 1.2,
-              b: float = 0.75):
+              b: float = 0.75, pin_input: bool = True):
     """Top-``k`` documents per query under BM25 (idf =
     ``ln((N - df + 0.5) / (df + 0.5) + 1)``, the positive Robertson
     variant). Documents matching no query term never appear. Returns a
@@ -103,6 +103,10 @@ def bm25_topk(docs_ds, queries: list[str], *, id_col: str = "doc_id",
                 pa.int64()),
         })
 
+    from ..util import pin_for_multipass
+
+    # two passes (corpus stats, then scoring): pin the projected input
+    docs_ds = pin_for_multipass(docs_ds, enabled=pin_input)
     stats = (docs_ds.map_batches(_stats_partial, batch_format="pyarrow")
              .groupby("term_idx").sum(["df", "total_len"]).to_pandas()
              .sort_values("term_idx"))

@@ -83,3 +83,23 @@ def embedding_matrix(col, dtype=np.float32) -> np.ndarray:
     flat = pc.list_flatten(col)
     return flat.to_numpy(zero_copy_only=False).reshape(n, dim).astype(
         dtype, copy=False)
+
+
+def pin_for_multipass(ds, *, enabled: bool = True):
+    """Materialize a Dataset that a multi-pass operator will consume
+    more than once (LSH + verify + components + anti-join; k-means
+    iterations; two-pass line stats). Ray Data has no lineage cache, so
+    every extra pass otherwise RE-EXECUTES the upstream read+transform
+    chain. Pinning trades object-store residency (with spill) for those
+    re-reads — the right call for the projected (id, text)/(id, vector)
+    inputs these operators take, which are far smaller than the raw
+    corpus. Callers streaming a projection too large even for spill can
+    pass ``enabled=False`` (or pre-materialize a cheaper projection
+    themselves) and keep re-read semantics.
+    """
+    if not enabled:
+        return ds
+    try:
+        return ds.materialize()
+    except Exception:
+        return ds
