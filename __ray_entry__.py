@@ -980,6 +980,19 @@ def q_lm_perplexity(sf_dir: str):
     return perplexity_score(ds, lm)
 
 
+def q_duplicate_passages(sf_dir: str):
+    """Passage-level duplication screen (lines.py:duplicate_passages —
+    the Lee et al. 2021 shape at n-gram granularity): per doc, how many
+    sliding 3-gram positions are covered by a gram occurring in >= 2
+    DISTINCT documents. Two streaming passes, one (gram, df) shuffle,
+    broadcast dup-set membership; oracle = DuckDB gram explode + df
+    join."""
+    from siren_ray.stages.lines import duplicate_passages
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return duplicate_passages(ds, n=3, min_docs=2)
+
+
 def q_data_mixture(sf_dir: str):
     """Deterministic corpus-mixture construction
     (relational.py:mixture_sample): 50/30/20 target proportions over
@@ -2081,6 +2094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "adaptive_quality_gate": q_adaptive_quality_gate,
         "data_mixture": q_data_mixture,
+        "duplicate_passages": q_duplicate_passages,
         "jaccard_neardup": q_jaccard_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,
@@ -2408,6 +2422,21 @@ def oracle_sql() -> dict[str, str]:
             " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
         "warc_roundtrip": "SELECT doc_id, text FROM documents",
+        "duplicate_passages": (
+            "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram "
+            "FROM ws, unnest(generate_series(1, len(w) - 2)) AS t(i)), "
+            "df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g "
+            "GROUP BY gram), "
+            "c AS (SELECT g.doc_id, count(*) AS nd FROM g "
+            "JOIN df USING (gram) WHERE df.df >= 2 GROUP BY g.doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(greatest(len(string_split(d.text, ' ')) - 2, 0) "
+            "AS BIGINT) AS n_grams, "
+            "CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dup_grams "
+            "FROM documents d LEFT JOIN c USING (doc_id)"
+        ),
         "data_mixture": (
             "WITH t AS (SELECT doc_id, source, "
             "md5(CAST(doc_id AS VARCHAR)) AS h, "

@@ -326,6 +326,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "adaptive_quality_gate",
         "text_embed_neardup",
         "data_mixture",
+        "duplicate_passages",
     ]
     qs = entrymod.queries()
     out = {}

@@ -314,3 +314,94 @@ def ngram_contamination(docs_ds, bench_ds, *, id_col: str = "doc_id",
 
     return docs_ds.map_batches(_Score, batch_format="pyarrow",
                                concurrency=(1, 8))
+
+
+def duplicate_passages(ds, *, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 10,
+                       min_docs: int = 2,
+                       max_frequent: int = _MAX_FREQUENT,
+                       pin_input: bool = True):
+    """Passage-level duplication screen (the Lee et al. 2021
+    'Deduplicating Training Data' shape, approximated at n-gram
+    granularity): for every document, count how many of its sliding
+    word ``n``-gram positions are covered by a gram that occurs in at
+    least ``min_docs`` DISTINCT documents — i.e. text shared verbatim
+    across documents (mirror paragraphs, syndicated passages), which
+    exact-doc dedup misses and MinHash only catches when whole docs are
+    similar.
+
+    Scale shape (two passes, like :func:`remove_frequent_lines`):
+    pass 1 streams per-batch (gram, distinct-doc-count) PARTIALS —
+    within a batch each (doc, gram) pair counts once — through one
+    groupby-sum keyed by the 64-bit gram fingerprint; grams with
+    document frequency >= ``min_docs`` broadcast once via ``ray.put``
+    as a sorted uint64 array (guarded by ``max_frequent``; a corpus
+    whose duplicated-gram set exceeds the guard needs passage REMOVAL
+    via the anti-join machinery, not a broadcast screen). Pass 2 is
+    map-only membership. Document text never shuffles.
+
+    Returns (id_col, n_grams, n_dup_grams); docs shorter than ``n``
+    words have ``n_grams == 0``.
+    """
+    import ray
+
+    from ..util import pin_for_multipass
+
+    ds = pin_for_multipass(ds, enabled=pin_input)  # two passes
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        gh, gpar, _ = _gram_hashes(t, text_col, n)
+        if not len(gh):
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        order = np.lexsort((gh, gpar))
+        gs, ps = gh[order], gpar[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (ps[1:] != ps[:-1])
+        ug, uc = np.unique(gs[first], return_counts=True)
+        return pa.table({"g": pa.array(ug.view(np.int64), pa.int64()),
+                         "df": pa.array(uc.astype(np.int64), pa.int64())})
+
+    counts = (
+        ds.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("g").sum("df")
+    )
+
+    def _keep_dup(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["sum(df)"], pa.scalar(min_docs))
+        return pa.table({"g": t.filter(keep)["g"]})
+
+    tbls = [t for t in ray.get(
+        counts.map_batches(_keep_dup, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows and "g" in t.schema.names]
+    dup = (np.sort(np.concatenate(
+        [np.asarray(t["g"], dtype=np.int64) for t in tbls]
+    ).view(np.uint64)) if tbls else np.empty(0, np.uint64))
+    if len(dup) > max_frequent:
+        raise ValueError(
+            f"duplicate_passages: {len(dup)} duplicated grams exceed the "
+            f"broadcast guard ({max_frequent}); raise min_docs/n or use "
+            "the anti-join removal path")
+    logger.info("duplicate_passages: %d corpus-duplicated %d-grams",
+                len(dup), n)
+    dup_ref = ray.put(dup)
+
+    def _score(t: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)  # zero-copy local read per task
+        gh, gpar, counts_ = _gram_hashes(t, text_col, n)
+        n_grams = np.maximum(counts_ - (n - 1), 0).astype(np.int64)
+        if len(gh) and len(d):
+            pos = np.searchsorted(d, gh)
+            pos[pos >= len(d)] = 0
+            hit = d[pos] == gh
+            ndup = np.bincount(gpar[hit],
+                               minlength=t.num_rows).astype(np.int64)
+        else:
+            ndup = np.zeros(t.num_rows, np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_dup_grams": pa.array(ndup, pa.int64()),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow")

@@ -163,3 +163,28 @@ def test_ngram_contamination_empty_bench(ray_session):
     )
     assert out["n_grams"].tolist() == [2, 0, 0]
     assert out["n_contaminated"].tolist() == [0, 0, 0]
+
+
+def test_duplicate_passages_planted(ray_session):
+    """Docs sharing a verbatim passage get every gram position inside
+    it flagged; unique text is untouched; short docs report 0 grams."""
+    import ray.data as rd
+
+    from siren_ray.stages.lines import duplicate_passages
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        {"doc_id": 0, "text": f"unique lead {passage} unique tail0"},
+        {"doc_id": 1, "text": f"other start {passage} other end1"},
+        {"doc_id": 2, "text": "totally distinct words only here now"},
+        {"doc_id": 3, "text": "ab"},
+    ]
+    out = (duplicate_passages(rd.from_items(docs, override_num_blocks=2),
+                              n=3, min_docs=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    # the shared passage has 6 words -> 4 shared 3-gram positions
+    assert out.loc[0, "n_dup_grams"] == 4
+    assert out.loc[1, "n_dup_grams"] == 4
+    assert out.loc[2, "n_dup_grams"] == 0
+    assert out.loc[3, "n_grams"] == 0 and out.loc[3, "n_dup_grams"] == 0
+    assert out.loc[0, "n_grams"] == len(docs[0]["text"].split()) - 2
