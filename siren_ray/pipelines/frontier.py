@@ -313,9 +313,19 @@ class _Crawl:
 
     def _fetch_pool(self) -> list:
         if self._pool is None:
+            # max_restarts/max_task_retries: a crashed fetch worker is
+            # rebuilt (state is derived, not unique: caches refill, the
+            # transport reopens) and its in-flight chunk re-executes —
+            # process() is deterministic per chunk and its side effects
+            # are idempotent (part file overwritten at the same path,
+            # seen-set test_and_set), so at-least-once is safe. On a
+            # 256-node cluster losing workers is routine, not
+            # exceptional.
             self._pool = [
                 FetchExtractActor.options(
-                    runtime_env=self._WORKER_ENV
+                    runtime_env=self._WORKER_ENV,
+                    max_restarts=2,
+                    max_task_retries=2,
                 ).remote(**self.fetch_kwargs)
                 for _ in range(self.cfg.fetch_concurrency)
             ]

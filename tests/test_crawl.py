@@ -206,3 +206,35 @@ def test_hash_determinism():
     a = hash_strings(["https://x/1", "https://x/2"])
     b = hash_strings(["https://x/1", "https://x/2"])
     assert (a == b).all() and a.dtype == np.uint64
+
+
+def test_crawl_survives_actor_kill(ray_session, tmp_path):
+    """Killing a fetch actor between rounds must not change the crawl:
+    the actor restarts (max_restarts), rebuilds its derived state, and
+    the run stays conformant with an undisturbed run."""
+    import ray
+
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.pipelines.frontier import (CrawlConfig, _Crawl,
+                                              read_crawl_order)
+
+    corpus = ensure_corpus(0.001)
+
+    def run(out_dir, kill: bool):
+        cfg = CrawlConfig(corpus_dir=corpus, out_dir=str(out_dir),
+                          budget_per_round=50, max_rounds=6,
+                          scheduler="driver", fetch_concurrency=2)
+        eng = _Crawl(cfg)
+        if kill:
+            pool = eng._fetch_pool()
+            # warm it so the kill hits a live process, then kill hard
+            ray.get(pool[0].__ray_ready__.remote())
+            ray.kill(pool[0], no_restart=False)
+        res = eng.run()
+        return res, read_crawl_order(str(out_dir))
+
+    res_a, order_a = run(tmp_path / "a", kill=False)
+    res_b, order_b = run(tmp_path / "b", kill=True)
+    assert res_a.total_fetched == res_b.total_fetched
+    assert res_a.seen_size == res_b.seen_size
+    assert order_a.equals(order_b)
