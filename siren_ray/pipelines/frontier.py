@@ -55,7 +55,6 @@ from ..stages.fetch import FetchExtract, FetchExtractActor, broadcast_pages
 from ..stages.politeness import (
     host_quota,
     host_quota_rank,
-    is_disallowed,
     load_robots,
     robots_filter_batch,
     robots_ok_mask,
@@ -351,6 +350,8 @@ class _Crawl:
                 (sel.slice(i, size), (i // size) % pool_size)
                 for i in range(0, n, size)
             ]
+        if n == 0:
+            return []
         buckets = (
             hash_strings(sel["url"].to_pylist()) % cfg.num_buckets
         ).astype(np.int64)

@@ -75,15 +75,33 @@ def write_warc_shards(ds, out_dir: str, *, url_col: str = "url",
                 b = b.encode()
             parts.append(_warc_record(u, ts, b or b"", content_type))
         blob = b"".join(parts)
-        # shard name from content hash -> deterministic, rerun-stable
+        # shard name from content hash; byte-identical blocks (same
+        # name) get O_EXCL + suffix so BOTH survive — a doubled ingest
+        # shard must not silently halve. Consequence: write into a
+        # FRESH directory per run (a rerun over a populated dir appends
+        # suffixed duplicates rather than overwriting).
         import hashlib
 
-        name = hashlib.md5(blob).hexdigest()[:16] + ".warc.gz"
-        path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
+        base = hashlib.md5(blob).hexdigest()[:16]
+        tmp = os.path.join(out_dir, base + ".tmp")
         with open(tmp, "wb") as f:
             f.write(blob)
-        os.replace(tmp, path)  # atomic: readers never see partial shards
+        name = None
+        for k in range(1000):
+            cand = base + (f"-{k}" if k else "") + ".warc.gz"
+            path = os.path.join(out_dir, cand)
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue
+            os.close(fd)
+            os.replace(tmp, path)  # atomic full-content swap-in
+            name = cand
+            break
+        if name is None:
+            os.remove(tmp)
+            raise RuntimeError("write_warc_shards: >1000 identical-"
+                               "content shard collisions")
         return pa.table({"shard": pa.array([name]),
                          "n_records": pa.array([t.num_rows], pa.int64())})
 
@@ -92,20 +110,25 @@ def write_warc_shards(ds, out_dir: str, *, url_col: str = "url",
 
 
 def _split_members(blob: bytes):
-    """Yield decompressed gzip members from a concatenated stream;
-    stops (without raising) at the first corrupt/truncated member."""
+    """Yield decompressed gzip members from a concatenated stream.
+    On a corrupt/truncated member, yields the sentinel ``None`` LAST
+    (the remaining bytes are undecodable without resync info) so the
+    caller can COUNT the loss instead of silently stopping."""
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)
         try:
             out = d.decompress(blob[pos:])
         except zlib.error:
+            yield None
             return
         if not d.eof:  # truncated final member
+            yield None
             return
         yield out
         consumed = len(blob) - pos - len(d.unused_data)
         if consumed <= 0:
+            yield None
             return
         pos += consumed
 
@@ -149,7 +172,10 @@ def _split_any(blob: bytes):
 
 
 def _parse_record(rec: bytes):
-    """WARC record bytes -> (url, date_str, body bytes) or None."""
+    """WARC record bytes -> (url, date_str, body bytes); None for a
+    MALFORMED record; False for a well-formed record of a non-response
+    type (warcinfo/request/metadata — real WARC files interleave these;
+    skipping them is normal, not corruption)."""
     head_end = rec.find(_CRLF + _CRLF)
     if head_end < 0 or not rec.startswith(b"WARC/"):
         return None
@@ -158,7 +184,7 @@ def _parse_record(rec: bytes):
         k, _, v = line.partition(b":")
         headers[k.strip().lower()] = v.strip()
     if headers.get(b"warc-type") != b"response":
-        return None
+        return False
     url = headers.get(b"warc-target-uri")
     date = headers.get(b"warc-date")
     try:
@@ -186,23 +212,36 @@ def read_warc(path: str, *, text: bool = False):
         import logging
 
         urls, dates, bodies, shards = [], [], [], []
-        skipped = 0
+        malformed = ignored = corrupt_shards = 0
         for raw, p in zip(t["bytes"].to_pylist(), t["path"].to_pylist()):
             shard = os.path.basename(p)
             for rec in _split_any(raw):
+                if rec is None:  # corrupt gzip member sentinel
+                    corrupt_shards += 1
+                    continue
                 parsed = _parse_record(rec)
                 if parsed is None:
-                    skipped += 1
+                    malformed += 1
+                    continue
+                if parsed is False:  # warcinfo/request/metadata: normal
+                    ignored += 1
                     continue
                 u, d, b = parsed
                 urls.append(u)
-                # numpy rejects the trailing Z and empty strings
-                dates.append(d.rstrip("Z") or "NaT")
+                # per-record defensive parse: one bad date must not
+                # kill the ingest task (recorded-drop contract)
+                try:
+                    dates.append(np.datetime64(d.rstrip("Z") or "NaT",
+                                               "us"))
+                except ValueError:
+                    dates.append(np.datetime64("NaT", "us"))
                 bodies.append(b)
                 shards.append(shard)
-        if skipped:
+        if malformed or corrupt_shards:
             logging.getLogger(__name__).warning(
-                "read_warc: skipped %d malformed records", skipped)
+                "read_warc: skipped %d malformed records; %d shards had "
+                "a corrupt gzip member (their remaining records are "
+                "unrecoverable)", malformed, corrupt_shards)
         ts = pa.array(
             np.array(dates, dtype="datetime64[us]")
             if dates else np.empty(0, dtype="datetime64[us]"),

@@ -81,20 +81,24 @@ def robots_ok_mask(robots: dict, hosts, paths) -> np.ndarray:
     ok = np.ones(len(hosts), dtype=bool)
     if not robots or not len(hosts):
         return ok
-    restricted = [h for h in pd.unique(hosts)
+    # one factorize + one stable argsort give every host's row indices
+    # in a single pass (O(rows log rows)), instead of re-scanning the
+    # hosts array once per restricted host
+    codes, uniques = pd.factorize(hosts, sort=False)
+    restricted = [(i, robots[h][0]) for i, h in enumerate(uniques)
                   if robots.get(h) and robots[h][0]]
     if not restricted:
         return ok
-    paths_s = None
-    for h in restricted:
-        idx = np.flatnonzero(hosts == h)
+    order = np.argsort(codes, kind="stable")
+    bounds = np.searchsorted(codes[order], np.arange(len(uniques) + 1))
+    paths_s = pd.Series(np.asarray(paths, dtype=object))
+    for i, prefixes in restricted:
+        idx = order[bounds[i]:bounds[i + 1]]
         if not len(idx):
             continue
-        if paths_s is None:
-            paths_s = pd.Series(np.asarray(paths, dtype=object))
         p = paths_s.iloc[idx]
         bad = np.zeros(len(idx), dtype=bool)
-        for pref in robots[h][0]:
+        for pref in prefixes:
             bad |= p.str.startswith(pref).to_numpy(dtype=bool)
         ok[idx[bad]] = False
     return ok

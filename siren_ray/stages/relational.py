@@ -439,7 +439,9 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
             right = _BCAST_DF_CACHE.get(right_ref.hex())
             if right is None:
                 right = ray.get(right_ref).to_pandas()
-                _BCAST_DF_CACHE.clear()  # one live broadcast per worker
+                while len(_BCAST_DF_CACHE) >= 4:  # small FIFO: bounded
+                    # retention, no thrash under concurrent joins
+                    _BCAST_DF_CACHE.pop(next(iter(_BCAST_DF_CACHE)))
                 _BCAST_DF_CACHE[right_ref.hex()] = right
             ldf = t.to_pandas()
             out = ldf.merge(right, how=how, left_on=on,
@@ -979,7 +981,10 @@ def grouped_agg(ds, by, aggs: dict, *, batch_format: str = "pyarrow"):
 
     def _partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        g = df.groupby(by_cols, sort=False)
+        # dropna=False: SQL GROUP BY keeps the NULL group; silently
+        # dropping null-keyed rows (pandas' default) would understate
+        # every aggregate over a nullable key
+        g = df.groupby(by_cols, sort=False, dropna=False)
         cols = {}
         for pcol, (col, fn) in plan.items():
             cols[pcol] = getattr(g[col], fn)()
@@ -990,7 +995,7 @@ def grouped_agg(ds, by, aggs: dict, *, batch_format: str = "pyarrow"):
     _COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(by_cols, sort=False)
+        g = df.groupby(by_cols, sort=False, dropna=False)
         merged = {}
         for pcol, (_, fn) in plan.items():
             merged[pcol] = getattr(g[pcol], _COMBINE[fn])()
@@ -1032,12 +1037,16 @@ def weighted_sample(ds, k: int, *, weight_col: str, id_col: str,
         w = np.asarray(t[weight_col], dtype=np.float64)
         if len(w) and (w <= 0).any():
             raise ValueError("weighted_sample: weights must be positive")
+        # +1 happens in INTEGER domain then converts, exactly like the
+        # oracle's (CAST(hex AS BIGINT) + 1) / 2^60 — adding 1.0 after a
+        # float64 conversion is a no-op above 2^53 and can differ by an
+        # ulp near rounding boundaries
         h = np.array(
             [int(hashlib.md5(f"{seed_salt}{x}".encode()
-                             ).hexdigest()[:15], 16) for x in ids],
-            dtype=np.float64,
+                             ).hexdigest()[:15], 16) + 1 for x in ids],
+            dtype=np.int64,
         )
-        u = (h + 1.0) / float(1 << 60)
+        u = h.astype(np.float64) / float(1 << 60)
         key = np.power(u, 1.0 / w)
         return t.append_column("_sk", pa.array(key, pa.float64()))
 

@@ -1183,6 +1183,13 @@ def test_grouped_agg_matches_pandas(ray_session):
     with _pytest.raises(ValueError):
         grouped_agg(rd.from_pandas(df), "g", {"x": ("v", "median")})
 
+    # SQL GROUP BY keeps the NULL group — so must we
+    dfn = pd.DataFrame({"g": ["a", None, None], "v": [1, 2, 3]})
+    got = grouped_agg(rd.from_pandas(dfn), "g",
+                      {"s": ("v", "sum")}).to_pandas()
+    assert len(got) == 2
+    assert int(got[got["g"].isna()]["s"].iloc[0]) == 5
+
 
 def test_kll_quantile_sketch_accuracy_and_merge(ray_session):
     """Rank error <= ~2% at k=200 on 200k values (normal + zipf), and

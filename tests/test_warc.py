@@ -50,9 +50,10 @@ def test_member_split_and_truncation():
     a = gzip.compress(b"first")
     b = gzip.compress(b"second")
     assert list(_split_members(a + b)) == [b"first", b"second"]
-    # truncated final member: earlier members still parse, no raise
-    assert list(_split_members(a + b[: len(b) // 2])) == [b"first"]
-    assert list(_split_members(b"notgzip")) == []
+    # truncated final member: earlier members still parse, no raise,
+    # and the loss is OBSERVABLE via the trailing None sentinel
+    assert list(_split_members(a + b[: len(b) // 2])) == [b"first", None]
+    assert list(_split_members(b"notgzip")) == [None]
 
 
 def test_malformed_records_skipped(warc_dir, tmp_path):
@@ -92,5 +93,39 @@ def test_plain_stream_framing(warc_dir):
 def test_parse_record_rejects_non_response():
     rec = (b"WARC/1.0\r\nWARC-Type: request\r\n"
            b"WARC-Target-URI: x\r\nContent-Length: 0\r\n\r\n")
-    assert _parse_record(rec) is None
+    # well-formed non-response types are IGNORED (False), not counted
+    # malformed (None) — real WARCs interleave warcinfo/request records
+    assert _parse_record(rec) is False
     assert _parse_record(b"garbage") is None
+    # unparseable WARC-Date must not kill the read (NaT, not raise)
+    import gzip as _gz
+
+    bad_date = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: https://x/\r\n"
+                b"WARC-Date: 2024/01/01\r\nContent-Length: 4\r\n\r\nbody")
+    import ray.data  # noqa: F401  (ray session from other tests)
+
+    d = None
+    import tempfile, os as _os
+
+    d = tempfile.mkdtemp()
+    with open(_os.path.join(d, "x.warc.gz"), "wb") as f:
+        f.write(_gz.compress(bad_date))
+    out = read_warc(d).to_pandas()
+    assert len(out) == 1 and out["warc_ts"].isna().all()
+
+
+def test_identical_blocks_both_survive(tmp_path):
+    """Two byte-identical blocks must produce two shards (suffix on
+    content-hash collision), not a silent overwrite halving the data."""
+    import ray.data as rd
+
+    rows = [{"url": "https://ex.com/same", "warc_ts": None,
+             "html": b"<html>dup</html>"}] * 2
+    d = str(tmp_path)
+    n = write_warc_shards(
+        rd.from_items(rows, override_num_blocks=2), d)
+    assert n == 2
+    assert len(os.listdir(d)) == 2
+    out = read_warc(d).to_pandas()
+    assert len(out) == 2
