@@ -980,6 +980,30 @@ def q_lm_perplexity(sf_dir: str):
     return perplexity_score(ds, lm)
 
 
+def q_incremental_neardup(sf_dir: str):
+    """NEAR-duplicate-aware incremental ingest
+    (dedup.py:incremental_ingest_neardup): even-id docs are the base
+    corpus, odd-id docs the increment; increment rows whose Jaccard-
+    verified MinHash matches anything in the base are dropped via the
+    driver-free anti-join. Rows-only (LSH candidate generation has no
+    SQL form); semantics unit-tested with planted near-dups."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.dedup import incremental_ingest_neardup
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _side(par: int):
+        return docs.map_batches(
+            lambda t: t.filter(pa.array(
+                np.asarray(t["doc_id"], dtype=np.int64) % 2 == par)),
+            batch_format="pyarrow")
+
+    return incremental_ingest_neardup(
+        _side(0), _side(1), id_col="doc_id", verify_jaccard=0.5)
+
+
 def q_duplicate_passages(sf_dir: str):
     """Passage-level duplication screen (lines.py:duplicate_passages —
     the Lee et al. 2021 shape at n-gram granularity): per doc, how many
@@ -2096,6 +2120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_mixture": q_data_mixture,
         "duplicate_passages": q_duplicate_passages,
         "jaccard_neardup": q_jaccard_neardup,
+        "incremental_neardup": q_incremental_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,
         "crawl_rank_seeds": q_crawl_rank_seeds,

@@ -327,6 +327,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "text_embed_neardup",
         "data_mixture",
         "duplicate_passages",
+        "incremental_neardup",
     ]
     qs = entrymod.queries()
     out = {}

@@ -1063,3 +1063,65 @@ def remove_embedding_neardups(ds, id_col: str = "vec_id",
         batch_format="pyarrow",
     )
     return hash_antijoin(ds, losers, id_col, num_partitions=num_partitions)
+
+
+def incremental_ingest_neardup(base_ds, inc_ds, *, id_col: str,
+                               text_col: str = "text",
+                               num_perm: int = 64, bands: int = 16,
+                               k: int = 5,
+                               verify_jaccard: float | None = None,
+                               num_partitions: int = 64):
+    """NEAR-duplicate-aware incremental corpus ingest: keep only the
+    increment rows whose text is not a near-duplicate of anything in
+    the base corpus — the fuzzy sibling of the exact-fingerprint
+    anti-join ingest (a recrawl rarely reproduces pages byte-identical;
+    boilerplate drifts while the payload stays the same).
+
+    Shape: both sides tag their ids into disjoint parity ranges
+    (base -> 2*id, increment -> 2*id+1; ids must fit 62 bits), union,
+    and run the SAME MinHash+LSH pair machinery as
+    :func:`minhash_duplicate_pairs` — signatures-only shuffle, capped
+    buckets. Only CROSS-side pairs matter: the increment member of each
+    becomes a loser, removed with the driver-free
+    :func:`hash_antijoin`. Increment-internal near-dups are NOT removed
+    here (run :func:`remove_near_duplicates` on the survivors when that
+    policy is wanted). ``verify_jaccard`` screens candidate pairs by
+    true shingle Jaccard before any removal, same contract as
+    :func:`remove_near_duplicates`.
+    """
+
+    def _tag(parity: int):
+        def _fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            if len(ids) and ids.max() >= (1 << 62):
+                raise ValueError("incremental_ingest_neardup: ids must "
+                                 "fit 62 bits for parity tagging")
+            return pa.table({
+                id_col: pa.array(ids * 2 + parity, pa.int64()),
+                text_col: t[text_col],
+            })
+        return _fn
+
+    tagged = base_ds.map_batches(_tag(0), batch_format="pyarrow").union(
+        inc_ds.map_batches(_tag(1), batch_format="pyarrow"))
+    pairs = minhash_duplicate_pairs(
+        tagged, id_col, num_perm=num_perm, bands=bands, k=k,
+        text_col=text_col)
+    if verify_jaccard is not None:
+        pairs = verify_pairs_jaccard(
+            pairs, tagged, id_col=id_col, text_col=text_col, k=k,
+            threshold=verify_jaccard, num_partitions=num_partitions,
+        ).map_batches(lambda t: t.select(["id_a", "id_b"]),
+                      batch_format="pyarrow")
+
+    def _inc_losers(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"], dtype=np.int64)
+        b = np.asarray(t["id_b"], dtype=np.int64)
+        cross = (a ^ b) & 1 == 1
+        ids = np.concatenate([a[cross], b[cross]])
+        ids = ids[ids & 1 == 1] >> 1  # increment-side, untagged
+        return pa.table({"id": pa.array(np.unique(ids), pa.int64())})
+
+    losers = pairs.map_batches(_inc_losers, batch_format="pyarrow")
+    return hash_antijoin(inc_ds, losers, id_col,
+                         num_partitions=num_partitions)

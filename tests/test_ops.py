@@ -1455,3 +1455,31 @@ def test_grouped_quantiles_int_matches_reference(ray_session):
             want = sv[max(0, int(np.ceil(q * len(sv))) - 1)]
             got = out[(out["g"] == g) & (out["q"] == q)]["x"].iloc[0]
             assert got == want, (g, q)
+
+
+def test_incremental_ingest_neardup(ray_session):
+    """Increment rows near-duplicating a base doc are dropped; novel
+    rows survive; increment-internal near-dups are NOT removed here."""
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import incremental_ingest_neardup
+
+    base_text = ("the quick brown fox jumps over the lazy dog and then "
+                 "runs far away into the deep dark forest tonight again")
+    base = rd.from_items([{"doc_id": 1, "text": base_text}])
+    inc = rd.from_items([
+        # near-dup of base (one word changed)
+        {"doc_id": 10, "text": base_text.replace("dark", "cold")},
+        # novel
+        {"doc_id": 11, "text": ("completely unrelated subject matter "
+                                "with its own distinct vocabulary and "
+                                "no shared shingles whatsoever here")},
+        # near-dup of 11 (internal pair: must BOTH survive)
+        {"doc_id": 12, "text": ("completely unrelated subject matter "
+                                "with its own distinct vocabulary and "
+                                "no shared shingles whatsoever there")},
+    ], override_num_blocks=2)
+    out = incremental_ingest_neardup(
+        base, inc, id_col="doc_id", verify_jaccard=0.5)
+    kept = sorted(out.to_pandas()["doc_id"])
+    assert kept == [11, 12]
