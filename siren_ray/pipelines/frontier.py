@@ -551,7 +551,10 @@ class _Crawl:
                 # broadcast the last selected row's (priority, seq) and
                 # the anti-join becomes two vectorized comparisons — no
                 # driver-built seq set, no per-row membership probes.
-                last_block = ray.get(selected.to_arrow_refs()[-1])
+                from ..util import ensure_arrow
+
+                last_block = ensure_arrow(
+                    ray.get(selected.to_arrow_refs()[-1]))
                 bound_pri = last_block["priority"][-1].as_py()
                 bound_seq = last_block["seq"][-1].as_py()
 

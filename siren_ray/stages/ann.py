@@ -470,7 +470,10 @@ def cosine_pairs_exact(ds, id_col: str = "vec_id", emb_col: str = "embedding",
     import ray.data as rd
 
     @ray.remote
-    def _prep(tbl: pa.Table):
+    def _prep(tbl):
+        from ..util import ensure_arrow
+
+        tbl = ensure_arrow(tbl)
         if tbl.num_rows == 0 or id_col not in tbl.schema.names:
             return (np.empty(0, dtype=np.int64),
                     np.empty((0, 1), dtype=np.float64))

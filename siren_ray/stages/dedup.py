@@ -427,7 +427,10 @@ def connected_components(edges_ds, nodes_ds, *, num_partitions: int = 64,
     _EMPTY_NODE = pa.table({"id": pa.array([], pa.int64())})
 
     @ray.remote
-    def _split_edges(tbl: pa.Table):
+    def _split_edges(tbl):
+        from ..util import ensure_arrow
+
+        tbl = ensure_arrow(tbl)
         # sort/shuffle stages can emit columnless empty blocks
         if tbl.num_rows == 0 or "id_a" not in tbl.schema.names:
             return [_EMPTY_EDGE] * P
@@ -438,7 +441,10 @@ def connected_components(edges_ds, nodes_ds, *, num_partitions: int = 64,
         return _shard(src, {"src": src, "dst": dst})
 
     @ray.remote
-    def _split_nodes(tbl: pa.Table):
+    def _split_nodes(tbl):
+        from ..util import ensure_arrow
+
+        tbl = ensure_arrow(tbl)
         if tbl.num_rows == 0 or "id" not in tbl.schema.names:
             return [_EMPTY_NODE] * P
         ids = _col(tbl, "id")
@@ -583,8 +589,11 @@ def _hash_key_filter(ds, keys_ds, key_col: str, *, keep: bool,
 
     P = max(2, int(num_partitions))
 
+    from ..util import ensure_arrow
+
     @ray.remote
-    def _split_left(tbl: pa.Table):
+    def _split_left(tbl):
+        tbl = ensure_arrow(tbl)
         if tbl.num_rows == 0 or key_col not in tbl.schema.names:
             return [tbl.slice(0, 0)] * P
         keys = np.asarray(tbl[key_col], dtype=np.int64) % P
@@ -595,7 +604,8 @@ def _hash_key_filter(ds, keys_ds, key_col: str, *, keep: bool,
                 for p in range(P)]
 
     @ray.remote
-    def _split_keys(tbl: pa.Table):
+    def _split_keys(tbl):
+        tbl = ensure_arrow(tbl)
         if tbl.num_rows == 0 or "id" not in tbl.schema.names:
             return [pa.table({"id": pa.array([], pa.int64())})] * P
         ids = np.asarray(tbl["id"], dtype=np.int64)
@@ -797,9 +807,11 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, id_col: str,
     pairs_ds = pairs_ds.materialize()  # consumed twice below
     broadcast = "auto"
     if pairs_ds.count() <= broadcast_ids_threshold:
+        from ..util import ensure_arrow as _ea
+
         id_arrs = [
             np.asarray(t[c], dtype=np.int64)
-            for t in ray.get(pairs_ds.to_arrow_refs())
+            for t in map(_ea, ray.get(pairs_ds.to_arrow_refs()))
             if t.num_rows and "id_a" in t.schema.names
             for c in ("id_a", "id_b")
         ]

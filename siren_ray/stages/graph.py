@@ -63,7 +63,10 @@ def pagerank(edges_ds, nodes_ds, *, damping: float = 0.85,
     _EMPTY_NODE = pa.table({"id": pa.array([], pa.int64())})
 
     @ray.remote
-    def _split_edges(tbl: pa.Table):
+    def _split_edges(tbl):
+        from ..util import ensure_arrow
+
+        tbl = ensure_arrow(tbl)
         if tbl.num_rows == 0 or "src" not in tbl.schema.names:
             return [_EMPTY_EDGE] * P
         src = _col(tbl, "src")
@@ -71,7 +74,10 @@ def pagerank(edges_ds, nodes_ds, *, damping: float = 0.85,
         return _shard_tables(src, {"src": src, "dst": dst})
 
     @ray.remote
-    def _split_nodes(tbl: pa.Table):
+    def _split_nodes(tbl):
+        from ..util import ensure_arrow
+
+        tbl = ensure_arrow(tbl)
         if tbl.num_rows == 0 or "id" not in tbl.schema.names:
             return [_EMPTY_NODE] * P
         ids = _col(tbl, "id")
@@ -379,9 +385,11 @@ def reprioritize_seeds(seeds: pa.Table, ranks_ds, *, by: str = "host",
         return pa.table({"id": pa.array(ids[keep], pa.int64()),
                          "rank": t.filter(pa.array(keep))["rank"]})
 
-    tbls = [t for t in ray.get(
+    from ..util import ensure_arrow as _ea
+
+    tbls = [t for t in map(_ea, ray.get(
         ranks_ds.map_batches(_match, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows and "id" in t.schema.names]
+        .to_arrow_refs())) if t.num_rows and "id" in t.schema.names]
     pri = np.full(len(urls), float(default), dtype=np.float64)
     if tbls:
         m = pa.concat_tables(tbls)

@@ -109,10 +109,12 @@ def remove_frequent_lines(ds, *, text_col: str = "text",
         keep = pc.greater_equal(t["sum(cnt)"], pa.scalar(min_count))
         return pa.table({"line_hash": t.filter(keep)["line_hash"]})
 
+    from ..util import ensure_arrow as _ea
+
     freq_tbls = [
-        t for t in ray.get(
+        t for t in map(_ea, ray.get(
             counts.map_batches(_keep_frequent, batch_format="pyarrow")
-            .to_arrow_refs())
+            .to_arrow_refs()))
         if t.num_rows and "line_hash" in t.schema.names
     ]
     frequent = (np.sort(np.concatenate(
@@ -281,9 +283,11 @@ def ngram_contamination(docs_ds, bench_ds, *, id_col: str = "doc_id",
         return pa.table({"g": pa.array(np.unique(gh).view(np.int64),
                                        pa.int64())})
 
-    tbls = [t for t in ray.get(
+    from ..util import ensure_arrow as _ea
+
+    tbls = [t for t in map(_ea, ray.get(
         bench_ds.map_batches(_bench_partial, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows and "g" in t.schema.names]
+        .to_arrow_refs())) if t.num_rows and "g" in t.schema.names]
     bench = (np.unique(np.concatenate(
         [np.asarray(t["g"], dtype=np.int64) for t in tbls]
     ).view(np.uint64)) if tbls else np.empty(0, np.uint64))
@@ -371,9 +375,11 @@ def duplicate_passages(ds, *, id_col: str = "doc_id",
         keep = pc.greater_equal(t["sum(df)"], pa.scalar(min_docs))
         return pa.table({"g": t.filter(keep)["g"]})
 
-    tbls = [t for t in ray.get(
+    from ..util import ensure_arrow as _ea
+
+    tbls = [t for t in map(_ea, ray.get(
         counts.map_batches(_keep_dup, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows and "g" in t.schema.names]
+        .to_arrow_refs())) if t.num_rows and "g" in t.schema.names]
     dup = (np.sort(np.concatenate(
         [np.asarray(t["g"], dtype=np.int64) for t in tbls]
     ).view(np.uint64)) if tbls else np.empty(0, np.uint64))

@@ -83,7 +83,10 @@ def topk_global(ds, order_col: str, k: int, *, ascending: bool = False,
     )
     import ray as _ray
 
-    parts = [t for t in _ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    from ..util import ensure_arrow as _ea
+
+    parts = [t for t in map(_ea, _ray.get(pruned.to_arrow_refs()))
+             if t.num_rows]
     if not parts:
         return pa.table({})
     merged = pa.concat_tables(parts, promote_options="default").to_pandas()
@@ -425,8 +428,11 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
             broadcast = False
 
     if broadcast:
+        from ..util import ensure_arrow as _ea
+
         rrefs = right_ds.to_arrow_refs()
-        rtbl = (pa.concat_tables(ray.get(rrefs), promote_options="default")
+        rtbl = (pa.concat_tables([_ea(b) for b in ray.get(rrefs)],
+                                 promote_options="default")
                 if rrefs else pa.table({rkey: pa.array([], pa.int64())}))
         right_ref = ray.put(rtbl)
 
@@ -472,7 +478,10 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
         return np.isin(vals, hot_vals.astype(str))
 
     @ray.remote
-    def _split(tbl: pa.Table, col: str, is_left: bool):
+    def _split(tbl, col: str, is_left: bool):
+        from ..util import ensure_arrow
+
+        tbl = ensure_arrow(tbl)
         if tbl.num_rows == 0 or col not in tbl.schema.names:
             return [tbl.slice(0, 0)] * NP
         pk = _key_partition(tbl[col], P)
@@ -658,8 +667,10 @@ def quantile_sketch(ds, col: str, qs, *, k: int = 200) -> np.ndarray:
                            batch_size=65536).to_arrow_refs()
     import ray as _ray
 
+    from ..util import ensure_arrow as _ea2
+
     total = KLLSketch(k=k)
-    for tbl in _ray.get(parts):
+    for tbl in map(_ea2, _ray.get(parts)):
         if tbl.num_rows:
             total.merge(KLLSketch.from_table(tbl, k=k))
     return total.quantiles(qs)
@@ -760,8 +771,11 @@ def heavy_hitters(ds, col: str, k: int = 20) -> pd.DataFrame:
     parts = _ray.get(
         ds.map_batches(_summary, batch_format="pyarrow",
                        batch_size=65536).to_arrow_refs())
-    merged = pa.concat_tables([p for p in parts if p.num_rows],
-                              promote_options="default")
+    from ..util import ensure_arrow as _ea3
+
+    merged = pa.concat_tables(
+        [p for p in map(_ea3, parts) if p.num_rows],
+        promote_options="default")
     if merged.num_rows == 0:
         return pd.DataFrame({"item": pd.Series(dtype="object"),
                              "count_lo": pd.Series(dtype="int64"),
@@ -889,7 +903,10 @@ def snapshot_diff(old_ds, new_ds, *, key: str, fp_col: str,
     P = max(2, int(num_partitions))
 
     @ray.remote
-    def _split(tbl: pa.Table):
+    def _split(tbl):
+        from ..util import ensure_arrow
+
+        tbl = ensure_arrow(tbl)
         empty = pa.table({key: pa.array([], pa.int64()),
                           fp_col: pa.array([], pa.string())})
         if tbl.num_rows == 0 or key not in tbl.schema.names:

@@ -103,3 +103,22 @@ def pin_for_multipass(ds, *, enabled: bool = True):
         return ds.materialize()
     except Exception:
         return ds
+
+
+def ensure_arrow(block):
+    """Coerce a Dataset block to ``pyarrow.Table``.
+
+    ``Dataset.to_arrow_refs()`` usually yields Arrow blocks, but a
+    pipeline whose tail fused through a pandas ``map_groups`` stage can
+    surface pandas blocks (observed on empty blocks under operator
+    fusion). Every raw-task consumer of block refs goes through this
+    guard instead of assuming the type.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(block, pa.Table):
+        return block
+    if isinstance(block, pd.DataFrame):
+        return pa.Table.from_pandas(block, preserve_index=False)
+    return pa.table(block)

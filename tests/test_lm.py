@@ -31,7 +31,11 @@ def _naive_model() -> BigramLM:
         for h in wh:
             uni[int(h) & ((1 << UNI_BITS) - 1)] += 1
         for a, b in zip(wh[:-1], wh[1:]):
-            key = int(a * _MIX + b) & ((1 << BIG_BITS) - 1)
+            # big-int arithmetic then explicit mod 2^64: same wrap the
+            # vectorized engine path does, without the scalar-overflow
+            # RuntimeWarning noise
+            key = ((int(a) * int(_MIX) + int(b)) % (1 << 64)) \
+                & ((1 << BIG_BITS) - 1)
             big[key] += 1
     return BigramLM(uni=uni, big=big, uni_bits=UNI_BITS, big_bits=BIG_BITS,
                     total_tokens=int(uni.sum()))
