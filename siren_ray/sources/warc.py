@@ -82,10 +82,16 @@ def write_warc_shards(ds, out_dir: str, *, url_col: str = "url",
         # suffixed duplicates rather than overwriting).
         import hashlib
 
+        import tempfile
+
         base = hashlib.md5(blob).hexdigest()[:16]
-        tmp = os.path.join(out_dir, base + ".tmp")
-        with open(tmp, "wb") as f:
-            f.write(blob)
+        # unique tmp per task: concurrent writers of identical blocks
+        # must not race on one tmp path
+        tf = tempfile.NamedTemporaryFile(dir=out_dir, suffix=".tmp",
+                                         delete=False)
+        tmp = tf.name
+        with tf:
+            tf.write(blob)
         name = None
         for k in range(1000):
             cand = base + (f"-{k}" if k else "") + ".warc.gz"
