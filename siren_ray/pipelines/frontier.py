@@ -319,7 +319,11 @@ class _Crawl:
             # are idempotent (part file overwritten at the same path,
             # seen-set test_and_set), so at-least-once is safe. On a
             # 256-node cluster losing workers is routine, not
-            # exceptional.
+            # exceptional. Broadcast mode passes pages_ref (ObjectRef)
+            # as a ctor arg — Ray warns restarts need it alive; the
+            # engine pins it in self.fetch_kwargs for its lifetime, so
+            # restarts during a run always find it
+            # (t:test_crawl_survives_actor_kill runs in this mode).
             self._pool = [
                 FetchExtractActor.options(
                     runtime_env=self._WORKER_ENV,
