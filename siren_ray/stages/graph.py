@@ -25,7 +25,7 @@ _PR_PARTITIONS = 64
 
 
 def pagerank(edges_ds, nodes_ds, *, damping: float = 0.85,
-             max_iters: int = 30, tol: float = 1e-9,
+             max_iters: int = 100, tol: float = 1e-6,
              num_partitions: int = _PR_PARTITIONS):
     """Standard PageRank with dangling-mass redistribution.
 
@@ -35,6 +35,12 @@ def pagerank(edges_ds, nodes_ds, *, damping: float = 0.85,
     they don't corrupt). Returns a Dataset of (id, rank) with
     sum(rank) == 1 up to float error. Converges when the global L1
     delta drops below ``tol`` (or at ``max_iters``, with a warning).
+
+    Default (max_iters, tol): the L1 delta contracts by ~``damping`` per
+    iteration, so reaching tol needs ~``ln(tol)/ln(damping)`` rounds —
+    1e-6 at d=0.85 is ~85, inside max_iters=100. (The r3 defaults,
+    30 iters at tol=1e-9, could NEVER meet their own criterion —
+    0.85^30 ~ 8e-3 — and warned on every run; VERDICT r3 #3.)
     """
     import ray
     import ray.data as rd
@@ -237,7 +243,7 @@ def pagerank(edges_ds, nodes_ds, *, damping: float = 0.85,
 
 def crawl_pagerank(extracted_ds, *, url_col: str = "url",
                    links_col: str = "links", damping: float = 0.85,
-                   max_iters: int = 30,
+                   max_iters: int = 100,
                    num_partitions: int = _PR_PARTITIONS):
     """PageRank over the link graph a crawl itself discovered, keyed by
     URL string: the frontier-prioritization loop's scoring half (feed

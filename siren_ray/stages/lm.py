@@ -141,7 +141,9 @@ def bigram_lm_train(ds, *, text_col: str = "text", uni_bits: int = 20,
 def perplexity_score(ds, lm: BigramLM, *, text_col: str = "text",
                      id_col: str = "doc_id", alpha: float = 0.1,
                      max_words: int | None = None):
-    """Map-only scoring: id, n_tokens, ppl (null when < 2 tokens)."""
+    """Map-only scoring: id, n_tokens, ppl (NaN — a valid float64
+    value, not an Arrow null — when a doc has < 2 tokens; tests assert
+    ``isnan``, and filters should use ``is_nan``, not ``is_null``)."""
     import ray
 
     model_ref = ray.put((lm.uni, lm.big))

@@ -176,6 +176,146 @@ def salted_host_quota(ds, robots: dict, round_ms: int, num_salts: int = 8):
     )
 
 
+def host_quota_partitioned(ds, robots: dict, round_ms: int, *,
+                           num_salts: int = 8, num_buckets: int = 32):
+    """Skew-safe, fully vectorized per-host quota stage — the distributed
+    scheduler's DEFAULT (``CrawlConfig.salt_hosts="auto"``).
+
+    Same output rows/columns as :func:`host_quota_rank` over the same
+    input (conformance-tested vs the simulator and the legacy stage),
+    with three scale properties the ``groupby("host").map_groups`` path
+    lacks on a Zipf-skewed 10^10-URL frontier (SURVEY.md §4 "Skew"):
+
+    1. UNLIMITED-HOST BYPASS: hosts with no robots entry (or delay 0)
+       have quota=UNLIMITED, so ``in_quota == robots_ok`` needs no
+       ranking — those rows (the vast majority of a web frontier) take
+       a MAP-ONLY path and never enter a shuffle at all.
+    2. SALTED two-phase ranking for the limited minority: phase 1
+       shuffles on ``hash(host, url-salt) % num_buckets`` and caps each
+       salted run at quota(host) — a row outside its salted run's
+       top-quota cannot be in the host's global top-quota, so no winner
+       is lost — then phase 2 re-shuffles only the survivors
+       (<= quota * num_salts rows per host) on ``hash(host)`` and
+       assigns exact ranks. A hot host spreads over ``num_salts``
+       partitions instead of landing in one group; size ``num_salts``
+       to cluster parallelism.
+    3. NO PER-KEY ``map_groups``: both phases group on a coarse int
+       bucket and rank ALL their hosts in ONE C-level pandas pass
+       (sort + grouped cumsum), never one Python call per host.
+
+    The input is consumed twice (unlimited/limited split) — pass a
+    materialized dataset.
+    """
+    from ..util import hash_strings
+
+    limited = {
+        h: max(1, round_ms // e[1])
+        for h, e in robots.items()
+        if e is not None and e[1] > 0
+    }
+    _HELPERS = ("_salt", "_pk1", "_pk2", "_q", "_ok", "salt_pass")
+
+    def _base_cols(t: pa.Table) -> list[str]:
+        return [c for c in t.column_names
+                if c not in _HELPERS and c != "in_quota"]
+
+    def _ok_mask(t: pa.Table) -> np.ndarray:
+        if "robots_ok" in t.column_names:
+            return np.asarray(t["robots_ok"], dtype=bool)
+        return np.ones(t.num_rows, dtype=bool)
+
+    def _mark_unlimited(t: pa.Table) -> pa.Table:
+        if limited:
+            keep = ~pd.Series(t["host"].to_pylist()).isin(limited).to_numpy()
+            t = t.filter(pa.array(keep))
+        t = t.append_column("in_quota", pa.array(_ok_mask(t)))
+        return t.select(_base_cols(t) + ["in_quota"])
+
+    unlim = ds.map_batches(_mark_unlimited, batch_format="pyarrow")
+    if not limited:
+        return unlim
+
+    _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+    def _salt_and_bucket(t: pa.Table) -> pa.Table:
+        keep = pd.Series(t["host"].to_pylist()).isin(limited).to_numpy()
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return t.append_column("_salt", pa.array([], pa.int64())) \
+                    .append_column("_pk1", pa.array([], pa.int64()))
+        hh = hash_strings(t["host"].to_pylist())
+        salt = (hash_strings(t["url"].to_pylist())
+                % np.uint64(max(1, num_salts)))
+        pk1 = ((hh + salt * _GOLDEN) % np.uint64(num_buckets)).astype(np.int64)
+        t = t.append_column("_salt", pa.array(salt.astype(np.int64)))
+        return t.append_column("_pk1", pa.array(pk1))
+
+    def _rank_pass(df: pd.DataFrame, group_cols: list[str],
+                   out_col: str) -> pd.DataFrame:
+        # ONE vectorized pass ranks every (group) run in the partition:
+        # sort by (group, priority DESC, seq ASC), grouped cumsum of the
+        # robots-ok indicator = per-run rank among ok rows
+        df = df.sort_values(group_cols + ["priority", "seq"],
+                            ascending=[True] * len(group_cols) + [False, True],
+                            kind="mergesort")
+        rank = df.groupby(group_cols, sort=False)["_ok"].cumsum().to_numpy() - 1
+        df[out_col] = df["_ok"].to_numpy(dtype=bool) & (
+            rank < df["_q"].to_numpy())
+        return df
+
+    def _phase1(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(_q=pd.Series(dtype=np.int64),
+                             _ok=pd.Series(dtype=bool),
+                             salt_pass=pd.Series(dtype=bool))
+        df = df.assign(
+            _q=df["host"].map(limited).to_numpy(dtype=np.int64),
+            _ok=(df["robots_ok"].to_numpy(dtype=bool)
+                 if "robots_ok" in df.columns
+                 else np.ones(len(df), dtype=bool)),
+        )
+        return _rank_pass(df, ["host", "_salt"], "salt_pass")
+
+    lim = (
+        ds.map_batches(_salt_and_bucket, batch_format="pyarrow")
+        .groupby("_pk1")
+        .map_groups(_phase1, batch_format="pandas")
+        .materialize()  # consumed twice: survivors + capped-out rows
+    )
+
+    def _rebucket(t: pa.Table) -> pa.Table:
+        t = t.filter(t["salt_pass"].combine_chunks())
+        pk2 = (hash_strings(t["host"].to_pylist())
+               % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("_pk2", pa.array(pk2))
+
+    def _phase2(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(in_quota=pd.Series(dtype=bool))
+        return _rank_pass(df, ["host"], "in_quota")
+
+    ranked = (
+        lim.map_batches(_rebucket, batch_format="pyarrow")
+        .groupby("_pk2")
+        .map_groups(_phase2, batch_format="pandas")
+    )
+
+    def _capped_out(t: pa.Table) -> pa.Table:
+        # beyond a salted run's top-quota -> definitely over host quota
+        t = t.filter(pa.compute.invert(t["salt_pass"].combine_chunks()))
+        t = t.append_column(
+            "in_quota", pa.array(np.zeros(t.num_rows, dtype=bool)))
+        return t.select(_base_cols(t) + ["in_quota"])
+
+    def _strip(t: pa.Table) -> pa.Table:
+        return t.select(_base_cols(t) + ["in_quota"])
+
+    return unlim.union(
+        ranked.map_batches(_strip, batch_format="pyarrow"),
+        lim.map_batches(_capped_out, batch_format="pyarrow"),
+    )
+
+
 def host_quota_rank(df: pd.DataFrame, robots: dict, round_ms: int) -> pd.DataFrame:
     """map_groups fn (grouped by host): rank rows by (-priority, seq) and
     mark the first quota(h) as within-quota.

@@ -36,23 +36,49 @@ def _run(edges, n, ray_session, **kw):
 
 
 def test_pagerank_matches_dense_reference(ray_session):
+    import warnings
+
     rng = np.random.RandomState(21)
     n = 120
     edges = list({(int(rng.randint(n)), int(rng.randint(n)))
                   for _ in range(600)})
     edges = [e for e in edges if e[0] != e[1]]
-    got = _run(edges, n, ray_session, max_iters=100, tol=1e-12,
-               num_partitions=8)
+    # tight tol needs ln(tol)/ln(d) ~ 170 iterations; max_iters must
+    # clear it so the run CONVERGES (asserted: no RuntimeWarning)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = _run(edges, n, ray_session, max_iters=250, tol=1e-12,
+                   num_partitions=8)
     want = _reference_pagerank(n, edges)
     assert np.abs(got - want).max() < 1e-9
     assert abs(got.sum() - 1.0) < 1e-9
 
 
+def test_pagerank_converges_at_defaults(ray_session):
+    """The published defaults must meet their own convergence criterion
+    (r3's 30 iters @ 1e-9 could not; VERDICT r3 #3)."""
+    import warnings
+
+    rng = np.random.RandomState(5)
+    n = 200
+    edges = list({(int(rng.randint(n)), int(rng.randint(n)))
+                  for _ in range(1500)})
+    edges = [e for e in edges if e[0] != e[1]]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = _run(edges, n, ray_session, num_partitions=8)
+    assert abs(got.sum() - 1.0) < 1e-6
+
+
 def test_pagerank_star_graph_sink_dominates(ray_session):
+    import warnings
+
     # 0..9 all point at 10 (a sink). The sink must out-rank everyone,
     # and its dangling mass must be redistributed (ranks sum to 1).
     edges = [(i, 10) for i in range(10)]
-    got = _run(edges, 11, ray_session, num_partitions=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = _run(edges, 11, ray_session, num_partitions=4)
     assert np.argmax(got) == 10
     assert abs(got.sum() - 1.0) < 1e-9
     # spokes are symmetric

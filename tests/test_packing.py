@@ -61,3 +61,16 @@ def test_dataset_packing_covers_all_rows():
     got = sorted(i for d in out["doc_ids"] for i in d)
     assert got == list(range(777))
     assert (out["total_tokens"] <= SEQ).all()
+
+
+def test_zero_token_docs_never_join_truncated_bins():
+    """A need=0 doc fits any residual>=0 bin; it must NOT attach to a
+    truncated (oversized) sequence's doc_ids (ADVICE r3)."""
+    out = pack_batch(_table([SEQ + 50, 0, 0]), seq_len=SEQ).to_pandas()
+    trunc = out[out["truncated"]]
+    assert len(trunc) == 1
+    assert trunc.iloc[0]["doc_ids"].tolist() == [0]
+    # the zero-token docs share one all-pad bin of their own
+    zeros = out[~out["truncated"]]
+    assert sorted(i for d in zeros["doc_ids"] for i in d) == [1, 2]
+    assert (zeros["total_tokens"] == 0).all()
