@@ -966,6 +966,47 @@ def q_warc_roundtrip(sf_dir: str):
         _back, batch_format="pyarrow")
 
 
+def q_warc_to_corpus(sf_dir: str):
+    """Archive -> crawlable corpus composite (sources/warc.py:
+    warc_to_corpus): documents serialize into WARC shards, then ingest
+    into the hive ``bucket=hash64(url)%N`` partitioned pages layout that
+    ``fetch_mode="bucketed"`` partition-prunes — the path a real
+    Common-Crawl drop takes into the fetch join. Returns (url, bucket)
+    for every ingested page; rows-only (the bucket assignment is the
+    engine's SipHash, no SQL form). Crawl-over-ingested-corpus
+    conformance is tested end-to-end (t:test_warc)."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from siren_ray.sources.warc import warc_to_corpus, write_warc_shards
+
+    def _to_pages(t: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            pa.array(["https://docs.example.com/d/"] * t.num_rows),
+            t["doc_id"].cast(pa.string()), "")
+        ts = pa.array([datetime(2024, 1, 1, tzinfo=timezone.utc)]
+                      * t.num_rows).cast(pa.timestamp("us"))
+        return pa.table({"url": url, "warc_ts": ts, "html": t["text"]})
+
+    warc_dir = tempfile.mkdtemp(prefix="warc_ing_")
+    pages_dir = tempfile.mkdtemp(prefix="warc_pages_")
+    pages = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _to_pages, batch_format="pyarrow")
+    write_warc_shards(pages, warc_dir, content_type="text/plain")
+    warc_to_corpus(warc_dir, pages_dir, num_buckets=32)
+    return rd.read_parquet(pages_dir).map_batches(
+        lambda t: pa.table({
+            "url": t["url"],
+            "bucket": t["bucket"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_lm_perplexity(sf_dir: str):
     """Hashed bigram-LM quality scoring (stages/lm.py): train the
     bounded-memory count model on the documents table in one streaming
@@ -2094,6 +2135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "normalized_dedup": q_normalized_dedup,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_to_corpus": q_warc_to_corpus,
         "chunk_documents": q_chunk_documents,
         "incremental_ingest": q_incremental_ingest,
         # rows-only (non-SQL-expressible)

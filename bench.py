@@ -161,6 +161,53 @@ def run_crawl_bench(sf: float, num_cpus: int, trials: int = 2) -> dict:
     }
 
 
+def run_crawl_distributed_bench(num_cpus: int, sf: float = 0.01,
+                                trials: int = 2) -> dict:
+    """The 100x-scale scheduling path, benchmarked every round (VERDICT
+    r3 #2): a crawl forced through ``scheduler="distributed"`` — every
+    round runs the url-dedup shuffle, seen/robots map passes, the salted
+    host-quota shuffle, the fused counter pass and the sort+limit budget
+    as Dataset executions. sf0.01 keeps the data small so the number is
+    dominated by the per-round FIXED cost the driver path avoids; track
+    ``s_per_round`` across rounds/releases."""
+    import shutil
+
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.pipelines.frontier import CrawlConfig, run_crawl
+
+    corpus = ensure_corpus(sf)
+    out = f"/tmp/siren_ray_runs/bench_crawl_dist_sf{sf:g}_cpus{num_cpus}"
+    best = None
+    for _ in range(max(1, trials)):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = run_crawl(CrawlConfig(
+            corpus_dir=corpus,
+            out_dir=out,
+            budget_per_round=1_000_000,
+            round_ms=10_000_000,
+            max_rounds=6,
+            max_depth=6,
+            fetch_mode="bucketed",
+            scheduler="distributed",
+            fetch_concurrency=min(8, num_cpus),
+            fetch_batch_size=512,
+            ckpt_every=0,
+        ))
+        wall = time.perf_counter() - t0
+        if best is None or wall < best[0]:
+            best = (wall, res)
+    wall, res = best
+    attempted = res.total_fetched + res.total_errors
+    return {
+        "wall_s": round(wall, 3),
+        "rounds": res.rounds,
+        "s_per_round": round(wall / max(1, res.rounds), 3),
+        "fetched": res.total_fetched,
+        "urls_per_sec": round(attempted / wall, 1),
+    }
+
+
 def run_dedup_frontier_bench(n: int = 1_000_000) -> dict:
     """Distributed within-round URL dedup on a >=1M-row synthetic
     frontier (the VERDICT r1 'done' bar for killing per-key map_groups):
@@ -318,6 +365,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "normalized_dedup",
         "lm_perplexity",
         "warc_roundtrip",
+        "warc_to_corpus",
         "pack_sequences",
         "full_outer_join",
         "grouped_agg",
@@ -352,6 +400,8 @@ def main_single(args) -> dict:
     queries = {} if args.crawl_only else run_query_bench(sf_dir)
     extras = {}
     if not args.crawl_only:
+        extras["crawl_distributed_sf001"] = run_crawl_distributed_bench(
+            args.num_cpus)
         extras["dedup_frontier_1m"] = run_dedup_frontier_bench()
         extras["ivf_pruning"] = run_ivf_bench(sf_dir)
         extras["seen_10m"] = run_seen_bench()
@@ -425,9 +475,69 @@ def main_scaling(levels=(2, 8), trials: int = 2) -> dict:
     }
 
 
+_CONTROL_WORKER = r"""
+import sys, time, zlib
+import numpy as np
+iters = int(sys.argv[1])
+rng = np.random.RandomState(int(sys.argv[2]))
+t0 = time.perf_counter()
+for _ in range(iters):
+    # the engine's per-core mix in miniature: fresh-page first touch
+    # (hypervisor fault path), byte scan, and a cache-unfriendly sort
+    buf = np.empty(1 << 22, np.uint8)
+    buf[:] = 7
+    zlib.crc32(buf.tobytes())
+    np.sort(rng.rand(200_000))
+print(time.perf_counter() - t0)
+"""
+
+
+def main_control(levels=(8, 32), iters: int = 150) -> dict:
+    """Single-box width-ceiling CONTROL (VERDICT r3 #6): P independent
+    OS processes each run an IDENTICAL fixed workload — no Ray, no
+    shared state, no coordination, nothing an engine could do better.
+    Perfect hardware would keep per-process wall time constant from
+    P=lo to P=hi; the measured control efficiency
+    ``(thr_hi/thr_lo)/(hi/lo)`` is the HOST's memory-bus/hypervisor
+    ceiling at width — an upper bound no engine on this box can exceed.
+    Engine width-scaling numbers should be read AGAINST this ceiling,
+    not against 1.0."""
+    host = host_calibration()
+    out = {}
+    for p_count in levels:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _CONTROL_WORKER,
+                 str(iters), str(1000 + i)],
+                stdout=subprocess.PIPE, text=True)
+            for i in range(p_count)
+        ]
+        walls = [float(p.communicate(timeout=1200)[0].strip())
+                 for p in procs]
+        thr = p_count * iters / max(walls)
+        out[p_count] = {
+            "wall_mean_s": round(sum(walls) / len(walls), 3),
+            "wall_max_s": round(max(walls), 3),
+            "throughput_iters_s": round(thr, 2),
+        }
+    lo, hi = levels
+    eff = (out[hi]["throughput_iters_s"] / out[lo]["throughput_iters_s"]
+           ) / (hi / lo)
+    return {
+        "metric": f"control_width_ceiling_{lo}_to_{hi}_procs",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "per_proc_slowdown": round(
+            out[hi]["wall_mean_s"] / out[lo]["wall_mean_s"], 3),
+        "levels": {str(k): v for k, v in out.items()},
+        "host": host,
+    }
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
+    p.add_argument("--control", action="store_true")
     p.add_argument("--levels", default="2,8")
     p.add_argument("--trials", type=int, default=2)
     p.add_argument("--crawl-only", action="store_true")
@@ -437,5 +547,8 @@ if __name__ == "__main__":
     if args.scaling:
         levels = tuple(int(x) for x in args.levels.split(","))
         print(json.dumps(main_scaling(levels, args.trials)))
+    elif args.control:
+        levels = tuple(int(x) for x in args.levels.split(","))
+        print(json.dumps(main_control(levels)))
     else:
         print(json.dumps(main_single(args)))

@@ -14,7 +14,10 @@ import sys
 import time
 
 
-def main(argv=None) -> int:
+def main(argv=None, backend=None) -> int:
+    """``backend``: a :class:`siren_ray.sources.cloud.CloudBackend`
+    instance overriding the default LocalFolderBackend (tests inject a
+    recording backend; production injects Drive/S3)."""
     p = argparse.ArgumentParser(prog="siren_ray")
     p.add_argument("--scraper", required=False, default=None)
     p.add_argument("--config", default=None)
@@ -60,16 +63,21 @@ def main(argv=None) -> int:
 
     from .corpus import ensure_corpus
     from .functions.project import ProjectionSpec, write_projected_csv
-    from .sources.registry import PIPELINES, get_pipeline
+    from .sources.cloud import LocalFolderBackend, upload_routed
+    from .sources.registry import PIPELINES, apply_clean_hook, get_pipeline
 
     corpus = cfg.corpus_dir or ensure_corpus(args.sf)
     names = list(PIPELINES) if cfg.scraper == "all" else [cfg.scraper]
     rc = 0
-    # W6/T4: outputs route into a folder named for the scraper class
-    # (cloud.py:70-78 — Drive folder per origin, created on first use and
-    # cached); the local analog is out/<OriginClass>/ with a seen-cache so
-    # makedirs runs once per origin per run
-    made_folders: set[str] = set()
+    # W6/T4: outputs route through the CloudBackend protocol — one
+    # folder per scraper class (reference cloud.py:70-78: Drive folder
+    # per origin, created on first use and cached). The default backend
+    # is the local filesystem; production swaps in Drive/S3 via the
+    # ``backend`` parameter without touching pipeline code.
+    backend = backend or LocalFolderBackend(cfg.out or ".")
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="siren_ray_out_")
     for name in names:
         factory = get_pipeline(name)
         if factory is None:
@@ -79,15 +87,16 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         ds = factory(corpus, start=cfg.start, end=cfg.end,
                      keywords=cfg.keywords or ("suicide",))
+        # clean() post-hook (scraper.py:141-142; identity by default)
+        ds = apply_clean_hook(name, ds)
         origin = name.rsplit(".", 1)[-1]
-        folder = os.path.join(cfg.out or ".", origin)
-        if folder not in made_folders:
-            os.makedirs(folder, exist_ok=True)
-            made_folders.add(folder)
-        path = write_projected_csv(
-            ds, ProjectionSpec(), folder,
+        # reference lifecycle: write the projected CSV locally, then
+        # deliver through the backend into the origin's folder
+        local = write_projected_csv(
+            ds, ProjectionSpec(), staging,
             origin, cfg.start, cfg.end,
         )
+        path = upload_routed(backend, local, origin)
         print(f"{name} completed in {time.perf_counter() - t0:.1f}s -> {path}")
     if owns_ray:
         ray.shutdown()

@@ -63,6 +63,11 @@ from ..util import hash_strings, hosts_of, paths_of
 
 FRONTIER_COLS = ["url", "host", "path", "priority", "depth", "seq"]
 
+# per-worker-process part counter keyed by task id (same discipline as
+# sources/warc.py:_WRITE_SEQ): deterministic part names under Ray's
+# at-least-once task execution
+_PART_SEQ: dict[str, int] = {}
+
 
 @dataclass
 class CrawlConfig:
@@ -536,11 +541,14 @@ class _Crawl:
             from ..stages.politeness import host_quota_partitioned
 
             num_salts = 8 if cfg.salt_hosts == "auto" else int(cfg.salt_hosts)
-            # materialize: the quota stage splits the input map-side
-            # (unlimited-host bypass) and so consumes it twice
+            # materialize only when limited hosts exist: the quota stage
+            # then splits the input map-side (unlimited-host bypass) and
+            # consumes it twice; with no crawl-delay hosts at all it is
+            # a single map pass
+            if any(e is not None and e[1] > 0 for e in self.robots.values()):
+                cand = cand.materialize()
             cand = host_quota_partitioned(
-                cand.materialize(), self.robots, cfg.round_ms,
-                num_salts=num_salts,
+                cand, self.robots, cfg.round_ms, num_salts=num_salts,
             )
         cand = cand.materialize()
         n_cand = cand.count()
@@ -644,31 +652,53 @@ class _Crawl:
         )
         n_sel = fetched.count()
 
-        def _fetch_counts(t: pa.Table) -> pa.Table:
+        # Fused write+count: ONE pass over the materialized fetch output
+        # writes its extracted-parquet part (deterministic name from the
+        # task identity, so an at-least-once re-execution OVERWRITES its
+        # own part instead of duplicating rows — the dir is cleared up
+        # front, so stale parts from an interrupted attempt can't
+        # accumulate either) and emits the error/parse counters that
+        # used to be two more filter+count executions.
+        ext_dir = _round_dir(self.extracted_dir, r)
+        shutil.rmtree(ext_dir, ignore_errors=True)
+        os.makedirs(ext_dir, exist_ok=True)
+
+        def _write_and_count(t: pa.Table) -> pa.Table:
+            import hashlib
+            import tempfile
+
             found = np.asarray(t["found"], dtype=bool)
             pok = np.asarray(
                 pa.compute.and_kleene(t["found"], t["parse_ok"])
                 .combine_chunks().fill_null(False)
             )
+            if t.num_rows:
+                try:
+                    tid = (ray.get_runtime_context().get_task_id()
+                           or "driver")
+                except Exception:
+                    tid = "driver"
+                seq = _PART_SEQ.get(tid, 0)
+                _PART_SEQ[tid] = seq + 1
+                name = hashlib.md5(f"{tid}:{seq}".encode()).hexdigest()[:16]
+                fd, tmp = tempfile.mkstemp(dir=ext_dir, suffix=".tmp")
+                os.close(fd)
+                pq.write_table(t, tmp)
+                os.replace(tmp, os.path.join(ext_dir,
+                                             f"part-{name}.parquet"))
             return pa.table({
                 "n_err": pa.array([int((~found).sum())], pa.int64()),
                 "n_parse_ok": pa.array([int(pok.sum())], pa.int64()),
             })
 
         n_err = n_parse_ok = 0
-        if n_sel:  # one fused counter pass instead of two filter+counts
+        if n_sel:
             agg = fetched.map_batches(
-                _fetch_counts, batch_format="pyarrow"
+                _write_and_count, batch_format="pyarrow"
             ).sum(["n_err", "n_parse_ok"])
             if agg:
                 n_err = int(agg["sum(n_err)"])
                 n_parse_ok = int(agg["sum(n_parse_ok)"])
-        # Ray Data writes UUID-named parts and never overwrites: a re-run
-        # round (resume after crash) must clear the interrupted attempt's
-        # parts or the extracted dataset accumulates stale + new rows.
-        ext_dir = _round_dir(self.extracted_dir, r)
-        shutil.rmtree(ext_dir, ignore_errors=True)
-        fetched.write_parquet(ext_dir)
 
         nxt = fetched.map_batches(
             _explode_links,
@@ -679,12 +709,18 @@ class _Crawl:
         ).select_columns(FRONTIER_COLS)
         for part in deferred_parts:
             nxt = nxt.union(part.select_columns(FRONTIER_COLS))
-        nxt = nxt.materialize()
-        n_next = nxt.count()
+        # write-then-metadata-count: ONE execution (the write) instead of
+        # materialize + count + write; the row count comes free from the
+        # written files' Parquet metadata
         next_dir = _round_dir(self.frontier_dir, r + 1)
-        shutil.rmtree(next_dir, ignore_errors=True)  # same overwrite guarantee
-        if n_next:
-            nxt.write_parquet(next_dir)
+        shutil.rmtree(next_dir, ignore_errors=True)  # overwrite guarantee
+        nxt.write_parquet(next_dir)
+        try:
+            n_next = pads.dataset(next_dir).count_rows()
+        except FileNotFoundError:
+            n_next = 0
+        if n_next == 0:
+            shutil.rmtree(next_dir, ignore_errors=True)
         return {
             "frontier": frontier_n,
             "candidates": n_cand,

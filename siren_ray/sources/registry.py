@@ -133,3 +133,25 @@ def get_pipeline(name: str):
     """Registry lookup, same contract as SCRAPERS.get (reference
     __main__.py:151)."""
     return PIPELINES.get(name)
+
+
+# --- clean() post-hook (reference scraper.py:141-142) ----------------------
+# The reference runs ``self.clean(results)`` on the scraped rows before
+# serialization — identity in BaseScraper, overridable per scraper. The
+# engine equivalent is a per-pipeline BATCH hook (pa.Table -> pa.Table)
+# applied after the pipeline and before projection/serialization; absent
+# entries mean identity, exactly the reference default.
+CLEAN_HOOKS: dict = {}
+
+
+def register_clean_hook(name: str, fn) -> None:
+    """Register/override a pipeline's clean() batch hook."""
+    CLEAN_HOOKS[name] = fn
+
+
+def apply_clean_hook(name: str, ds):
+    """Apply the pipeline's clean() hook (identity when unregistered)."""
+    fn = CLEAN_HOOKS.get(name)
+    if fn is None:
+        return ds
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -56,7 +56,23 @@ def _warc_record(url: str, ts: datetime, body: bytes,
         + b"Content-Length: " + str(len(http)).encode() + _CRLF
         + _CRLF + http + _CRLF + _CRLF
     )
-    return gzip.compress(rec, compresslevel=1)
+    # mtime=0: gzip's default header timestamp is WALL-CLOCK, which
+    # would make shard bytes (and their content-hash names) differ
+    # between a task and its retry — deterministic output is what makes
+    # the write idempotent under at-least-once execution
+    return gzip.compress(rec, compresslevel=1, mtime=0)
+
+
+def _shard_name(blob: bytes, tid: str, seq: int) -> str:
+    """Deterministic shard identity: (content hash, task id, per-task
+    sequence). A re-executed task recomputes the same name (same tid,
+    same batch order, byte-deterministic blobs — see mtime=0 above), so
+    its os.replace overwrites identical bytes instead of duplicating."""
+    import hashlib
+
+    base = hashlib.md5(blob).hexdigest()[:16]
+    suffix = hashlib.md5(f"{tid}:{seq}".encode()).hexdigest()[:8]
+    return f"{base}-{suffix}.warc.gz"
 
 
 def write_warc_shards(ds, out_dir: str, *, url_col: str = "url",
@@ -95,8 +111,6 @@ def write_warc_shards(ds, out_dir: str, *, url_col: str = "url",
         # task) and so get different names. Consequence unchanged: write
         # into a FRESH directory per run (a rerun is a new driver task id
         # and would add, not overwrite).
-        import hashlib
-
         import tempfile
 
         try:
@@ -105,9 +119,7 @@ def write_warc_shards(ds, out_dir: str, *, url_col: str = "url",
             tid = "driver"
         seq = _WRITE_SEQ.get(tid, 0)
         _WRITE_SEQ[tid] = seq + 1
-        base = hashlib.md5(blob).hexdigest()[:16]
-        suffix = hashlib.md5(f"{tid}:{seq}".encode()).hexdigest()[:8]
-        name = f"{base}-{suffix}.warc.gz"
+        name = _shard_name(blob, tid, seq)
         # unique tmp per writer, atomic full-content swap-in
         tf = tempfile.NamedTemporaryFile(dir=out_dir, suffix=".tmp",
                                          delete=False)
@@ -211,6 +223,35 @@ def _parse_record(rec: bytes):
     http_end = content.find(_CRLF + _CRLF)
     body = content[http_end + 4:] if http_end >= 0 else content
     return url.decode(), (date or b"").decode(), body
+
+
+def warc_to_corpus(warc_path: str, pages_dir: str, *,
+                   num_buckets: int = 128) -> str:
+    """WARC archive -> the crawl engine's bucketed pages layout: hive
+    ``bucket=hash64(url) % num_buckets`` partitioned Parquet with
+    (url, warc_ts, html) — EXACTLY the layout ``fetch_mode="bucketed"``
+    partition-prunes (stages/fetch.py ``_bucket_table``), so an archive
+    ingest feeds the fetch join directly with frontier and pages
+    co-partitioned by url hash.
+
+    Scale shape: map-only end to end — per-file member split + header
+    parse (read_warc), vectorized bucket assignment, and a partitioned
+    ``write_parquet`` (each task routes its own rows into bucket dirs;
+    no shuffle). A failed ingest re-runs per WARC file. Use the same
+    ``num_buckets`` as ``CrawlConfig.num_buckets``.
+    """
+    from ..util import hash_strings
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = (hash_strings(t["url"].to_pylist())
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.drop_columns(["shard"]).append_column(
+            "bucket", pa.array(b, pa.int32()))
+
+    read_warc(warc_path).map_batches(
+        _bucket, batch_format="pyarrow"
+    ).write_parquet(pages_dir, partition_cols=["bucket"])
+    return pages_dir
 
 
 def read_warc(path: str, *, text: bool = False):

@@ -1107,7 +1107,7 @@ def incremental_ingest_neardup(base_ds, inc_ds, *, id_col: str,
                                text_col: str = "text",
                                num_perm: int = 64, bands: int = 16,
                                k: int = 5,
-                               verify_jaccard: float | None = None,
+                               verify_jaccard: float | None | str = "auto",
                                num_partitions: int = 64):
     """NEAR-duplicate-aware incremental corpus ingest: keep only the
     increment rows whose text is not a near-duplicate of anything in

@@ -282,6 +282,8 @@ def host_quota_partitioned(ds, robots: dict, round_ms: int, *,
         .map_groups(_phase1, batch_format="pandas")
         .materialize()  # consumed twice: survivors + capped-out rows
     )
+    if lim.count() == 0:  # metadata on materialized: free. Rounds with
+        return unlim      # no limited-host rows skip phase 2 entirely.
 
     def _rebucket(t: pa.Table) -> pa.Table:
         t = t.filter(t["salt_pass"].combine_chunks())

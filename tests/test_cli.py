@@ -56,3 +56,62 @@ def test_cli_toml_config(ray_session, corpus_sf0001, tmp_path):
                "--sf", "0.001"])
     assert rc == 0
     assert any("HTScraper" in d for d in os.listdir(tmp_path))
+
+
+def test_cli_routes_through_cloud_backend(ray_session, corpus_sf0001,
+                                          tmp_path):
+    """W6 delivery goes through the CloudBackend protocol: every CSV
+    part is uploaded via backend.upload into the origin's folder (the
+    Drive seam; reference cloud.py:30-78), not written ad hoc."""
+    from siren_ray.__main__ import main
+    from siren_ray.sources.cloud import CloudBackend, LocalFolderBackend
+
+    backend = LocalFolderBackend(str(tmp_path))
+    assert isinstance(backend, CloudBackend)  # protocol conformance
+    rc = main([
+        "--scraper", "online.indiatoday.IndiaTodayOnlineScraper",
+        "--keywords", "suicide",
+        "--start", "2024-02-01", "--end", "2024-05-01",
+        "--out", str(tmp_path),
+        "--sf", "0.001",
+    ], backend=backend)
+    assert rc == 0
+    assert backend.uploads  # delivery happened through the protocol
+    dests = [d for _, d in backend.uploads]
+    assert all(f"{tmp_path}/IndiaTodayOnlineScraper/" in d for d in dests)
+    rows = []
+    for d in dests:
+        with open(d) as fh:
+            rows.extend(list(csv.DictReader(fh)))
+    assert rows and "url" in rows[0]
+
+
+def test_clean_hook_applies_before_projection(ray_session, tmp_path):
+    """The clean() post-hook (reference scraper.py:141-142, identity by
+    default): a registered non-identity hook transforms pipeline rows
+    before projection/serialization."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from siren_ray.__main__ import main
+    from siren_ray.sources.cloud import LocalFolderBackend
+    from siren_ray.sources.registry import CLEAN_HOOKS, register_clean_hook
+
+    def upcase(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("data"), "data",
+                            pc.utf8_upper(t["data"]))
+
+    register_clean_hook("dummy.DummyScraper", upcase)
+    try:
+        backend = LocalFolderBackend(str(tmp_path))
+        rc = main(["--scraper", "dummy.DummyScraper",
+                   "--out", str(tmp_path), "--sf", "0.001"], backend=backend)
+        assert rc == 0
+        rows = []
+        for _, d in backend.uploads:
+            with open(d) as fh:
+                rows.extend(list(csv.DictReader(fh)))
+        assert {r["data"] for r in rows} == {"DUMMY SAMPLE A",
+                                             "DUMMY SAMPLE B"}
+    finally:
+        CLEAN_HOOKS.pop("dummy.DummyScraper", None)
