@@ -515,6 +515,7 @@ class _Crawl:
     # -- round scheduling, distributed mode --------------------------------
     def _run_round_distributed(self, r: int, frontier_ds, frontier_n: int):
         cfg = self.cfg
+        t_round0 = time.perf_counter()
         if self._pool:  # release reserved CPUs before dataset execution
             for a in self._pool:
                 ray.kill(a)
@@ -552,6 +553,7 @@ class _Crawl:
             )
         cand = cand.materialize()
         n_cand = cand.count()
+        t_sched = time.perf_counter() - t_round0
 
         # ONE fused pass over the materialized candidates replaces the
         # three separate _filter(...).count() executions of earlier
@@ -635,6 +637,7 @@ class _Crawl:
         else:
             selected = eligible
 
+        t_fetch0 = time.perf_counter()
         fetched = (
             selected.map_batches(
                 seen_add_batch, fn_kwargs=self._seen_kwargs,
@@ -651,6 +654,7 @@ class _Crawl:
             .materialize()
         )
         n_sel = fetched.count()
+        t_fetch = time.perf_counter() - t_fetch0
 
         # Fused write+count: ONE pass over the materialized fetch output
         # writes its extracted-parquet part (deterministic name from the
@@ -722,6 +726,15 @@ class _Crawl:
         if n_next == 0:
             shutil.rmtree(next_dir, ignore_errors=True)
         return {
+            # per-stage wall times (north-rule per-stage metrics; the
+            # driver path records the analogous keys): t_sched = dedup/
+            # seen/robots/quota through the candidate materialize,
+            # t_fetch = the fetch-join execution, t_frontier = write+
+            # counters + link explode + next-frontier write
+            "t_sched": round(t_sched, 3),
+            "t_fetch": round(t_fetch, 3),
+            "t_frontier": round(
+                time.perf_counter() - t_round0 - t_sched - t_fetch, 3),
             "frontier": frontier_n,
             "candidates": n_cand,
             "robots_skipped": n_robots,
