@@ -951,7 +951,11 @@ def q_warc_roundtrip(sf_dir: str):
                       * t.num_rows).cast(pa.timestamp("us"))
         return pa.table({"url": url, "warc_ts": ts, "html": t["text"]})
 
-    out_dir = tempfile.mkdtemp(prefix="warc_rt_")
+    import shutil
+
+    out_dir = "/tmp/siren_ray_runs/warc_rt_q"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
     pages = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         _to_pages, batch_format="pyarrow")
     write_warc_shards(pages, out_dir, content_type="text/plain")
@@ -992,8 +996,16 @@ def q_warc_to_corpus(sf_dir: str):
                       * t.num_rows).cast(pa.timestamp("us"))
         return pa.table({"url": url, "warc_ts": ts, "html": t["text"]})
 
-    warc_dir = tempfile.mkdtemp(prefix="warc_ing_")
-    pages_dir = tempfile.mkdtemp(prefix="warc_pages_")
+    # fixed, pre-cleared scratch paths: repeated bench/test runs reuse
+    # (not accumulate) the ~2x-corpus-size staging on this I/O-fragile
+    # host
+    import shutil
+
+    warc_dir = "/tmp/siren_ray_runs/warc_ingest_q/archive"
+    pages_dir = "/tmp/siren_ray_runs/warc_ingest_q/pages"
+    for d in (warc_dir, pages_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
     pages = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         _to_pages, batch_format="pyarrow")
     write_warc_shards(pages, warc_dir, content_type="text/plain")

@@ -75,29 +75,34 @@ def main(argv=None, backend=None) -> int:
     # is the local filesystem; production swaps in Drive/S3 via the
     # ``backend`` parameter without touching pipeline code.
     backend = backend or LocalFolderBackend(cfg.out or ".")
+    import shutil
     import tempfile
 
     staging = tempfile.mkdtemp(prefix="siren_ray_out_")
-    for name in names:
-        factory = get_pipeline(name)
-        if factory is None:
-            print(f"Could not find scraper {name}!")  # __main__.py:157-159
-            rc = 1
-            continue
-        t0 = time.perf_counter()
-        ds = factory(corpus, start=cfg.start, end=cfg.end,
-                     keywords=cfg.keywords or ("suicide",))
-        # clean() post-hook (scraper.py:141-142; identity by default)
-        ds = apply_clean_hook(name, ds)
-        origin = name.rsplit(".", 1)[-1]
-        # reference lifecycle: write the projected CSV locally, then
-        # deliver through the backend into the origin's folder
-        local = write_projected_csv(
-            ds, ProjectionSpec(), staging,
-            origin, cfg.start, cfg.end,
-        )
-        path = upload_routed(backend, local, origin)
-        print(f"{name} completed in {time.perf_counter() - t0:.1f}s -> {path}")
+    try:
+        for name in names:
+            factory = get_pipeline(name)
+            if factory is None:
+                print(f"Could not find scraper {name}!")  # __main__.py:157-159
+                rc = 1
+                continue
+            t0 = time.perf_counter()
+            ds = factory(corpus, start=cfg.start, end=cfg.end,
+                         keywords=cfg.keywords or ("suicide",))
+            # clean() post-hook (scraper.py:141-142; identity by default)
+            ds = apply_clean_hook(name, ds)
+            origin = name.rsplit(".", 1)[-1]
+            # reference lifecycle: write the projected CSV locally, then
+            # deliver through the backend into the origin's folder
+            local = write_projected_csv(
+                ds, ProjectionSpec(), staging,
+                origin, cfg.start, cfg.end,
+            )
+            path = upload_routed(backend, local, origin)
+            print(f"{name} completed in "
+                  f"{time.perf_counter() - t0:.1f}s -> {path}")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     if owns_ray:
         ray.shutdown()
     return rc

@@ -542,12 +542,8 @@ class _Crawl:
             from ..stages.politeness import host_quota_partitioned
 
             num_salts = 8 if cfg.salt_hosts == "auto" else int(cfg.salt_hosts)
-            # materialize only when limited hosts exist: the quota stage
-            # then splits the input map-side (unlimited-host bypass) and
-            # consumes it twice; with no crawl-delay hosts at all it is
-            # a single map pass
-            if any(e is not None and e[1] > 0 for e in self.robots.values()):
-                cand = cand.materialize()
+            # the stage pins its input itself when (and only when) the
+            # robots table makes it multi-pass (unlimited-host bypass)
             cand = host_quota_partitioned(
                 cand, self.robots, cfg.round_ms, num_salts=num_salts,
             )
@@ -685,7 +681,11 @@ class _Crawl:
                 seq = _PART_SEQ.get(tid, 0)
                 _PART_SEQ[tid] = seq + 1
                 name = hashlib.md5(f"{tid}:{seq}".encode()).hexdigest()[:16]
-                fd, tmp = tempfile.mkstemp(dir=ext_dir, suffix=".tmp")
+                # "."-prefixed tmp: a crash between mkstemp and replace
+                # leaves an orphan that every Parquet reader IGNORES
+                # (pyarrow dataset discovery skips '.'/'_' prefixes), so
+                # an interrupted attempt can't poison the extracted dir
+                fd, tmp = tempfile.mkstemp(dir=ext_dir, prefix=".tmp-")
                 os.close(fd)
                 pq.write_table(t, tmp)
                 os.replace(tmp, os.path.join(ext_dir,

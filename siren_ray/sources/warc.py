@@ -120,8 +120,11 @@ def write_warc_shards(ds, out_dir: str, *, url_col: str = "url",
         seq = _WRITE_SEQ.get(tid, 0)
         _WRITE_SEQ[tid] = seq + 1
         name = _shard_name(blob, tid, seq)
-        # unique tmp per writer, atomic full-content swap-in
-        tf = tempfile.NamedTemporaryFile(dir=out_dir, suffix=".tmp",
+        # unique "."-prefixed tmp per writer, atomic full-content
+        # swap-in; a crash between write and replace leaves an orphan
+        # that read_warc's extension filter never ingests (a doubled
+        # shard would silently double records)
+        tf = tempfile.NamedTemporaryFile(dir=out_dir, prefix=".tmp-",
                                          delete=False)
         tmp = tf.name
         with tf:
@@ -260,7 +263,12 @@ def read_warc(path: str, *, text: bool = False):
     (lossy-replace) for text/plain archives."""
     import ray.data as rd
 
-    ds = rd.read_binary_files(path, include_paths=True)
+    # extension filter: only archive files are shards — staging tmps
+    # (".tmp-*" from an interrupted writer) and stray sidecars must
+    # never be decompressed as records (read_binary_files does NOT skip
+    # hidden files the way Parquet dataset discovery does)
+    ds = rd.read_binary_files(path, include_paths=True,
+                              file_extensions=["gz", "warc", "arc"])
 
     def _parse(t: pa.Table) -> pa.Table:
         import logging

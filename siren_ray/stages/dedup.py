@@ -1124,9 +1124,14 @@ def incremental_ingest_neardup(base_ds, inc_ds, *, id_col: str,
     :func:`hash_antijoin`. Increment-internal near-dups are NOT removed
     here (run :func:`remove_near_duplicates` on the survivors when that
     policy is wanted). ``verify_jaccard`` screens candidate pairs by
-    true shingle Jaccard before any removal, same contract as
-    :func:`remove_near_duplicates`.
+    true shingle Jaccard before any removal, same contract (and same
+    ``"auto"`` = LSH-design-point threshold default) as
+    :func:`remove_near_duplicates` — this operator DROPS rows, so a
+    band-key coincidence alone must never delete an increment doc.
     """
+    if verify_jaccard == "auto":
+        r = max(1, num_perm // bands)
+        verify_jaccard = (1.0 / bands) ** (1.0 / r)
 
     def _tag(parity: int):
         def _fn(t: pa.Table) -> pa.Table:

@@ -231,6 +231,13 @@ def host_quota_partitioned(ds, robots: dict, round_ms: int, *,
         t = t.append_column("in_quota", pa.array(_ok_mask(t)))
         return t.select(_base_cols(t) + ["in_quota"])
 
+    if limited:
+        # multi-pass operator contract (CLAUDE.md): the unlimited/
+        # limited split consumes the input twice — pin it HERE rather
+        # than trusting every caller to pre-materialize
+        from ..util import pin_for_multipass
+
+        ds = pin_for_multipass(ds)
     unlim = ds.map_batches(_mark_unlimited, batch_format="pyarrow")
     if not limited:
         return unlim

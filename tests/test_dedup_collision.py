@@ -103,3 +103,22 @@ def test_default_removal_rejects_band_collision(ray_session, planted):
     kept_raw = remove_near_duplicates(
         ds, "doc_id", verify_jaccard=None).to_pandas()
     assert set(kept_raw["doc_id"]) == set(range(22)) - {1}
+
+
+def test_incremental_ingest_default_args_resolve_auto(ray_session):
+    """Regression: verify_jaccard="auto" (the default) must resolve to
+    the LSH design-point float before reaching the numpy comparison —
+    the operator crashed on default args when only the signature was
+    changed (r4 review finding)."""
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import incremental_ingest_neardup
+
+    base = rd.from_items([{"doc_id": i,
+                           "text": f"base doc {i} " + "alpha beta " * 20}
+                          for i in range(5)])
+    inc = rd.from_items([{"doc_id": 10 + i,
+                          "text": f"inc doc {i} " + "gamma delta " * 20}
+                         for i in range(5)])
+    out = incremental_ingest_neardup(base, inc, id_col="doc_id").to_pandas()
+    assert set(out["doc_id"]) == {10, 11, 12, 13, 14}
