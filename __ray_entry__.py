@@ -1019,6 +1019,67 @@ def q_warc_to_corpus(sf_dir: str):
     )
 
 
+def q_quality_classifier(sf_dir: str):
+    """Model-based quality filtering (stages/classifier.py) — the
+    CCNet/GPT-3-recipe stage (train a linear classifier on labeled
+    docs, broadcast it, keep/sample by score) with a feature-hashed
+    logistic regression standing in for fastText (not in this
+    container): distributed full-batch GD whose per-epoch gradient
+    partials tree-merge through a chunk groupby (driver receives dim+1
+    floats per epoch regardless of block count), then map-only scoring.
+    The label DISTILLS an existing heuristic into the model (the
+    standard replicate-the-expensive-filter move): 1 where the doc's
+    stopword per-mille exceeds the EXACT corpus median (distributed
+    bounded-histogram quantile, relational.py:exact_quantiles_int) —
+    deterministic, data-dependent, linearly learnable from bag-of-words
+    (train accuracy ~0.89 at these settings). Rows-only (model weights
+    have no SQL form); the training math is unit-tested at 1e-8 parity
+    with a single-array numpy reference and for repartition invariance
+    (t:test_classifier)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from siren_ray.functions.textstats import quality_batch
+    from siren_ray.stages.classifier import (score_quality,
+                                             train_quality_classifier)
+    from siren_ray.stages.relational import exact_quantiles_int
+    from siren_ray.util import pin_for_multipass
+
+    def _permille(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        pm = (np.asarray(q["stopword_ratio"], dtype=np.float64)
+              * 1000).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "stop_pm": pa.array(pm, pa.int64()),
+        })
+
+    ds = pin_for_multipass(  # consumed by quantile, training, scoring
+        _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+            _permille, batch_format="pyarrow"))
+    med = int(exact_quantiles_int(ds, "stop_pm", [0.5])["stop_pm"][0]
+              .as_py())
+    labeled = ds.map_batches(
+        lambda t: t.append_column(
+            "label",
+            pc.cast(pc.greater(t["stop_pm"], pa.scalar(med)), pa.int64())),
+        batch_format="pyarrow",
+    )
+    model = train_quality_classifier(labeled, label_col="label",
+                                     dim=256, epochs=12)
+    return score_quality(ds, model).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "label": pc.cast(pc.greater(t["stop_pm"], pa.scalar(med)),
+                             pa.int64()),
+            "quality_prob": pc.round(t["quality_prob"], ndigits=4),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_lm_perplexity(sf_dir: str):
     """Hashed bigram-LM quality scoring (stages/lm.py): train the
     bounded-memory count model on the documents table in one streaming
@@ -2164,6 +2225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_removed": q_embedding_neardup_removed,
         "approx_distinct": q_approx_distinct,
         "lm_perplexity": q_lm_perplexity,
+        "quality_classifier": q_quality_classifier,
         "pack_sequences": q_pack_sequences,
         "text_embed_neardup": q_text_embed_neardup,
         "full_outer_join": q_full_outer_join,

@@ -364,6 +364,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "pii_redact",
         "normalized_dedup",
         "lm_perplexity",
+        "quality_classifier",
         "warc_roundtrip",
         "warc_to_corpus",
         "pack_sequences",

@@ -1,0 +1,80 @@
+"""Model-based quality classifier (stages/classifier.py): distributed
+full-batch logistic regression must separate separable data, match the
+single-array numpy reference, and be invariant to repartitioning."""
+
+import numpy as np
+import pytest
+
+
+def _synthetic(n=300, seed=3):
+    rng = np.random.RandomState(seed)
+    texts, labels = [], []
+    good = ["insight", "analysis", "report", "study", "evidence"]
+    bad = ["zzspam", "clickzz", "buyzz", "winzz", "freezz"]
+    for i in range(n):
+        y = i % 2
+        vocab = good if y else bad
+        words = [vocab[rng.randint(len(vocab))] for _ in range(30)]
+        words += [f"noise{rng.randint(50)}" for _ in range(10)]
+        texts.append(" ".join(words))
+        labels.append(y)
+    return texts, np.array(labels, dtype=np.int64)
+
+
+@pytest.fixture(scope="module")
+def trained(ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.classifier import train_quality_classifier
+
+    texts, labels = _synthetic()
+    ds = rd.from_items(
+        [{"text": t, "label": int(y)} for t, y in zip(texts, labels)],
+        override_num_blocks=4,
+    )
+    model = train_quality_classifier(ds, label_col="label", dim=128,
+                                     epochs=30)
+    return texts, labels, model
+
+
+def test_separates_separable_data(trained, ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.classifier import score_quality
+
+    texts, labels, model = trained
+    scored = score_quality(
+        rd.from_items([{"doc_id": i, "text": t}
+                       for i, t in enumerate(texts)]),
+        model,
+    ).to_pandas().sort_values("doc_id")
+    pred = (scored["quality_prob"].to_numpy() >= 0.5).astype(int)
+    acc = (pred == labels).mean()
+    assert acc >= 0.95, acc
+    assert model.final_loss < 0.5
+
+
+def test_matches_numpy_reference(trained):
+    from siren_ray.stages.classifier import train_reference_numpy
+
+    texts, labels, model = trained
+    w_ref, b_ref = train_reference_numpy(texts, labels, dim=128, epochs=30)
+    # identical math, different summation order (per-block partials)
+    assert np.allclose(model.weights, w_ref, atol=1e-8)
+    assert abs(model.bias - b_ref) < 1e-8
+
+
+def test_invariant_to_repartitioning(trained, ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.classifier import train_quality_classifier
+
+    texts, labels, model = trained
+    ds = rd.from_items(
+        [{"text": t, "label": int(y)} for t, y in zip(texts, labels)],
+        override_num_blocks=13,
+    )
+    model13 = train_quality_classifier(ds, label_col="label", dim=128,
+                                       epochs=30)
+    assert np.allclose(model.weights, model13.weights, atol=1e-8)
+    assert abs(model.bias - model13.bias) < 1e-8
