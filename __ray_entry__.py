@@ -1019,6 +1019,19 @@ def q_warc_to_corpus(sf_dir: str):
     )
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style intra-document repetition screen (textstats.py:
+    line_repetition_batch — Rae et al. 2021 Table A1 judges a doc by
+    how much of it is its own duplicated lines): map-only per-doc line
+    counts, distinct-line counts, and characters inside duplicated
+    lines, emitted as INTEGER counts so the DuckDB oracle compares
+    hash-exactly (ratios derive downstream)."""
+    from siren_ray.functions.textstats import line_repetition_batch
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        line_repetition_batch, batch_format="pyarrow")
+
+
 def q_quality_classifier(sf_dir: str):
     """Model-based quality filtering (stages/classifier.py) — the
     CCNet/GPT-3-recipe stage (train a linear classifier on labeled
@@ -2226,6 +2239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q_approx_distinct,
         "lm_perplexity": q_lm_perplexity,
         "quality_classifier": q_quality_classifier,
+        "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "text_embed_neardup": q_text_embed_neardup,
         "full_outer_join": q_full_outer_join,
@@ -2563,6 +2577,23 @@ def oracle_sql() -> dict[str, str]:
             " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
         "warc_roundtrip": "SELECT doc_id, text FROM documents",
+        "repetition_stats": """
+            WITH L AS (
+                SELECT doc_id,
+                       UNNEST(string_split(text, chr(10))) AS line
+                FROM documents
+            ), G AS (
+                SELECT doc_id, line, COUNT(*) AS c,
+                       LENGTH(line) AS len
+                FROM L GROUP BY doc_id, line
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_lines,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+                   CAST(SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END)
+                        AS BIGINT) AS dup_line_chars
+            FROM G GROUP BY doc_id
+        """,
         "duplicate_passages": (
             "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w "
             "FROM documents), "

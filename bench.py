@@ -365,6 +365,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "normalized_dedup",
         "lm_perplexity",
         "quality_classifier",
+        "repetition_stats",
         "warc_roundtrip",
         "warc_to_corpus",
         "pack_sequences",

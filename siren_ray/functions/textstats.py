@@ -368,3 +368,55 @@ def hashed_text_embedding(batch: pa.Table, *, text_col: str = "text",
         pa.array(out.reshape(-1), pa.float32()), dim)
     return pa.table({c: batch[c] for c in batch.column_names
                      if c != text_col} | {"embedding": emb})
+
+
+def line_repetition_batch(batch: pa.Table, *, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style INTRA-document repetition stats (Rae et al. 2021,
+    Table A1 "repetition" filters judge a doc by how much of it is its
+    own duplicated lines): per doc, the line count, distinct-line
+    count, and characters inside duplicated lines — emitted as INTEGER
+    counts (not ratios) so the result is exactly SQL-expressible and
+    hash-comparable (the repo's integer-units oracle discipline).
+    Downstream filters derive ``dup_line_frac = 1 - distinct/lines``
+    and ``dup_char_frac = dup_line_chars / n_chars`` and threshold.
+
+    Vectorized: one Arrow ``split_pattern`` per batch, then a single
+    pandas (doc, line) group-size pass — no Python loop over lines.
+    Line semantics mirror SQL ``string_split(text, chr(10))``: empty
+    text is one empty line; trailing newlines yield empty lines.
+    """
+    col = batch[text_col]
+    lines = pc.split_pattern(pc.coalesce(col, pa.scalar("")), "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    flat = lines.flatten()
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    import pandas as pd
+
+    df = pd.DataFrame({"p": parent,
+                       "line": flat.to_numpy(zero_copy_only=False),
+                       "chars": lens})
+    g = df.groupby(["p", "line"], sort=False).agg(
+        c=("chars", "size"), chars=("chars", "first"))
+    per_doc = g.groupby(level=0, sort=False)
+    n_lines = per_doc["c"].sum()
+    n_distinct = per_doc["c"].size()
+    dup_chars = (g["c"] * g["chars"]).where(g["c"] > 1, 0).groupby(
+        level=0, sort=False).sum()
+    n = batch.num_rows
+    out_lines = np.zeros(n, dtype=np.int64)
+    out_dist = np.zeros(n, dtype=np.int64)
+    out_dup = np.zeros(n, dtype=np.int64)
+    idx = n_lines.index.to_numpy()
+    out_lines[idx] = n_lines.to_numpy()
+    out_dist[idx] = n_distinct.to_numpy()
+    out_dup[idx] = dup_chars.to_numpy()
+    return pa.table({
+        id_col: batch[id_col],
+        "n_lines": pa.array(out_lines, pa.int64()),
+        "n_distinct_lines": pa.array(out_dist, pa.int64()),
+        "dup_line_chars": pa.array(out_dup, pa.int64()),
+    })

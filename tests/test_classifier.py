@@ -78,3 +78,24 @@ def test_invariant_to_repartitioning(trained, ray_session):
                                        epochs=30)
     assert np.allclose(model.weights, model13.weights, atol=1e-8)
     assert abs(model.bias - model13.bias) < 1e-8
+
+
+def test_line_repetition_matches_naive_reference():
+    """Gopher repetition counts vs a per-doc Python reference."""
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import line_repetition_batch
+
+    texts = ["a\nb\na\nccc", "x", "", "dup\ndup\ndup\nuniq\n",
+             "один\nодин\nдва"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = line_repetition_batch(t).to_pydict()
+    for i, txt in enumerate(texts):
+        lines = txt.split("\n")
+        from collections import Counter
+
+        c = Counter(lines)
+        assert got["n_lines"][i] == len(lines)
+        assert got["n_distinct_lines"][i] == len(c)
+        assert got["dup_line_chars"][i] == sum(
+            n * len(line) for line, n in c.items() if n > 1)
