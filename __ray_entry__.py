@@ -1032,6 +1032,24 @@ def q_repetition_stats(sf_dir: str):
         line_repetition_batch, batch_format="pyarrow")
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher quality-rule line signals (textstats.py:
+    gopher_rules_batch — bullet-line and ellipsis-line fractions from
+    Rae et al. 2021 Table A1) as per-doc INTEGER counts, map-only. The
+    query emits the SQL-expressible line columns and oracle-checks them
+    hash-exactly; the kernel's word/top-n-gram signals are
+    reference-tested in t:test_classifier."""
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import gopher_rules_batch
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        lambda t: gopher_rules_batch(t).select(
+            ["doc_id", "n_lines", "n_bullet_lines", "n_ellipsis_lines"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_quality_classifier(sf_dir: str):
     """Model-based quality filtering (stages/classifier.py) — the
     CCNet/GPT-3-recipe stage (train a linear classifier on labeled
@@ -2240,6 +2258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": q_lm_perplexity,
         "quality_classifier": q_quality_classifier,
         "repetition_stats": q_repetition_stats,
+        "gopher_rules": q_gopher_rules,
         "pack_sequences": q_pack_sequences,
         "text_embed_neardup": q_text_embed_neardup,
         "full_outer_join": q_full_outer_join,
@@ -2577,6 +2596,30 @@ def oracle_sql() -> dict[str, str]:
             " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
         "warc_roundtrip": "SELECT doc_id, text FROM documents",
+        "gopher_rules": """
+            WITH L AS (
+                SELECT doc_id,
+                       UNNEST(string_split(text, chr(10))) AS line
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN ltrim(line, ' ' || chr(9))
+                                      LIKE '-%'
+                                 OR ltrim(line, ' ' || chr(9))
+                                      LIKE '*%'
+                                 OR ltrim(line, ' ' || chr(9))
+                                      LIKE '•%'
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bullet_lines,
+                   CAST(SUM(CASE WHEN rtrim(line, ' ' || chr(9))
+                                      LIKE '%...'
+                                 OR rtrim(line, ' ' || chr(9))
+                                      LIKE '%…'
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ellipsis_lines
+            FROM L GROUP BY doc_id
+        """,
         "repetition_stats": """
             WITH L AS (
                 SELECT doc_id,

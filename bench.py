@@ -366,6 +366,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "lm_perplexity",
         "quality_classifier",
         "repetition_stats",
+        "gopher_rules",
         "warc_roundtrip",
         "warc_to_corpus",
         "pack_sequences",

@@ -420,3 +420,121 @@ def line_repetition_batch(batch: pa.Table, *, text_col: str = "text",
         "n_distinct_lines": pa.array(out_dist, pa.int64()),
         "dup_line_chars": pa.array(out_dup, pa.int64()),
     })
+
+
+def gopher_rules_batch(batch: pa.Table, *, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """The remaining Gopher quality-rule signals (Rae et al. 2021 Table
+    A1) as per-doc INTEGER counts — thresholds/ratios derive downstream:
+
+    - ``n_lines`` / ``n_bullet_lines`` (lstrip(" \\t") starts with
+      ``-``/``*``/``•``) / ``n_ellipsis_lines`` (rstrip ends ``...`` or
+      ``…``): the bullet/ellipsis line-fraction rules.
+    - ``n_words`` / ``n_alpha_words`` (contains an ASCII letter): the
+      alphabetic-word-fraction rule.
+    - ``n_stopword_hits``: occurrences of common-stopword tokens (the
+      "at least 2 stop words" rule uses distinct; hits is the stronger
+      monotone signal and stays integer).
+    - ``top2gram_chars`` / ``top3gram_chars``: characters covered by
+      the single most frequent word 2-/3-gram (occurrences × gram
+      length; tie-break = larger char coverage) — the top-n-gram
+      char-fraction rule's numerator over ``n_chars_q``.
+
+    Map-only; Arrow kernels for the splits/regex, one pandas group-size
+    pass per n-gram order. Line semantics mirror SQL
+    ``string_split(text, chr(10))`` so the line counts oracle-check
+    hash-exactly (q:gopher_rules).
+    """
+    import pandas as pd
+
+    col = pc.coalesce(batch[text_col], pa.scalar(""))
+    n = batch.num_rows
+    # --- line rules -------------------------------------------------
+    lines = pc.split_pattern(col, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lparent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    lflat = lines.flatten()
+    lt = pc.utf8_ltrim(lflat, " \t")
+    bullet = (np.asarray(pc.starts_with(lt, "-"), dtype=bool)
+              | np.asarray(pc.starts_with(lt, "*"), dtype=bool)
+              | np.asarray(pc.starts_with(lt, "•"), dtype=bool))
+    rt = pc.utf8_rtrim(lflat, " \t")
+    ellipsis = (np.asarray(pc.ends_with(rt, "..."), dtype=bool)
+                | np.asarray(pc.ends_with(rt, "…"), dtype=bool))
+    n_lines = np.bincount(lparent, minlength=n).astype(np.int64)
+    n_bullet = np.bincount(lparent, weights=bullet.astype(np.float64),
+                           minlength=n).astype(np.int64)
+    n_ellipsis = np.bincount(lparent, weights=ellipsis.astype(np.float64),
+                             minlength=n).astype(np.int64)
+    # --- word rules -------------------------------------------------
+    words = pc.utf8_split_whitespace(pc.utf8_lower(col))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    wparent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    wflat = words.flatten()
+    # utf8_split_whitespace emits empty tokens at boundaries; python
+    # .split() drops them — mask them out for parity with the repo's
+    # other word kernels
+    wlen = pc.utf8_length(wflat).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    keep = wlen > 0
+    wparent = wparent[keep]
+    wlen = wlen[keep]
+    wnp = wflat.to_numpy(zero_copy_only=False)[keep]
+    alpha = np.asarray(
+        pc.match_substring_regex(pa.array(wnp, pa.string()), "[a-z]"),
+        dtype=bool)
+    stop = np.asarray(
+        pc.is_in(pa.array(wnp, pa.string()),
+                 value_set=pa.array(sorted(_STOPWORDS))),
+        dtype=bool)
+    n_words = np.bincount(wparent, minlength=n).astype(np.int64)
+    n_alpha = np.bincount(wparent, weights=alpha.astype(np.float64),
+                          minlength=n).astype(np.int64)
+    n_stop = np.bincount(wparent, weights=stop.astype(np.float64),
+                         minlength=n).astype(np.int64)
+
+    # --- top n-gram char coverage ------------------------------------
+    from siren_ray.util import hash_strings
+
+    whash = (hash_strings(list(wnp)).astype(np.uint64)
+             if len(wnp) else np.empty(0, np.uint64))
+
+    def _top_gram(k: int) -> np.ndarray:
+        out = np.zeros(n, dtype=np.int64)
+        if len(whash) < k:
+            return out
+        valid = np.ones(len(whash) - k + 1, dtype=bool)
+        key = np.zeros(len(whash) - k + 1, dtype=np.uint64)
+        glen = np.full(len(whash) - k + 1, k - 1, dtype=np.int64)  # spaces
+        for j in range(k):
+            sl = slice(j, len(whash) - k + 1 + j)
+            key = key * np.uint64(0x100000001B3) + whash[sl]
+            glen += wlen[sl]
+            if j:
+                valid &= wparent[sl] == wparent[:len(valid)]
+        p = wparent[:len(valid)][valid]
+        df = pd.DataFrame({"p": p, "key": key[valid], "glen": glen[valid]})
+        if df.empty:
+            return out
+        g = df.groupby(["p", "key"], sort=False).agg(
+            c=("glen", "size"), glen=("glen", "first")).reset_index()
+        g["chars"] = g["c"] * g["glen"]
+        # deterministic: max count, then max char coverage
+        g = g.sort_values(["p", "c", "chars"], kind="mergesort")
+        top = g.groupby("p", sort=False).tail(1)
+        out[top["p"].to_numpy()] = top["chars"].to_numpy()
+        return out
+
+    return pa.table({
+        id_col: batch[id_col],
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_bullet_lines": pa.array(n_bullet, pa.int64()),
+        "n_ellipsis_lines": pa.array(n_ellipsis, pa.int64()),
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_alpha_words": pa.array(n_alpha, pa.int64()),
+        "n_stopword_hits": pa.array(n_stop, pa.int64()),
+        "top2gram_chars": pa.array(_top_gram(2), pa.int64()),
+        "top3gram_chars": pa.array(_top_gram(3), pa.int64()),
+    })

@@ -99,3 +99,47 @@ def test_line_repetition_matches_naive_reference():
         assert got["n_distinct_lines"][i] == len(c)
         assert got["dup_line_chars"][i] == sum(
             n * len(line) for line, n in c.items() if n > 1)
+
+
+def test_gopher_rules_match_naive_reference():
+    """Word / top-n-gram signals vs a per-doc Python reference
+    (includes the overlapping-repeat case: 'foo bar foo bar foo' holds
+    the 3-gram 'foo bar foo' TWICE)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import _STOPWORDS, gopher_rules_batch
+
+    texts = [
+        "- item one\n* item two\nplain...\nfoo bar foo bar foo baz",
+        "the and of fox 123",
+        "",
+        "  \t- dash\nend… \nx",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = gopher_rules_batch(t).to_pydict()
+    for i, txt in enumerate(texts):
+        words = txt.lower().split()
+        assert got["n_words"][i] == len(words)
+        assert got["n_alpha_words"][i] == sum(
+            any(c.isalpha() and c.isascii() for c in w) for w in words)
+        assert got["n_stopword_hits"][i] == sum(
+            w in _STOPWORDS for w in words)
+        for k, colname in ((2, "top2gram_chars"), (3, "top3gram_chars")):
+            grams = Counter(
+                tuple(words[j:j + k]) for j in range(len(words) - k + 1))
+            if not grams:
+                assert got[colname][i] == 0
+                continue
+            cmax = max(grams.values())
+            chars = max(
+                c * (sum(map(len, g)) + k - 1)
+                for g, c in grams.items() if c == cmax)
+            assert got[colname][i] == chars, (i, k)
+        lines = txt.split("\n")
+        assert got["n_lines"][i] == len(lines)
+        assert got["n_bullet_lines"][i] == sum(
+            ln.lstrip(" \t").startswith(("-", "*", "•")) for ln in lines)
+        assert got["n_ellipsis_lines"][i] == sum(
+            ln.rstrip(" \t").endswith(("...", "…")) for ln in lines)
