@@ -1050,6 +1050,21 @@ def q_gopher_rules(sf_dir: str):
     )
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Gopher duplicate-n-gram screen (textstats.py:
+    dup_ngram_chars_batch — "fraction of characters in duplicate
+    5..10-grams", Rae et al. 2021 Table A1): per-doc positional-union
+    char coverage of repeated word n-grams as integers, plus the
+    word_chars denominator. Map-only, one shared word-hash pass for all
+    six n-gram orders. Rows-only: python-split word semantics aren't
+    SQL-expressible; the kernel is reference-tested per doc incl.
+    overlapping repeats in t:test_classifier."""
+    from siren_ray.functions.textstats import dup_ngram_chars_batch
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        dup_ngram_chars_batch, batch_format="pyarrow")
+
+
 def q_quality_classifier(sf_dir: str):
     """Model-based quality filtering (stages/classifier.py) — the
     CCNet/GPT-3-recipe stage (train a linear classifier on labeled
@@ -2259,6 +2274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "repetition_stats": q_repetition_stats,
         "gopher_rules": q_gopher_rules,
+        "dup_ngrams": q_dup_ngrams,
         "pack_sequences": q_pack_sequences,
         "text_embed_neardup": q_text_embed_neardup,
         "full_outer_join": q_full_outer_join,

@@ -367,6 +367,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "quality_classifier",
         "repetition_stats",
         "gopher_rules",
+        "dup_ngrams",
         "warc_roundtrip",
         "warc_to_corpus",
         "pack_sequences",

@@ -422,6 +422,24 @@ def line_repetition_batch(batch: pa.Table, *, text_col: str = "text",
     })
 
 
+def _flat_words(col: pa.Array | pa.ChunkedArray):
+    """Lowercased whitespace tokens of a string column, flattened:
+    ``(wparent, wlen, wnp)`` — doc index per token, utf8 length per
+    token, token strings (object ndarray). Empty tokens are masked out
+    so the stream matches python ``str.split()`` exactly (Arrow's
+    ``utf8_split_whitespace`` emits empties at boundaries)."""
+    words = pc.utf8_split_whitespace(pc.utf8_lower(col))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    wparent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    wflat = words.flatten()
+    wlen = pc.utf8_length(wflat).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    keep = wlen > 0
+    return wparent[keep], wlen[keep], wflat.to_numpy(
+        zero_copy_only=False)[keep]
+
+
 def gopher_rules_batch(batch: pa.Table, *, text_col: str = "text",
                        id_col: str = "doc_id") -> pa.Table:
     """The remaining Gopher quality-rule signals (Rae et al. 2021 Table
@@ -435,10 +453,12 @@ def gopher_rules_batch(batch: pa.Table, *, text_col: str = "text",
     - ``n_stopword_hits``: occurrences of common-stopword tokens (the
       "at least 2 stop words" rule uses distinct; hits is the stronger
       monotone signal and stays integer).
-    - ``top2gram_chars`` / ``top3gram_chars``: characters covered by
-      the single most frequent word 2-/3-gram (occurrences × gram
-      length; tie-break = larger char coverage) — the top-n-gram
-      char-fraction rule's numerator over ``n_chars_q``.
+    - ``top2gram_chars`` / ``top3gram_chars`` / ``top4gram_chars``:
+      characters covered by the single most frequent word 2-/3-/4-gram
+      (occurrences × gram length; tie-break = larger char coverage) —
+      the top-n-gram char-fraction rule's numerator over ``n_chars_q``.
+      The dup-5..10-gram complement lives in
+      :func:`dup_ngram_chars_batch`.
 
     Map-only; Arrow kernels for the splits/regex, one pandas group-size
     pass per n-gram order. Line semantics mirror SQL
@@ -468,20 +488,7 @@ def gopher_rules_batch(batch: pa.Table, *, text_col: str = "text",
     n_ellipsis = np.bincount(lparent, weights=ellipsis.astype(np.float64),
                              minlength=n).astype(np.int64)
     # --- word rules -------------------------------------------------
-    words = pc.utf8_split_whitespace(pc.utf8_lower(col))
-    if isinstance(words, pa.ChunkedArray):
-        words = words.combine_chunks()
-    wparent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
-    wflat = words.flatten()
-    # utf8_split_whitespace emits empty tokens at boundaries; python
-    # .split() drops them — mask them out for parity with the repo's
-    # other word kernels
-    wlen = pc.utf8_length(wflat).to_numpy(zero_copy_only=False).astype(
-        np.int64)
-    keep = wlen > 0
-    wparent = wparent[keep]
-    wlen = wlen[keep]
-    wnp = wflat.to_numpy(zero_copy_only=False)[keep]
+    wparent, wlen, wnp = _flat_words(col)
     alpha = np.asarray(
         pc.match_substring_regex(pa.array(wnp, pa.string()), "[a-z]"),
         dtype=bool)
@@ -537,4 +544,76 @@ def gopher_rules_batch(batch: pa.Table, *, text_col: str = "text",
         "n_stopword_hits": pa.array(n_stop, pa.int64()),
         "top2gram_chars": pa.array(_top_gram(2), pa.int64()),
         "top3gram_chars": pa.array(_top_gram(3), pa.int64()),
+        "top4gram_chars": pa.array(_top_gram(4), pa.int64()),
     })
+
+
+def dup_ngram_chars_batch(batch: pa.Table, *, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          ks: tuple = (5, 6, 7, 8, 9, 10)) -> pa.Table:
+    """Gopher duplicate-n-gram char coverage (Rae et al. 2021 Table A1:
+    "fraction of characters in duplicate n-grams", n = 5..10) as
+    per-doc INTEGERS — ``dup{k}gram_chars`` is the characters of the
+    POSITIONAL UNION of all words covered by any within-doc k-gram that
+    occurs ≥ 2 times (overlapping occurrences counted once, no
+    inter-word spaces); the ratio denominator ``word_chars`` is the
+    char total of all words. Downstream filters divide and threshold.
+
+    Map-only and fully vectorized: one Arrow split + one word-hash pass
+    shared across all k; per k, gram keys are the position-weighted
+    polynomial over word hashes (the MinHash shingle trick,
+    dedup.py:shingle_hashes), duplicated (doc, key) groups found by one
+    lexsort + run-length pass, and the positional union by a
+    difference-array cumsum — no Python loop over rows or grams.
+    """
+    col = pc.coalesce(batch[text_col], pa.scalar(""))
+    n = batch.num_rows
+    wparent, wlen, wnp = _flat_words(col)
+    whash = (hash_strings(list(wnp)).astype(np.uint64)
+             if len(wnp) else np.empty(0, np.uint64))
+    word_chars = np.bincount(
+        wparent, weights=wlen.astype(np.float64), minlength=n
+    ).astype(np.int64)
+
+    def _dup_cover(k: int) -> np.ndarray:
+        if len(whash) < k:
+            return np.zeros(n, dtype=np.int64)
+        nw = len(whash) - k + 1
+        valid = np.ones(nw, dtype=bool)
+        key = np.zeros(nw, dtype=np.uint64)
+        for j in range(k):
+            sl = slice(j, nw + j)
+            key = key * np.uint64(0x100000001B3) + whash[sl]
+            if j:
+                valid &= wparent[sl] == wparent[:nw]
+        starts = np.flatnonzero(valid)
+        if not len(starts):
+            return np.zeros(n, dtype=np.int64)
+        p, kk = wparent[starts], key[valid]
+        order = np.lexsort((kk, p))
+        ps, kks = p[order], kk[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (ps[1:] != ps[:-1]) | (kks[1:] != kks[:-1])
+        grp = np.cumsum(new) - 1
+        isdup_sorted = np.bincount(grp)[grp] >= 2
+        isdup = np.empty(len(order), dtype=bool)
+        isdup[order] = isdup_sorted
+        dup_starts = starts[isdup]
+        # positional union: +1 at each duplicated window start, -1 one
+        # past its end; covered words are where the running sum is > 0.
+        # Windows never cross docs (valid mask), so one flat cumsum is
+        # safe for the whole batch.
+        diff = (np.bincount(dup_starts, minlength=len(whash) + 1)
+                - np.bincount(dup_starts + k, minlength=len(whash) + 1))
+        covered = np.cumsum(diff[:-1]) > 0
+        return np.bincount(
+            wparent[covered], weights=wlen[covered].astype(np.float64),
+            minlength=n,
+        ).astype(np.int64)
+
+    cols = {id_col: batch[id_col],
+            "word_chars": pa.array(word_chars, pa.int64())}
+    for k in ks:
+        cols[f"dup{k}gram_chars"] = pa.array(_dup_cover(k), pa.int64())
+    return pa.table(cols)

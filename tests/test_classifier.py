@@ -126,7 +126,8 @@ def test_gopher_rules_match_naive_reference():
             any(c.isalpha() and c.isascii() for c in w) for w in words)
         assert got["n_stopword_hits"][i] == sum(
             w in _STOPWORDS for w in words)
-        for k, colname in ((2, "top2gram_chars"), (3, "top3gram_chars")):
+        for k, colname in ((2, "top2gram_chars"), (3, "top3gram_chars"),
+                           (4, "top4gram_chars")):
             grams = Counter(
                 tuple(words[j:j + k]) for j in range(len(words) - k + 1))
             if not grams:
@@ -143,3 +144,40 @@ def test_gopher_rules_match_naive_reference():
             ln.lstrip(" \t").startswith(("-", "*", "•")) for ln in lines)
         assert got["n_ellipsis_lines"][i] == sum(
             ln.rstrip(" \t").endswith(("...", "…")) for ln in lines)
+
+
+def test_dup_ngram_chars_match_naive_reference():
+    """Positional-union duplicate-n-gram coverage vs a per-doc Python
+    reference — includes overlapping occurrences ('a b a b a b a'
+    holds 'a b a b a' at starts 0 and 2, union = all 7 words) and a
+    clean two-occurrence 5-gram."""
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import dup_ngram_chars_batch
+
+    texts = [
+        "one two three four five x one two three four five y",
+        "a b a b a b a",
+        "all words distinct here nothing repeats at all ever",
+        "",
+        "w1 w2 w3 w4 w5 w6 w1 w2 w3 w4 w5 w6",  # dup 5 AND 6-gram
+    ]
+
+    def ref(words, k):
+        grams: dict = {}
+        for j in range(len(words) - k + 1):
+            grams.setdefault(tuple(words[j:j + k]), []).append(j)
+        covered: set = set()
+        for pos in grams.values():
+            if len(pos) >= 2:
+                for s in pos:
+                    covered.update(range(s, s + k))
+        return sum(len(words[i]) for i in covered)
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = dup_ngram_chars_batch(t).to_pydict()
+    for i, txt in enumerate(texts):
+        words = txt.lower().split()
+        assert got["word_chars"][i] == sum(map(len, words))
+        for k in (5, 6, 7, 8, 9, 10):
+            assert got[f"dup{k}gram_chars"][i] == ref(words, k), (i, k)
