@@ -2194,6 +2194,75 @@ def q_doc_freq(sf_dir: str):
     return doc_frequency(docs, text_col="text")
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic leakage-safe train/val/test assignment
+    (relational.py:dataset_split): split membership is a pure function
+    of md5(doc_id) bucketed mod 10000 against 90/5/5 cumulative
+    thresholds, so re-runs and incremental ingests can never move a row
+    across the holdout boundary. Map-only; exact-oracle-checkable
+    (DuckDB computes the identical md5 arithmetic)."""
+    from siren_ray.stages.relational import dataset_split
+
+    return dataset_split(_docs(sf_dir).select_columns(["doc_id"]))
+
+
+def q_domain_cap(sf_dir: str):
+    """C4-style per-domain document cap (relational.py:group_cap): at
+    most 10 docs per source, chosen in md5(doc_id) pseudo-random order
+    — the balancing step that stops giant domains from dominating a
+    training mix. Rides grouped_topk (per-batch prune before the one
+    hash shuffle)."""
+    from siren_ray.stages.relational import group_cap
+
+    return group_cap(_docs(sf_dir).select_columns(["doc_id", "source"]),
+                     group_col="source", id_col="doc_id", k=10)
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic training-export shuffle
+    (relational.py:shuffle_shards): md5-route every doc to one of 8
+    internally-shuffled shards with an explicit within-shard position —
+    the reproducible global-permutation layout a training exporter
+    writes. ONE hash shuffle; positions are oracle-exact
+    (row_number over the identical md5 order)."""
+    from siren_ray.stages.relational import shuffle_shards
+
+    return shuffle_shards(_docs(sf_dir).select_columns(["doc_id"]),
+                          num_shards=8)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic deduplication (dedup.py:semantic_dedup):
+    distributed spherical k-means -> within-cluster chunked cosine
+    pairs -> keep the least-centroid-similar member per duplicate
+    component -> distributed anti-join. Rows-only: cluster geometry
+    depends on the seeded k-means, not SQL-expressible; the keep-rule
+    and planted-duplicate recall are unit-tested
+    (tests/test_dedup.py-family)."""
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import semantic_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, n_clusters=8, threshold=0.98,
+                         kmeans_iters=6)
+    return out.select_columns(["vec_id"])
+
+
+def q_remove_spans(sf_dir: str):
+    """Duplicated-passage REMOVAL (lines.py:remove_duplicate_spans, the
+    Lee et al. ExactSubstr family): delete every word covered by a
+    10-gram occurring in >= 2 distinct documents and rebuild the text.
+    Rows-only: the text surgery has no SQL equivalent; the coverage
+    arithmetic and round-trip behavior are unit-tested
+    (tests/test_lines.py)."""
+    from siren_ray.stages.lines import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), n=10)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2283,6 +2352,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "adaptive_quality_gate": q_adaptive_quality_gate,
         "data_mixture": q_data_mixture,
+        "dataset_split": q_dataset_split,
+        "domain_cap": q_domain_cap,
+        "shuffle_shards": q_shuffle_shards,
+        "semantic_dedup": q_semantic_dedup,
+        "remove_spans": q_remove_spans,
         "duplicate_passages": q_duplicate_passages,
         "jaccard_neardup": q_jaccard_neardup,
         "incremental_neardup": q_incremental_neardup,
@@ -2667,6 +2741,28 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_grams, "
             "CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dup_grams "
             "FROM documents d LEFT JOIN c USING (doc_id)"
+        ),
+        "dataset_split": (
+            "SELECT doc_id, CASE WHEN b < 9000 THEN 'train' "
+            "WHEN b < 9500 THEN 'val' ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 15)) AS BIGINT) % 10000 AS b FROM documents)"
+        ),
+        "domain_cap": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 10"
+        ),
+        "shuffle_shards": (
+            "WITH t AS (SELECT doc_id, "
+            "md5(CAST(doc_id AS VARCHAR)) AS h, "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 15)) AS BIGINT) % 8 AS shard FROM documents) "
+            "SELECT doc_id, shard, row_number() OVER ("
+            "PARTITION BY shard ORDER BY h, doc_id) AS pos FROM t"
         ),
         "data_mixture": (
             "WITH t AS (SELECT doc_id, source, "

@@ -380,6 +380,11 @@ def run_query_bench(sf_dir: str) -> dict:
         "data_mixture",
         "duplicate_passages",
         "incremental_neardup",
+        "dataset_split",
+        "domain_cap",
+        "shuffle_shards",
+        "semantic_dedup",
+        "remove_spans",
     ]
     qs = entrymod.queries()
     out = {}

@@ -245,17 +245,145 @@ def _gram_hashes(tbl: pa.Table, text_col: str, n: int):
     words_per_row). Vectorized: one word-hash pass, then a wrapping
     polynomial combine over each length-n window that stays inside one
     row. No gram strings are ever built."""
+    _, parents, gh, starts, counts = _gram_hashes_full(tbl, text_col, n)
+    return gh, parents[starts], counts
+
+
+def _gram_hashes_full(tbl: pa.Table, text_col: str, n: int):
+    """Like :func:`_gram_hashes` but additionally returns the flat word
+    array and each surviving gram's START index into it — what span
+    REMOVAL needs (a gram at start ``s`` covers flat words
+    ``[s, s+n)``, guaranteed within one row by the same-row mask)."""
     flat, parents = _split_lines(tbl, text_col, " ")
     wh = hash_strings(flat.to_numpy(zero_copy_only=False))
     counts = np.bincount(parents, minlength=tbl.num_rows)
     if len(wh) < n:
-        return (np.empty(0, np.uint64), np.empty(0, np.int64), counts)
+        return (flat, parents, np.empty(0, np.uint64),
+                np.empty(0, np.int64), counts)
     gh = wh[: len(wh) - n + 1].copy()
     for j in range(1, n):
         gh *= _GRAM_P1
         gh += wh[j: len(wh) - n + 1 + j] * _GRAM_P2
     same_row = parents[: len(wh) - n + 1] == parents[n - 1:]
-    return gh[same_row], parents[: len(wh) - n + 1][same_row], counts
+    starts = np.flatnonzero(same_row)
+    return flat, parents, gh[same_row], starts, counts
+
+
+def _corpus_dup_grams(ds, *, text_col: str, n: int, min_docs: int,
+                      max_frequent: int, op: str) -> np.ndarray:
+    """Pass 1 shared by :func:`duplicate_passages` and
+    :func:`remove_duplicate_spans`: the sorted uint64 fingerprints of
+    every word ``n``-gram appearing in >= ``min_docs`` DISTINCT
+    documents. Per-batch (gram, distinct-doc-count) partials -> one
+    groupby-sum on the 64-bit fingerprint -> guarded driver collect of
+    only the duplicated grams (document text never shuffles)."""
+    import ray
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        gh, gpar, _ = _gram_hashes(t, text_col, n)
+        if not len(gh):
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        order = np.lexsort((gh, gpar))
+        gs, ps = gh[order], gpar[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (ps[1:] != ps[:-1])
+        ug, uc = np.unique(gs[first], return_counts=True)
+        return pa.table({"g": pa.array(ug.view(np.int64), pa.int64()),
+                         "df": pa.array(uc.astype(np.int64), pa.int64())})
+
+    counts = (
+        ds.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("g").sum("df")
+    )
+
+    def _keep_dup(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["sum(df)"], pa.scalar(min_docs))
+        return pa.table({"g": t.filter(keep)["g"]})
+
+    from ..util import ensure_arrow as _ea
+
+    tbls = [t for t in map(_ea, ray.get(
+        counts.map_batches(_keep_dup, batch_format="pyarrow")
+        .to_arrow_refs())) if t.num_rows and "g" in t.schema.names]
+    dup = (np.sort(np.concatenate(
+        [np.asarray(t["g"], dtype=np.int64) for t in tbls]
+    ).view(np.uint64)) if tbls else np.empty(0, np.uint64))
+    if len(dup) > max_frequent:
+        raise ValueError(
+            f"{op}: {len(dup)} duplicated grams exceed the "
+            f"broadcast guard ({max_frequent}); raise min_docs/n or use "
+            "the anti-join removal path")
+    logger.info("%s: %d corpus-duplicated %d-grams", op, len(dup), n)
+    return dup
+
+
+def remove_duplicate_spans(ds, *, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 10,
+                           min_docs: int = 2,
+                           max_frequent: int = _MAX_FREQUENT,
+                           pin_input: bool = True):
+    """Duplicated-passage REMOVAL (the surgical step past
+    :func:`duplicate_passages`'s screen, in the Lee et al. 2021
+    ExactSubstr family at word-n-gram granularity): delete from every
+    document each word whose position is covered by a word ``n``-gram
+    occurring in >= ``min_docs`` DISTINCT documents, and rebuild the
+    text from the surviving words. This is the aggressive every-
+    occurrence variant — deterministic, order-independent and therefore
+    idempotent-safe under re-runs (a keep-one-copy rule would make the
+    output depend on which copy a scheduler visits first).
+
+    Scale shape: pass 1 is :func:`_corpus_dup_grams` (pre-aggregated
+    fingerprint partials, one small shuffle, guarded broadcast); pass 2
+    is map-only — coverage is a vectorized difference-array over each
+    batch's flat word stream and the text rebuild is one Arrow
+    ``binary_join`` over a rebuilt list column, never per-row Python.
+
+    Returns (id_col, text_col, n_removed_words); a fully-duplicated
+    document keeps an empty string (the caller's filter policy).
+    """
+    import ray
+
+    from ..util import pin_for_multipass
+
+    ds = pin_for_multipass(ds, enabled=pin_input)  # two passes
+    dup = _corpus_dup_grams(ds, text_col=text_col, n=n,
+                            min_docs=min_docs, max_frequent=max_frequent,
+                            op="remove_duplicate_spans")
+    dup_ref = ray.put(dup)
+
+    def _strip(t: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)  # zero-copy local read per task
+        flat, parents, gh, starts, counts = _gram_hashes_full(
+            t, text_col, n)
+        words = flat.to_numpy(zero_copy_only=False)
+        if len(gh) and len(d):
+            pos = np.searchsorted(d, gh)
+            pos[pos >= len(d)] = 0
+            hit = d[pos] == gh
+            s = starts[hit]
+            delta = np.zeros(len(words) + 1, np.int64)
+            np.add.at(delta, s, 1)
+            np.add.at(delta, s + n, -1)
+            cover = np.cumsum(delta[:-1]) > 0
+        else:
+            cover = np.zeros(len(words), bool)
+        keepw = ~cover
+        kept_counts = np.bincount(
+            parents[keepw], minlength=t.num_rows).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(words[keepw], pa.large_string()))
+        text = pc.binary_join(lst, pa.scalar(" ", pa.large_string()))
+        removed = (counts - kept_counts).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            text_col: pc.cast(text, pa.string()),
+            "n_removed_words": pa.array(removed, pa.int64()),
+        })
+
+    return ds.map_batches(_strip, batch_format="pyarrow")
 
 
 def ngram_contamination(docs_ds, bench_ds, *, id_col: str = "doc_id",
@@ -352,44 +480,9 @@ def duplicate_passages(ds, *, id_col: str = "doc_id",
     from ..util import pin_for_multipass
 
     ds = pin_for_multipass(ds, enabled=pin_input)  # two passes
-
-    def _df_partial(t: pa.Table) -> pa.Table:
-        gh, gpar, _ = _gram_hashes(t, text_col, n)
-        if not len(gh):
-            return pa.table({"g": pa.array([], pa.int64()),
-                             "df": pa.array([], pa.int64())})
-        order = np.lexsort((gh, gpar))
-        gs, ps = gh[order], gpar[order]
-        first = np.ones(len(gs), dtype=bool)
-        first[1:] = (gs[1:] != gs[:-1]) | (ps[1:] != ps[:-1])
-        ug, uc = np.unique(gs[first], return_counts=True)
-        return pa.table({"g": pa.array(ug.view(np.int64), pa.int64()),
-                         "df": pa.array(uc.astype(np.int64), pa.int64())})
-
-    counts = (
-        ds.map_batches(_df_partial, batch_format="pyarrow")
-        .groupby("g").sum("df")
-    )
-
-    def _keep_dup(t: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(t["sum(df)"], pa.scalar(min_docs))
-        return pa.table({"g": t.filter(keep)["g"]})
-
-    from ..util import ensure_arrow as _ea
-
-    tbls = [t for t in map(_ea, ray.get(
-        counts.map_batches(_keep_dup, batch_format="pyarrow")
-        .to_arrow_refs())) if t.num_rows and "g" in t.schema.names]
-    dup = (np.sort(np.concatenate(
-        [np.asarray(t["g"], dtype=np.int64) for t in tbls]
-    ).view(np.uint64)) if tbls else np.empty(0, np.uint64))
-    if len(dup) > max_frequent:
-        raise ValueError(
-            f"duplicate_passages: {len(dup)} duplicated grams exceed the "
-            f"broadcast guard ({max_frequent}); raise min_docs/n or use "
-            "the anti-join removal path")
-    logger.info("duplicate_passages: %d corpus-duplicated %d-grams",
-                len(dup), n)
+    dup = _corpus_dup_grams(ds, text_col=text_col, n=n,
+                            min_docs=min_docs, max_frequent=max_frequent,
+                            op="duplicate_passages")
     dup_ref = ray.put(dup)
 
     def _score(t: pa.Table) -> pa.Table:

@@ -1171,3 +1171,111 @@ def mixture_sample(ds, *, group_col: str, id_col: str,
         .groupby("_pk")
         .map_groups(_final, batch_format="pandas")
     )
+
+
+def _md5_hex(ids, salt: str = "") -> list:
+    """md5 hexdigests of ``str(id)`` values — the engine-independent
+    pseudo-randomness convention shared by every sampler here (DuckDB's
+    ``md5(CAST(x AS VARCHAR))`` produces the identical string, so
+    anything ordered or bucketed by these digests is exact-oracle-
+    checkable, unlike ``rand()``)."""
+    import hashlib
+
+    return [hashlib.md5(f"{salt}{x}".encode()).hexdigest() for x in ids]
+
+
+def dataset_split(ds, *, id_col: str = "doc_id",
+                  fractions=(("train", 0.9), ("val", 0.05),
+                             ("test", 0.05)),
+                  salt: str = "", buckets: int = 10_000):
+    """Deterministic train/val/test assignment: each row lands in a
+    split by ``md5(salt || id) % buckets`` against cumulative fraction
+    thresholds — the standard leakage-safe holdout split (membership is
+    a pure function of the id, so re-runs, late-arriving shards and
+    incremental ingests can never move a row across the split
+    boundary). Map-only; adds a ``split`` string column.
+
+    Engine addition per the task brief (the reference has no dataset
+    assembly); oracle: ``CASE WHEN bucket < t1 ...`` over DuckDB's
+    identical md5 arithmetic (see ``__ray_entry__.oracle_sql``).
+    """
+    fr = list(fractions)
+    if abs(sum(f for _, f in fr) - 1.0) > 1e-9:
+        raise ValueError("dataset_split: fractions must sum to 1")
+    bounds = np.cumsum([f for _, f in fr]) * buckets
+    bounds = np.round(bounds).astype(np.int64)  # [9000, 9500, 10000]
+    names = np.array([n for n, _ in fr])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        hs = _md5_hex(t[id_col].to_pylist(), salt)
+        b = np.array([int(h[:15], 16) for h in hs],
+                     dtype=np.int64) % buckets
+        split = names[np.searchsorted(bounds, b, side="right")]
+        return t.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def group_cap(ds, *, group_col: str, id_col: str, k: int,
+              salt: str = ""):
+    """Per-group document cap: keep at most ``k`` rows per group,
+    chosen in md5(id) pseudo-random order (deterministic, engine-
+    independent) — the C4-style "at most N pages per host" balancing
+    step that stops a handful of giant domains from dominating a
+    training mix. Unlike :func:`mixture_sample` the group set is NOT
+    known in advance and no proportions are targeted; every group is
+    capped uniformly.
+
+    Scale shape: rides :func:`grouped_topk` — each batch prunes to its
+    own per-group k before the single hash shuffle, so at most
+    ``k`` rows per (batch, group) move; the final per-partition pass is
+    one vectorized sort+head. Oracle: ``row_number() OVER (PARTITION BY
+    group ORDER BY md5(id), id) <= k``.
+    """
+
+    def _key(t: pa.Table) -> pa.Table:
+        hs = _md5_hex(t[id_col].to_pylist(), salt)
+        return t.append_column("_h", pa.array(hs, pa.string()))
+
+    out = grouped_topk(ds.map_batches(_key, batch_format="pyarrow"),
+                       group_col, "_h", k, ascending=True,
+                       tie_col=id_col)
+    return out.drop_columns(["_h"])
+
+
+def shuffle_shards(ds, *, id_col: str = "doc_id", num_shards: int = 64,
+                   salt: str = ""):
+    """Deterministic training-export shuffle: route each row to
+    ``shard = md5(salt || id) % num_shards`` and assign ``pos``, its
+    1-based rank within the shard by md5 order — i.e. a reproducible
+    global permutation materialized as ``num_shards`` internally-
+    shuffled output shards, which is exactly the layout a training-data
+    export writes (many shard files, each pre-shuffled, reader
+    interleaves shards). Changing ``salt`` is a fresh permutation.
+
+    Scale shape: ONE hash shuffle on the shard key, then one vectorized
+    sort+arange per shard. Partitioning assumption: a shard must fit in
+    a worker's heap — size ``num_shards ~= total_bytes /
+    target_shard_bytes`` (exports want many files; thousands of shards
+    is the normal operating point, matching Ray block granularity).
+    Oracle: ``row_number() OVER (PARTITION BY shard ORDER BY md5, id)``.
+    """
+
+    def _key(t: pa.Table) -> pa.Table:
+        hs = _md5_hex(t[id_col].to_pylist(), salt)
+        shard = np.array([int(h[:15], 16) for h in hs],
+                         dtype=np.int64) % num_shards
+        t = t.append_column("_h", pa.array(hs, pa.string()))
+        return t.append_column("shard", pa.array(shard, pa.int64()))
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", id_col],
+                            kind="mergesort").reset_index(drop=True)
+        df["pos"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df.drop(columns=["_h"])
+
+    return (
+        ds.map_batches(_key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_rank, batch_format="pandas")
+    )

@@ -188,3 +188,53 @@ def test_duplicate_passages_planted(ray_session):
     assert out.loc[2, "n_dup_grams"] == 0
     assert out.loc[3, "n_grams"] == 0 and out.loc[3, "n_dup_grams"] == 0
     assert out.loc[0, "n_grams"] == len(docs[0]["text"].split()) - 2
+
+
+def test_remove_duplicate_spans_planted(ray_session):
+    """Every word covered by a corpus-duplicated n-gram is cut from
+    BOTH documents; unique docs round-trip byte-identical; a second
+    pass is a no-op (the duplicated text is gone)."""
+    import ray.data as rd
+
+    from siren_ray.stages.lines import remove_duplicate_spans
+
+    passage = " ".join(f"w{i}" for i in range(12))
+    docs = [
+        {"doc_id": 0, "text": f"alpha beta {passage} gamma"},
+        {"doc_id": 1, "text": f"start {passage} end words here"},
+        {"doc_id": 2, "text": "totally unique text with no shared run"},
+        {"doc_id": 3, "text": ""},
+    ]
+    out = (remove_duplicate_spans(
+        rd.from_items(docs, override_num_blocks=2), n=10)
+        .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "text"] == "alpha beta gamma"
+    assert out.loc[1, "text"] == "start end words here"
+    assert out.loc[0, "n_removed_words"] == 12
+    assert out.loc[1, "n_removed_words"] == 12
+    assert out.loc[2, "text"] == docs[2]["text"]
+    assert out.loc[2, "n_removed_words"] == 0
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_removed_words"] == 0
+
+    again = (remove_duplicate_spans(
+        rd.from_pandas(out.reset_index()[["doc_id", "text"]]), n=10)
+        .to_pandas().set_index("doc_id").sort_index())
+    assert (again["n_removed_words"] == 0).all()
+    assert (again["text"] == out["text"]).all()
+
+
+def test_remove_duplicate_spans_whole_doc(ray_session):
+    """A document that is nothing but duplicated text empties out."""
+    import ray.data as rd
+
+    from siren_ray.stages.lines import remove_duplicate_spans
+
+    passage = " ".join(f"t{i}" for i in range(10))
+    docs = [
+        {"doc_id": 0, "text": passage},
+        {"doc_id": 1, "text": passage},
+    ]
+    out = (remove_duplicate_spans(rd.from_items(docs), n=10)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert (out["text"] == "").all()
+    assert (out["n_removed_words"] == 10).all()
