@@ -1863,6 +1863,72 @@ def q_pagerank(sf_dir: str):
     return top
 
 
+def q_hits(sf_dir: str):
+    """HITS hub/authority over the DIRECTED cosine graph (edge
+    id_a -> id_b only, so hubs and authorities genuinely differ —
+    unlike PageRank's symmetrized graph above): the two-sided
+    link-analysis score a crawl scheduler uses for frontier (hub) vs
+    content (authority) priority. Rows-only (iterative fixpoint);
+    exactness is unit-tested against a dense numpy reference
+    (t:test_graph::test_hits_matches_dense_reference)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.ann import cosine_pairs_exact
+    from siren_ray.stages.graph import hits
+    from siren_ray.stages.relational import topk_global
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = cosine_pairs_exact(emb, threshold=0.3)
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "src": t["id_a"].combine_chunks().cast(pa.int64()),
+            "dst": t["id_b"].combine_chunks().cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    nodes = emb.map_batches(
+        lambda t: pa.table({"id": t["vec_id"].combine_chunks().cast(
+            pa.int64())}),
+        batch_format="pyarrow",
+    )
+    scores = hits(edges, nodes, num_partitions=16)
+    top = topk_global(scores, "authority", 20, tie_col="id").to_pandas()
+    top["hub"] = top["hub"].round(9)
+    top["authority"] = top["authority"].round(9)
+    return top
+
+
+def q_bpe_word_freq(sf_dir: str):
+    """The BPE trainer's input: exact global top-200 (word, count) over
+    the documents corpus, ordered (count DESC, word ASC). ONE
+    vocabulary-sized shuffle — per-batch value-count partials
+    hash-partition on the word (each word's global count completes in
+    exactly one partition), per-partition combine + local top-k, driver
+    merges P x k candidate rows. Oracle-exact: DuckDB computes the
+    identical split/lower/count/order."""
+    from siren_ray.stages.tokenizer import word_frequencies
+
+    return word_frequencies(_docs(sf_dir), top_k=200)
+
+
+def q_bpe_tokenize(sf_dir: str):
+    """Full distributed BPE pipeline: corpus -> exact word-frequency
+    table (one vocab-sized shuffle) -> driver merge loop on that BOUNDED
+    table (the SentencePiece/HF recipe — merge decisions need only
+    (word, count)) -> map-only tokenize with the model broadcast once
+    and per-worker word caches. Rows-only (BPE is not SQL-expressible);
+    merge determinism, parallelism invariance, and id-roundtrip are
+    unit-tested (t:test_tokenizer)."""
+    from siren_ray.stages.tokenizer import (bpe_tokenize, bpe_train,
+                                            word_frequencies)
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    wf = word_frequencies(docs, top_k=20000)
+    model = bpe_train(wf, vocab_size=512)
+    return bpe_tokenize(docs, model, include_ids=False)
+
+
 def q_uniform_sample(sf_dir: str):
     """Deterministic uniform sample of 200 events by md5(event_id)
     order (engine-independent pseudo-randomness, same contract as
@@ -2362,6 +2428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_neardup": q_incremental_neardup,
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,
+        "hits": q_hits,
+        "bpe_word_freq": q_bpe_word_freq,
+        "bpe_tokenize": q_bpe_tokenize,
         "crawl_rank_seeds": q_crawl_rank_seeds,
         "mimetype_counts": q_mimetype_counts,
         "token_quantiles": q_token_quantiles,
@@ -2628,6 +2697,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS df FROM "
             "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) "
             "AS word FROM documents) GROUP BY word"
+        ),
+        "bpe_word_freq": (
+            "SELECT word, CAST(count(*) AS BIGINT) AS count FROM "
+            "(SELECT unnest(string_split_regex(lower(text), '\\s+')) "
+            "AS word FROM documents) WHERE word <> '' "
+            "GROUP BY word ORDER BY count DESC, word ASC LIMIT 200"
         ),
         "incremental_ingest": (
             "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 "

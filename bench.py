@@ -385,6 +385,9 @@ def run_query_bench(sf_dir: str) -> dict:
         "shuffle_shards",
         "semantic_dedup",
         "remove_spans",
+        "hits",
+        "bpe_word_freq",
+        "bpe_tokenize",
     ]
     qs = entrymod.queries()
     out = {}
