@@ -791,6 +791,29 @@ def q_simhash(sf_dir: str):
     ).select_columns(["doc_id", "simhash"])
 
 
+def q_simhash_neardup(sf_dir: str):
+    """EXACT Hamming-ball near-dup pairs over 64-bit SimHash
+    fingerprints (Manku et al. WWW'07 pigeonhole banding + in-bucket
+    xor/popcount verify — `stages/dedup.py:simhash_neardup_pairs`).
+    Rows-only: the fingerprint is not SQL-recomputable, but the
+    operator's output is proven EQUAL to the brute-force Hamming pair
+    set in t:test_ops::test_simhash_neardup_pairs_exact_vs_bruteforce."""
+    from siren_ray.stages.dedup import simhash_neardup_pairs
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return simhash_neardup_pairs(ds, "doc_id", max_hamming=3)
+
+
+def q_simhash_neardup_removed(sf_dir: str):
+    """Driver-free SimHash dedup: exact Hamming pairs -> distributed
+    connected components -> hash anti-join (keep min doc_id per
+    cluster)."""
+    from siren_ray.stages.dedup import remove_simhash_neardups
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return remove_simhash_neardups(ds, "doc_id", max_hamming=3)
+
+
 def q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -2397,6 +2420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "neardup_removed": q_neardup_removed,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "simhash_neardup_removed": q_simhash_neardup_removed,
         "embedding_neardup": q_embedding_neardup,
         "knn_ivf": q_knn_ivf,
         "kmeans_clusters": q_kmeans_clusters,

@@ -342,6 +342,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "hash_join",
         "count_by_group",
         "simhash",
+        "simhash_neardup",
         "connected_components",
         "sessionize",
         "grouped_topk",

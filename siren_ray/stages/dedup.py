@@ -782,6 +782,165 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (numpy 1.x has no
+    ``bitwise_count``): view as uint8 bytes, unpack to bits, sum."""
+    if not len(x):
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+    return bits.reshape(len(x), 64).sum(axis=1, dtype=np.int64)
+
+
+def simhash_neardup_pairs(ds, id_col: str, *, text_col: str = "text",
+                          max_hamming: int = 3,
+                          max_bucket: int = _MAX_BUCKET):
+    """EXACT Hamming-ball near-dup pairs over 64-bit SimHash
+    fingerprints — the Manku/Jarvelin/Sadakane "Detecting
+    Near-Duplicates for Web Crawling" (WWW'07) shape, the classic
+    complement to MinHash for crawl-time dedup.
+
+    Pigeonhole banding makes candidate recall 100%: the 64 bits split
+    into ``max_hamming + 1`` contiguous blocks, so two fingerprints
+    within Hamming distance ``max_hamming`` MUST agree exactly on at
+    least one block. Each doc emits one (block_idx, block_value) band
+    row carrying its 8-byte fingerprint; colliding buckets verify the
+    exact distance in-partition (vectorized xor+popcount — no join
+    back to the docs). Output is therefore EXACTLY the set of pairs
+    with distance <= max_hamming (id_a < id_b, plus the distance),
+    not a candidate superset — subject only to the ``max_bucket``
+    pair-generation cap (logged, smallest ids kept), same no-silent-cap
+    contract as :func:`minhash_duplicate_pairs`.
+
+    Scale: the only shuffle moves (id, block_idx, block_val, simhash) =
+    ~28 bytes/doc/block; text never moves. Wordless/empty docs are
+    dropped before hashing (they all share fingerprint 0 — one
+    poisoned distance-0 bucket would otherwise dominate)."""
+    if not 0 <= max_hamming <= 16:
+        raise ValueError("max_hamming must be in [0, 16]")
+    n_blocks = max_hamming + 1
+    # block bit boundaries: widths differ by at most 1 (e.g. 64/5 ->
+    # 13,13,13,13,12); completeness only needs contiguous disjoint cover
+    bounds = np.linspace(0, 64, n_blocks + 1).astype(np.int64)
+
+    def _nonempty(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = pc.coalesce(t[text_col], pa.scalar(""))
+        keep = pc.greater(pc.utf8_length(pc.utf8_trim_whitespace(txt)),
+                          pa.scalar(0))
+        out = t.filter(keep)
+        dropped = t.num_rows - out.num_rows
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "simhash_neardup: dropped %d wordless docs", dropped)
+        return out
+
+    sigs = ds.map_batches(_nonempty, batch_format="pyarrow").map_batches(
+        lambda t: simhash_batch(t.select([id_col, text_col]),
+                                text_col=text_col).select([id_col,
+                                                           "simhash"]),
+        batch_format="pyarrow",
+    )
+
+    def _bands(t: pa.Table) -> pa.Table:
+        sim = np.asarray(t["simhash"], dtype=np.uint64)
+        n = len(sim)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        out_id = np.tile(ids, n_blocks)
+        out_sim = np.tile(sim, n_blocks)
+        out_blk = np.repeat(np.arange(n_blocks, dtype=np.int64), n)
+        vals = np.empty(n * n_blocks, dtype=np.uint64)
+        for b in range(n_blocks):
+            lo, hi = bounds[b], bounds[b + 1]
+            width = np.uint64(hi - lo)
+            mask = (np.uint64(0xFFFFFFFFFFFFFFFF)
+                    if width == 64 else
+                    np.uint64((1 << int(width)) - 1))
+            vals[b * n:(b + 1) * n] = (sim >> np.uint64(lo)) & mask
+        # partition on the bucket identity so every bucket completes
+        # inside one partition (hash both block idx and value)
+        pk = ((vals ^ (out_blk.view(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15))) % np.uint64(_DEDUP_PARTITIONS))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "block_idx": pa.array(out_blk, pa.int64()),
+            "block_val": pa.array(vals, pa.uint64()),
+            "simhash": pa.array(out_sim, pa.uint64()),
+            "_pk": pa.array(pk.astype(np.int64), pa.int64()),
+        })
+
+    exploded = sigs.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.duplicated(["block_idx", "block_val"], keep=False)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for key, grp in df.groupby(["block_idx", "block_val"],
+                                   sort=False):
+            order = np.argsort(grp[id_col].to_numpy())
+            ids = grp[id_col].to_numpy()[order]
+            sims = grp["simhash"].to_numpy().astype(np.uint64)[order]
+            if len(ids) > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "simhash bucket %s has %d members; capping at %d "
+                    "(smallest ids kept)", key, len(ids), max_bucket)
+                ids, sims = ids[:max_bucket], sims[:max_bucket]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            dist = _popcount64(sims[ia] ^ sims[ib])
+            keep = dist <= max_hamming
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_d.append(dist[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_d)})
+
+    pairs = exploded.groupby("_pk").map_groups(_pairs,
+                                               batch_format="pandas")
+    return dedup_pairs(pairs)
+
+
+def remove_simhash_neardups(ds, id_col: str, *, text_col: str = "text",
+                            max_hamming: int = 3,
+                            num_partitions: int = 64,
+                            pin_input: bool = True):
+    """Drop SimHash near-duplicates, keeping the minimum id per
+    duplicate cluster: exact Hamming pairs -> distributed connected
+    components -> hash anti-join. Driver-free end to end, mirroring
+    :func:`remove_embedding_neardups`. Unlike the MinHash path no
+    Jaccard screen is needed — the pair set is already EXACT in the
+    fingerprint metric (verified xor+popcount, not a band
+    coincidence)."""
+    from ..util import pin_for_multipass
+
+    ds = pin_for_multipass(ds, enabled=pin_input)  # pairs + nodes + anti
+    pairs = simhash_neardup_pairs(ds, id_col, text_col=text_col,
+                                  max_hamming=max_hamming)
+    nodes = ds.map_batches(
+        lambda t: pa.table({"id": t[id_col]}), batch_format="pyarrow"
+    )
+    cc = connected_components(pairs.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"),
+        nodes, num_partitions=num_partitions)
+    losers = cc.map_batches(
+        lambda t: pa.table({"id": t["id"]}).filter(
+            pa.array(np.asarray(t["id"], dtype=np.int64)
+                     != np.asarray(t["cluster"], dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_antijoin(ds, losers, id_col, num_partitions=num_partitions)
+
+
 # --- n-gram Jaccard (verification kernel) ---------------------------------
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:

@@ -1483,3 +1483,83 @@ def test_incremental_ingest_neardup(ray_session):
         base, inc, id_col="doc_id", verify_jaccard=0.5)
     kept = sorted(out.to_pandas()["doc_id"])
     assert kept == [11, 12]
+
+
+# --- SimHash Hamming-band near-dup --------------------------------------
+
+def _brute_simhash_pairs(texts, max_hamming):
+    from siren_ray.stages.dedup import simhash64
+
+    sims = {i: simhash64(t) for i, t in enumerate(texts) if t.strip()}
+    out = set()
+    ids = sorted(sims)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if bin(sims[a] ^ sims[b]).count("1") <= max_hamming:
+                out.add((a, b))
+    return out
+
+
+def test_simhash_neardup_pairs_exact_vs_bruteforce(ray_session):
+    """Pigeonhole banding + in-bucket verify is EXACT (not a candidate
+    superset): operator output must EQUAL the brute-force Hamming-ball
+    pair set, including planted near-identical docs and empty-doc
+    drops."""
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import simhash_neardup_pairs
+
+    rng = np.random.RandomState(42)
+    vocab = ("state court police report officials district health "
+             "family farmer student school village city council budget "
+             "order minister election market water road power land "
+             "crop rain bank loan tax census survey scheme").split()
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in range(40)]
+    # planted near-dups: a couple of single-word edits on shared bases
+    texts.append(texts[0].replace(texts[0].split()[3], "perturbed", 1))
+    texts.append(texts[5] + " extra")
+    texts.append("")  # wordless: must be dropped, never paired
+    texts.append("   ")
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)],
+        override_num_blocks=4,
+    )
+    for max_hamming in (0, 3, 7):
+        got_df = simhash_neardup_pairs(
+            ds, "doc_id", max_hamming=max_hamming).to_pandas()
+        got = (set(zip(got_df["id_a"], got_df["id_b"]))
+               if len(got_df) else set())
+        want = _brute_simhash_pairs(texts, max_hamming)
+        assert got == want, (max_hamming, got ^ want)
+        # reported distances are the true Hamming distances
+        from siren_ray.stages.dedup import simhash64
+        for _, r in got_df.iterrows():
+            d = bin(simhash64(texts[int(r["id_a"])])
+                    ^ simhash64(texts[int(r["id_b"])])).count("1")
+            assert d == int(r["hamming"])
+    assert len(_brute_simhash_pairs(texts, 7)) > 0  # test isn't vacuous
+
+
+def test_remove_simhash_neardups_keeps_min_per_cluster(ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import remove_simhash_neardups
+
+    base = ("the state capital police report officials said district "
+            "court order health family farmer student school " * 4)
+    other = ("completely different vocabulary about astronomy physics "
+             "galaxies telescopes spectra orbital mechanics " * 4)
+    items = [
+        {"doc_id": 3, "text": base},
+        {"doc_id": 1, "text": base + " tail"},        # near-dup of 3
+        {"doc_id": 2, "text": other},
+        {"doc_id": 7, "text": other.replace("physics", "chemistry")},
+    ]
+    out = remove_simhash_neardups(
+        rd.from_items(items, override_num_blocks=2), "doc_id",
+        max_hamming=8)
+    kept = sorted(out.to_pandas()["doc_id"])
+    # min id survives each duplicate cluster
+    assert 1 in kept and 2 in kept
+    assert 3 not in kept and 7 not in kept
