@@ -740,6 +740,29 @@ def q_knn_brute(sf_dir: str):
 # non-SQL-expressible (rows-only checks)
 # --------------------------------------------------------------------------
 
+def q_main_content(sf_dir: str):
+    """Generic trafilatura-style main-content extraction over the
+    synthetic pages corpus (`stages/maincontent.py` — readability
+    text-density vote over the stdlib mini-DOM; the generic fallback
+    for hosts no registry parser covers). Rows-only: HTML heuristics
+    are not SQL-expressible; fixture-golden tests in t:test_extract
+    pin the boilerplate-drop semantics."""
+    import ray.data as rd
+
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.stages.maincontent import main_content_batch
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    pages = rd.read_parquet(os.path.join(corpus, "pages"),
+                            columns=["url", "html"])
+    import pyarrow.compute as pc
+
+    out = pages.map_batches(main_content_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t["n_paragraphs"], 0)),
+        batch_format="pyarrow")
+
+
 def q_crawl(sf_dir: str):
     """Full frontier crawl on the deterministic synthetic corpus mapped
     from sf (north-rule pipeline; conformance vs simulator in tests)."""
@@ -2417,6 +2440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_ingest": q_incremental_ingest,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
+        "main_content": q_main_content,
         "minhash_pairs": q_minhash_pairs,
         "neardup_removed": q_neardup_removed,
         "simhash": q_simhash,

@@ -343,6 +343,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "count_by_group",
         "simhash",
         "simhash_neardup",
+        "main_content",
         "connected_components",
         "sessionize",
         "grouped_topk",

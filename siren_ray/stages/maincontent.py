@@ -1,0 +1,154 @@
+"""Generic main-content extraction — the "trafilatura-style text
+extraction" stage the north star names for arbitrary (non-registry)
+pages.
+
+The per-site parsers in ``stages/extract.py`` reproduce the reference's
+exact per-family semantics (SURVEY.md §2.3) and remain the conformance
+path; this module is the generic fallback a web-scale crawl needs for
+the long tail of hosts no parser covers. It is a from-scratch
+readability/boilerpipe-style text-density heuristic over the same
+stdlib mini-DOM (``html_mini``) — no external extraction library exists
+in this container, and the algorithm (score text blocks by length,
+punctuation and link density; credit ancestors; emit the best
+container's paragraphs) is the published Readability/Boilerpipe/
+trafilatura recipe, not a port of any of them.
+
+Scale shape: a stateless map-only ``map_batches`` stage. HTML parsing
+is inherently per-document (the same boundary as ``extract_batch``);
+everything around the parse is O(nodes) single-pass. No shuffle, no
+state, no driver involvement.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..html_mini import Node, parse_html
+
+# subtrees that never contain main content (dropped before scoring)
+NOISE_TAGS = frozenset(
+    "script style noscript nav header footer aside form iframe svg "
+    "button select option template figure".split()
+)
+# containers that can win the content vote
+_MIN_PARA_CHARS = 25      # readability's minimum paragraph length
+_SCORE_CAP = 800          # cap per-paragraph length credit
+_MAX_PARA_LINK_DENSITY = 0.5
+_WS = re.compile(r"\s+")
+
+
+def _norm(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+def _link_chars(node: Node) -> int:
+    return sum(len(_norm(a.text)) for a in node.find_all("a"))
+
+
+def _para_score(txt: str, link_len: int) -> float:
+    """Readability-style block score: effective (non-link) length,
+    capped, plus a comma/punctuation bonus — link-heavy blocks score
+    negative and cannot credit their ancestors."""
+    eff = len(txt) - 2 * link_len
+    if eff <= 0:
+        return 0.0
+    return min(float(eff), float(_SCORE_CAP)) + 10.0 * txt.count(",")
+
+
+def extract_main_content(html: bytes | str | None) -> dict:
+    """Extract (title, main_text, link_density, n_paragraphs) from one
+    HTML document. Deterministic: candidate ties break by document
+    order (first-seen container wins)."""
+    if not html:
+        return {"title": "", "main_text": "", "link_density": 0.0,
+                "n_paragraphs": 0}
+    try:
+        root = parse_html(html)
+    except Exception:
+        return {"title": "", "main_text": "", "link_density": 0.0,
+                "n_paragraphs": 0}
+
+    t = root.find("title")
+    title = _norm(t.text) if t is not None else ""
+
+    # drop noise subtrees BEFORE measuring anything (their link farms
+    # would otherwise poison both scores and the page link density)
+    for n in list(root.iter_desc()):
+        if n.tag in NOISE_TAGS:
+            n.extract()
+    if not title:
+        h1 = root.find("h1")
+        title = _norm(h1.text) if h1 is not None else ""
+
+    total_chars = len(_norm(root.text))
+    page_link_chars = _link_chars(root)
+    link_density = (page_link_chars / total_chars) if total_chars else 0.0
+
+    # vote: each substantial paragraph credits its parent fully and its
+    # grandparent half (the Readability ancestor-credit rule)
+    scores: dict[int, float] = {}
+    containers: dict[int, Node] = {}
+    order: dict[int, int] = {}
+    seq = 0
+    for p in root.find_all("p"):
+        txt = _norm(p.text)
+        if len(txt) < _MIN_PARA_CHARS:
+            continue
+        s = _para_score(txt, _link_chars(p))
+        if s <= 0:
+            continue
+        node, weight = p.parent, 1.0
+        while node is not None and weight >= 0.5:
+            k = id(node)
+            if k not in containers:
+                containers[k] = node
+                order[k] = seq
+                seq += 1
+                scores[k] = 0.0
+            scores[k] += s * weight
+            node, weight = node.parent, weight / 2
+    if not containers:
+        return {"title": title, "main_text": "", "link_density":
+                round(link_density, 4), "n_paragraphs": 0}
+
+    best_key = min(scores, key=lambda k: (-scores[k], order[k]))
+    best = containers[best_key]
+    paras: list[str] = []
+    for p in best.find_all("p"):
+        txt = _norm(p.text)
+        if not txt:
+            continue
+        lc = _link_chars(p)
+        if len(txt) >= _MIN_PARA_CHARS and lc / len(txt) > \
+                _MAX_PARA_LINK_DENSITY:
+            continue  # link-list paragraph inside the winner
+        if len(txt) < _MIN_PARA_CHARS and lc >= len(txt) / 2:
+            continue  # tiny linky fragment
+        paras.append(txt)
+    return {
+        "title": title,
+        "main_text": "\n".join(paras),
+        "link_density": round(link_density, 4),
+        "n_paragraphs": len(paras),
+    }
+
+
+def main_content_batch(batch: pa.Table, *, html_col: str = "html",
+                       url_col: str = "url") -> pa.Table:
+    """Batched Arrow UDF: (url, html) -> (url, title, main_text,
+    link_density, n_paragraphs). Stateless; pass to ``map_batches``
+    directly (task pool — there is no per-worker state to amortize)."""
+    htmls = batch[html_col].to_pylist()
+    outs = [extract_main_content(h) for h in htmls]
+    return pa.table({
+        url_col: batch[url_col],
+        "title": pa.array([o["title"] for o in outs], pa.string()),
+        "main_text": pa.array([o["main_text"] for o in outs],
+                              pa.string()),
+        "link_density": pa.array([o["link_density"] for o in outs],
+                                 pa.float64()),
+        "n_paragraphs": pa.array([o["n_paragraphs"] for o in outs],
+                                 pa.int32()),
+    })

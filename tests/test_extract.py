@@ -87,3 +87,83 @@ def test_html_mini_extract():
     root = parse_html('<div id="a"><span>x</span><i>y</i></div>')
     root.find("span").extract()
     assert root.find(id_="a").text == "y"
+
+
+# --- generic main-content extraction (maincontent.py) ---------------------
+
+BOILER_PAGE = b"""<html><head><title>Example News \xe2\x80\x94 Story</title>
+<script>var x = "should never appear";</script>
+<style>.a{color:red}</style></head><body>
+<nav><a href="/">Home</a> <a href="/politics">Politics</a>
+<a href="/sports">Sports</a> <a href="/world">World</a></nav>
+<div class="sidebar"><ul>
+<li><a href="/s1">Related story one headline text</a></li>
+<li><a href="/s2">Related story two headline text</a></li>
+<li><a href="/s3">Related story three headline text</a></li>
+</ul></div>
+<div class="article-body">
+<p>The district administration announced a new irrigation scheme on
+Tuesday, officials said, covering twelve villages in the region.</p>
+<p>Farmers welcomed the decision, noting that the canal network had
+been pending for years, and sought a clear construction timeline.</p>
+<p><a href="/tag">tagged under schemes</a></p>
+<p>The collector said tenders would be floated next month.</p>
+</div>
+<footer><p>Copyright 2024 Example News. All rights reserved. Terms.
+Privacy. Contact us at example@example.org for any queries here.</p>
+<a href="/about">About</a> <a href="/terms">Terms</a></footer>
+</body></html>"""
+
+
+def test_main_content_extracts_article_drops_boilerplate():
+    from siren_ray.stages.maincontent import extract_main_content
+
+    out = extract_main_content(BOILER_PAGE)
+    assert out["title"].startswith("Example News")
+    paras = out["main_text"].split("\n")
+    assert paras[0].startswith("The district administration")
+    assert paras[1].startswith("Farmers welcomed")
+    # short all-link paragraph inside the winning container is dropped
+    assert all("tagged under" not in p for p in paras)
+    # the winner keeps its own short non-linky paragraph
+    assert any(p.startswith("The collector said") for p in paras)
+    # boilerplate never leaks
+    for bad in ("Home", "Related story", "Copyright", "should never"):
+        assert bad not in out["main_text"]
+    assert out["n_paragraphs"] == 3
+    assert 0.0 < out["link_density"] < 1.0
+
+
+def test_main_content_edge_cases():
+    from siren_ray.stages.maincontent import extract_main_content
+
+    assert extract_main_content(None)["main_text"] == ""
+    assert extract_main_content(b"")["main_text"] == ""
+    # pure link page: no content container wins
+    links = b"<html><body><nav><a href='/a'>x</a></nav></body></html>"
+    out = extract_main_content(links)
+    assert out["main_text"] == "" and out["n_paragraphs"] == 0
+    # title falls back to h1 when <title> is absent
+    h1 = (b"<html><body><h1>Headline Here</h1><div><p>"
+          b"A single long enough paragraph of body text, with a comma, "
+          b"sits alone in the document body today.</p></div></body></html>")
+    out = extract_main_content(h1)
+    assert out["title"] == "Headline Here"
+    assert out["main_text"].startswith("A single long")
+
+
+def test_main_content_batch_shape(ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.maincontent import main_content_batch
+
+    ds = rd.from_items([
+        {"url": "http://a/1", "html": BOILER_PAGE},
+        {"url": "http://a/2", "html": b"<html><body></body></html>"},
+    ])
+    out = ds.map_batches(main_content_batch,
+                         batch_format="pyarrow").to_pandas()
+    assert list(out.columns) == ["url", "title", "main_text",
+                                 "link_density", "n_paragraphs"]
+    assert out.loc[0, "n_paragraphs"] == 3
+    assert out.loc[1, "main_text"] == ""
