@@ -763,6 +763,42 @@ def q_main_content(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_url_traps(sf_dir: str):
+    """Crawler-trap URL detection (`functions/urlnorm.py:
+    url_trap_signals` — calendar-loop / parameter-explosion / over-deep
+    path screens for frontier hygiene). URLs are synthesized
+    deterministically from `documents` with arithmetic shared VERBATIM
+    with the oracle SQL (repeat('/d', doc_id%12) path runs, full doc_id
+    for uniqueness, 3-way query-string cases), so the signal kernel is
+    DuckDB-oracle-checked end to end: url_len / path_depth / n_params /
+    max_seg_repeat / is_trap all hash-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from siren_ray.functions.urlnorm import url_trap_signals
+
+    rep_lut = np.array(["/d" * k for k in range(12)], dtype=object)
+    fat_q = "?a=1&b=2&c=3&d=4&e=5&f=6&g=7"
+
+    def _mk(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        idstr = d.astype(str)
+        suffix = np.where(
+            d % 5 == 0, fat_q,
+            np.where(d % 3 == 0, np.char.add("?q=", idstr), ""))
+        urls = pc.binary_join_element_wise(
+            pa.scalar("https://"), t["source"],
+            pa.scalar(".example.org"),
+            pa.array(rep_lut[d % 12], pa.string()),
+            pa.scalar("/p/"), pa.array(idstr, pa.string()),
+            pa.array(suffix, pa.string()), pa.scalar(""))
+        return url_trap_signals(urls)
+
+    return _docs(sf_dir).select_columns(
+        ["doc_id", "source"]).map_batches(_mk, batch_format="pyarrow")
+
+
 def q_crawl(sf_dir: str):
     """Full frontier crawl on the deterministic synthetic corpus mapped
     from sf (north-rule pipeline; conformance vs simulator in tests)."""
@@ -2441,6 +2477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "main_content": q_main_content,
+        "url_traps": q_url_traps,
         "minhash_pairs": q_minhash_pairs,
         "neardup_removed": q_neardup_removed,
         "simhash": q_simhash,
@@ -2559,6 +2596,34 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
             " AS fp FROM documents"
+        ),
+        "url_traps": (
+            "WITH u AS (SELECT 'https://' || source || '.example.org' || "
+            "repeat('/d', CAST(doc_id % 12 AS INT)) || '/p/' || "
+            "CAST(doc_id AS VARCHAR) || "
+            "CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2&c=3&d=4&e=5&f=6&g=7' "
+            "WHEN doc_id % 3 = 0 THEN '?q=' || CAST(doc_id AS VARCHAR) "
+            "ELSE '' END AS url FROM documents), "
+            "p AS (SELECT url, CAST(length(url) AS BIGINT) AS url_len, "
+            "regexp_replace(url, '^[a-z]+://[^/]*', '') AS rest FROM u), "
+            "pq AS (SELECT url, url_len, "
+            "regexp_replace(rest, '\\?.*$', '') AS path, "
+            "regexp_replace(rest, '^[^?]*\\??', '') AS query FROM p), "
+            "base AS (SELECT url, url_len, CAST(length(path) - "
+            "length(replace(path, '/', '')) AS BIGINT) AS path_depth, "
+            "CAST(CASE WHEN query = '' THEN 0 ELSE length(query) - "
+            "length(replace(query, '&', '')) + 1 END AS BIGINT) "
+            "AS n_params, path FROM pq), "
+            "rep AS (SELECT url, max(c) AS max_seg_repeat FROM "
+            "(SELECT url, seg, count(*) AS c FROM (SELECT url, "
+            "unnest(string_split(path, '/')) AS seg FROM base) "
+            "WHERE seg <> '' GROUP BY url, seg) GROUP BY url) "
+            "SELECT b.url, b.url_len, b.path_depth, b.n_params, "
+            "CAST(coalesce(r.max_seg_repeat, 0) AS BIGINT) "
+            "AS max_seg_repeat, (b.path_depth > 8 OR "
+            "coalesce(r.max_seg_repeat, 0) > 2 OR b.n_params > 6 OR "
+            "b.url_len > 200) AS is_trap "
+            "FROM base b LEFT JOIN rep r USING (url)"
         ),
         "pagination_expand": (
             "WITH totals AS (SELECT event_type, count(*) AS total "

@@ -344,6 +344,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "simhash",
         "simhash_neardup",
         "main_content",
+        "url_traps",
         "connected_components",
         "sessionize",
         "grouped_topk",

@@ -143,3 +143,88 @@ def infer_mimetypes(url_col, body_col=None) -> pa.Array:
             e = (m["ext"].lower() if m else "")
             out[j] = _EXT.get(e, "text/html")
     return pa.array(out, pa.string())
+
+
+# --- crawler-trap detection ----------------------------------------------
+
+_SCHEME_HOST_RE = r"^[a-z]+://[^/]*"
+
+
+def url_trap_signals(url_col, *, depth_limit: int = 8,
+                     param_limit: int = 6, len_limit: int = 200,
+                     repeat_limit: int = 2) -> pa.Table:
+    """Vectorized crawler-trap signals over a URL column — the frontier
+    hygiene screen every web-scale crawl needs (calendar traps, session
+    loops, faceted-search parameter explosions generate unbounded URL
+    spaces; the reference's fixed scraper URL builders never face this,
+    so this is an engine addition per the task brief).
+
+    Per url: ``url_len``, ``path_depth`` (count of '/' in the path),
+    ``n_params`` ('&'-separated query entries), ``max_seg_repeat``
+    (highest multiplicity of one non-empty path segment — the
+    /a/b/a/b/a/b loop detector), and ``is_trap`` (any limit exceeded).
+    The definitions are shared verbatim with the DuckDB oracle
+    (string arithmetic, not urllib), so parity is by construction.
+
+    Fully vectorized: Arrow regex/substring kernels for the splits and
+    counts; segment multiplicity via one numpy lexsort run-length pass
+    over the exploded (row, segment-hash) pairs — no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    from ..util import hash_strings
+
+    urls = (url_col.combine_chunks()
+            if isinstance(url_col, pa.ChunkedArray) else url_col)
+    urls = pc.coalesce(urls, pa.scalar(""))
+    n = len(urls)
+    url_len = pc.utf8_length(urls)
+    rest = pc.replace_substring_regex(urls, _SCHEME_HOST_RE, "")
+    # path / query split on the first '?' (regex carve — Arrow slice
+    # kernels take scalar bounds only)
+    path = pc.replace_substring_regex(rest, r"\?.*$", "")
+    query = pc.replace_substring_regex(rest, r"^[^?]*\??", "")
+    path_depth = pc.count_substring(path, "/")
+    n_params = pc.if_else(
+        pc.equal(query, ""), pa.scalar(0, pa.int32()),
+        pc.cast(pc.add(pc.count_substring(query, "&"), 1), pa.int32()))
+    # max segment multiplicity: explode non-empty segments, hash them,
+    # lexsort (row, hash), run-length count, segment-max per row
+    segs = pc.split_pattern(path, "/")
+    seg_flat = segs.flatten()
+    lengths = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    nonempty = pc.not_equal(seg_flat, "").to_numpy(zero_copy_only=False)
+    row_idx = row_idx[nonempty]
+    seg_h = hash_strings(seg_flat.filter(pa.array(nonempty)))
+    max_rep = np.zeros(n, dtype=np.int64)
+    if len(row_idx):
+        order = np.lexsort((seg_h, row_idx))
+        r, h = row_idx[order], seg_h[order]
+        new_run = np.empty(len(r), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+        run_id = np.cumsum(new_run) - 1
+        counts = np.bincount(run_id)
+        run_row = r[new_run]
+        np.maximum.at(max_rep, run_row, counts)
+    url_len64 = pc.cast(url_len, pa.int64())
+    pd64 = pc.cast(path_depth, pa.int64())
+    np64 = pc.cast(n_params, pa.int64())
+    rep = pa.array(max_rep, pa.int64())
+    is_trap = pc.or_(
+        pc.or_(pc.greater(pd64, depth_limit),
+               pc.greater(rep, repeat_limit)),
+        pc.or_(pc.greater(np64, param_limit),
+               pc.greater(url_len64, len_limit)),
+    )
+    return pa.table({
+        "url": urls, "url_len": url_len64, "path_depth": pd64,
+        "n_params": np64, "max_seg_repeat": rep, "is_trap": is_trap,
+    })
+
+
+def url_trap_batch(batch: pa.Table, url_col: str = "url",
+                   **limits) -> pa.Table:
+    """map_batches wrapper around :func:`url_trap_signals`."""
+    return url_trap_signals(batch[url_col], **limits)

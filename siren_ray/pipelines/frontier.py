@@ -91,6 +91,7 @@ class CrawlConfig:
     driver_threshold: int = 2_000_000  # frontier rows
     resume: bool = False
     canonicalize: bool = False  # URL canonicalization before the seen-set
+    trap_filter: bool = False  # drop crawler-trap child URLs pre-seen-set
     seeds_path: str | None = None  # override corpus seeds.parquet (e.g.
     # pagerank-reprioritized seeds from stages.graph.reprioritize_seeds)
     enrich_text: bool = False  # inline quality/lang-id/fingerprint stage
@@ -176,7 +177,8 @@ def _empty_frontier() -> pa.Table:
 
 
 def _explode_links(batch: pa.Table, decay: float, max_depth: int,
-                   canonicalize: bool = False) -> pa.Table:
+                   canonicalize: bool = False,
+                   trap_filter: bool = False) -> pa.Table:
     """links list<string> -> child frontier rows.
 
     Fully vectorized: Arrow ``list_flatten``/``list_parent_indices`` for
@@ -216,6 +218,28 @@ def _explode_links(batch: pa.Table, decay: float, max_depth: int,
         from ..functions.urlnorm import canonicalize_urls
 
         flat = canonicalize_urls(pc.cast(flat, pa.string()))
+    if trap_filter:
+        # frontier hygiene: drop crawler-trap child URLs (calendar
+        # loops, parameter explosions, over-deep paths) BEFORE the
+        # seen-set / fetch ever see them — on a 10^10-URL frontier an
+        # unchecked trap host multiplies without bound. Vectorized
+        # (urlnorm.url_trap_signals); drops are logged, never silent.
+        from ..functions.urlnorm import url_trap_signals
+
+        keep = pc.invert(
+            url_trap_signals(pc.cast(flat, pa.string()))["is_trap"]
+            .combine_chunks())
+        n_drop = len(flat) - int(pc.sum(keep).as_py() or 0)
+        if n_drop:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "trap_filter: dropped %d trap child links", n_drop)
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            flat = flat.filter(keep)
+            pri = pri[keep_np]
+            dep = dep[keep_np]
+            seqs = seqs.filter(keep)
     urls = flat.to_pylist()
     return pa.table(
         {
@@ -470,6 +494,7 @@ class _Crawl:
                     chunk, r, cfg.priority_decay, cfg.max_depth,
                     os.path.join(ext_dir, f"part-{j:05d}.parquet"),
                     canonicalize=cfg.canonicalize,
+                    trap_filter=cfg.trap_filter,
                 )
                 lrefs.append(l)
                 crefs.append(c)
@@ -708,7 +733,8 @@ class _Crawl:
             _explode_links,
             fn_kwargs={"decay": cfg.priority_decay,
                        "max_depth": cfg.max_depth,
-                       "canonicalize": cfg.canonicalize},
+                       "canonicalize": cfg.canonicalize,
+                       "trap_filter": cfg.trap_filter},
             batch_format="pyarrow",
         ).select_columns(FRONTIER_COLS)
         for part in deferred_parts:

@@ -325,7 +325,7 @@ class FetchExtractActor:
 
     def process(self, chunk: pa.Table, round_no: int, decay: float,
                 max_depth: int, out_path: str | None = None,
-                canonicalize: bool = False):
+                canonicalize: bool = False, trap_filter: bool = False):
         """Fetch+extract one chunk; with ``out_path``, write the extracted
         rows straight to a per-chunk Parquet part (resumable
         round-partitioned layout, written where the data already is) and
@@ -340,7 +340,8 @@ class FetchExtractActor:
         from ..pipelines.frontier import _explode_links  # local import, no cycle at module load
 
         links = _explode_links(extracted, decay, max_depth,
-                               canonicalize=canonicalize)
+                               canonicalize=canonicalize,
+                               trap_filter=trap_filter)
         found = extracted["found"].to_numpy(zero_copy_only=False)
         ok = pa.compute.and_kleene(
             extracted["found"], extracted["parse_ok"]

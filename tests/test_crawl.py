@@ -238,3 +238,52 @@ def test_crawl_survives_actor_kill(ray_session, tmp_path):
     assert res_a.total_fetched == res_b.total_fetched
     assert res_a.seen_size == res_b.seen_size
     assert order_a.equals(order_b)
+
+
+# --- crawler-trap filtering (CrawlConfig.trap_filter) ---------------------
+
+def test_explode_links_trap_filter_drops_trap_children():
+    import pyarrow as pa
+
+    from siren_ray.pipelines.frontier import _explode_links
+
+    batch = pa.table({
+        "url": ["https://h.example.org/page"],
+        "depth": pa.array([0], pa.int32()),
+        "priority": pa.array([1.0], pa.float64()),
+        "seq": ["000001"],
+        "links": [[
+            "https://h.example.org/ok/one",
+            "https://h.example.org/a/b/a/b/a/b/loop",      # segment trap
+            "https://h.example.org/x?a=1&b=2&c=3&d=4&e=5&f=6&g=7",
+            "https://h.example.org/ok/two",
+        ]],
+    })
+    out = _explode_links(batch, decay=0.5, max_depth=8, trap_filter=True)
+    urls = out["url"].to_pylist()
+    assert urls == ["https://h.example.org/ok/one",
+                    "https://h.example.org/ok/two"]
+    # seq assignment is computed BEFORE the trap drop, so surviving
+    # children keep their original link indices (determinism contract)
+    assert out["seq"].to_pylist() == ["00000100000", "00000100003"]
+    # off by default: nothing dropped
+    off = _explode_links(batch, decay=0.5, max_depth=8)
+    assert off.num_rows == 4
+
+
+def test_crawl_trap_filter_invariant_on_clean_corpus(
+        corpus_sf0001, tmp_path_factory, sim):
+    """The synthetic corpus has no trap URLs, so trap_filter=True must
+    leave the crawl byte-identical to the simulator (same invariance
+    contract as canonicalize on a canonical corpus)."""
+    out = str(tmp_path_factory.mktemp("crawl_trap"))
+    run_crawl(CrawlConfig(
+        corpus_dir=corpus_sf0001, out_dir=out, fetch_mode="broadcast",
+        scheduler="driver", trap_filter=True, **PARAMS,
+    ))
+    t = read_crawl_order(out)
+    eng = list(zip(t["round"].to_pylist(), t["url"].to_pylist(),
+                   t["seq"].to_pylist()))
+    sim_order = [(r, url, seq) for (r, _rk, url, _p, seq, _f)
+                 in sim.crawl_order]
+    assert eng == sim_order

@@ -116,3 +116,30 @@ def test_crawl_with_canonicalization_unchanged_on_canonical_corpus(
                         t["seq"].to_pylist()))
 
     assert order(a.out_dir) == order(b.out_dir)
+
+
+def test_url_trap_signals_kernel():
+    import pyarrow as pa
+
+    from siren_ray.functions.urlnorm import url_trap_signals
+
+    t = url_trap_signals(pa.array([
+        "https://h.example.org/x/y/z",                  # clean
+        "https://h.example.org/a/b/a/b/a/b/page",       # segment loop
+        "https://h.example.org/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7",  # params
+        "https://h.example.org/" + "d/" * 12 + "end",   # depth
+        "https://h.example.org/p?" + "x" * 300,         # length
+        "https://h.example.org",                        # no path
+        "",                                             # degenerate
+        None,                                           # null
+    ]))
+    d = t.to_pandas()
+    assert list(d["is_trap"]) == [False, True, True, True, True,
+                                  False, False, False]
+    assert d.loc[1, "max_seg_repeat"] == 3
+    assert d.loc[2, "n_params"] == 7
+    assert d.loc[3, "path_depth"] == 13
+    assert d.loc[5, "path_depth"] == 0 and d.loc[5, "n_params"] == 0
+    # consecutive slashes produce no phantom empty segments
+    t2 = url_trap_signals(pa.array(["https://h/x//x//x/y"]))
+    assert t2.to_pandas().loc[0, "max_seg_repeat"] == 3
