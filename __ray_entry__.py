@@ -763,6 +763,28 @@ def q_main_content(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_anchor_text(sf_dir: str):
+    """Anchor-text link index: extract (src, dst, anchor) edges from the
+    corpus HTML (`stages/maincontent.py:anchor_links_batch`, map-only),
+    then one dst-grouped vectorized aggregation -> per-target in-link
+    count and deterministic min anchor string (the off-page relevance
+    signal search pipelines consume). Rows-only (HTML parse not
+    SQL-expressible; fixture-golden tests in t:test_extract)."""
+    import ray.data as rd
+
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.stages.maincontent import anchor_links_batch
+    from siren_ray.stages.relational import grouped_agg
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    pages = rd.read_parquet(os.path.join(corpus, "pages"),
+                            columns=["url", "html"])
+    edges = pages.map_batches(anchor_links_batch, batch_format="pyarrow")
+    return grouped_agg(edges, ["dst"],
+                       {"n_inlinks": ("anchor", "count"),
+                        "min_anchor": ("anchor", "min")})
+
+
 def q_url_traps(sf_dir: str):
     """Crawler-trap URL detection (`functions/urlnorm.py:
     url_trap_signals` — calendar-loop / parameter-explosion / over-deep
@@ -2477,6 +2499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "main_content": q_main_content,
+        "anchor_text": q_anchor_text,
         "url_traps": q_url_traps,
         "minhash_pairs": q_minhash_pairs,
         "neardup_removed": q_neardup_removed,

@@ -152,3 +152,71 @@ def main_content_batch(batch: pa.Table, *, html_col: str = "html",
         "n_paragraphs": pa.array([o["n_paragraphs"] for o in outs],
                                  pa.int32()),
     })
+
+
+# --- anchor-text link extraction ------------------------------------------
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+
+
+def anchor_links(url: str, html: bytes | str | None,
+                 *, drop_noise: bool = True) -> list[dict]:
+    """(src page) -> [(src, dst, anchor_text)] for every ``<a href>`` —
+    the anchor-text edge list web search/rank pipelines consume (anchor
+    text is the classic off-page relevance signal; dst in-links feed
+    PageRank/HITS in ``stages/graph.py``).
+
+    Relative hrefs resolve against the source URL (RFC 3986 urljoin);
+    fragment-only, empty and non-fetchable (javascript:/mailto:/tel:/
+    data:) hrefs are skipped; ``drop_noise`` removes nav/footer/aside
+    subtrees first so boilerplate chrome links don't dominate the edge
+    list (set False for a complete graph)."""
+    from urllib.parse import urljoin
+
+    if not html:
+        return []
+    try:
+        root = parse_html(html)
+    except Exception:
+        return []
+    if drop_noise:
+        for n in list(root.iter_desc()):
+            if n.tag in NOISE_TAGS and n.tag != "figure":
+                n.extract()
+    out = []
+    for a in root.find_all("a"):
+        href = (a.get("href") or "").strip()
+        if not href or href.startswith("#"):
+            continue
+        if href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        dst = urljoin(url, href)
+        frag = dst.find("#")
+        if frag >= 0:
+            dst = dst[:frag]
+        if not dst:
+            continue
+        out.append({"src": url, "dst": dst,
+                    "anchor": _norm(a.text)})
+    return out
+
+
+def anchor_links_batch(batch: pa.Table, *, html_col: str = "html",
+                       url_col: str = "url",
+                       drop_noise: bool = True) -> pa.Table:
+    """Batched flat-map: one (src, dst, anchor) row per extracted link.
+    Stateless map-only stage; the edge list is the shuffle-ready input
+    for dst-grouped anchor aggregation or the graph operators."""
+    urls = batch[url_col].to_pylist()
+    htmls = batch[html_col].to_pylist()
+    src, dst, anc = [], [], []
+    for u, h in zip(urls, htmls):
+        for e in anchor_links(u, h, drop_noise=drop_noise):
+            src.append(e["src"])
+            dst.append(e["dst"])
+            anc.append(e["anchor"])
+    return pa.table({
+        "src": pa.array(src, pa.string()),
+        "dst": pa.array(dst, pa.string()),
+        "anchor": pa.array(anc, pa.string()),
+    })

@@ -167,3 +167,43 @@ def test_main_content_batch_shape(ray_session):
                                  "link_density", "n_paragraphs"]
     assert out.loc[0, "n_paragraphs"] == 3
     assert out.loc[1, "main_text"] == ""
+
+
+def test_anchor_links_resolution_and_noise():
+    from siren_ray.stages.maincontent import anchor_links
+
+    html = (b"<html><body>"
+            b"<nav><a href='/home'>Home</a></nav>"
+            b"<div><a href='story/42'>Relative story link</a>"
+            b"<a href='https://other.example.org/x#frag'>Abs</a>"
+            b"<a href='#top'>Top</a>"
+            b"<a href='javascript:void(0)'>js</a>"
+            b"<a href='mailto:a@b.c'>mail</a>"
+            b"<a href=''>empty</a></div>"
+            b"</body></html>")
+    out = anchor_links("https://h.example.org/sec/page", html)
+    assert [(e["dst"], e["anchor"]) for e in out] == [
+        ("https://h.example.org/sec/story/42", "Relative story link"),
+        ("https://other.example.org/x", "Abs"),
+    ]
+    # drop_noise=False keeps the nav link, resolved absolute
+    full = anchor_links("https://h.example.org/sec/page", html,
+                        drop_noise=False)
+    assert full[0]["dst"] == "https://h.example.org/home"
+    assert len(full) == 3
+    assert anchor_links("https://h/x", None) == []
+
+
+def test_anchor_links_batch_stage(ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.maincontent import anchor_links_batch
+
+    ds = rd.from_items([
+        {"url": "https://h/x", "html": b"<a href='/a'>One link</a>"},
+        {"url": "https://h/y", "html": b"<p>no links</p>"},
+    ])
+    out = ds.map_batches(anchor_links_batch,
+                         batch_format="pyarrow").to_pandas()
+    assert list(out.columns) == ["src", "dst", "anchor"]
+    assert len(out) == 1 and out.loc[0, "dst"] == "https://h/a"
