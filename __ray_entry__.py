@@ -785,6 +785,39 @@ def q_anchor_text(sf_dir: str):
                         "min_anchor": ("anchor", "min")})
 
 
+def q_sitemap(sf_dir: str):
+    """Sitemap discovery source (`sources/sitemap.py` — sitemaps.org
+    urlset/sitemapindex/gzip parsing, map-only flat-map). ORACLE-checked
+    hash-exact: the query builds one REAL multi-entry urlset XML per
+    `documents` source (deterministic doc_id arithmetic), parses it
+    back through the operator, and the DuckDB oracle states the
+    expected (loc, lastmod) rows directly — the parser must recover
+    exactly the embedded entries. The per-source XML build is fixture
+    scaffolding over ~5 groups, not an engine hot path."""
+    import numpy as np
+    import pandas as pd
+
+    from siren_ray.sources.sitemap import sitemap_batch
+
+    def _build(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"].iloc[0]
+        ids = np.sort(df["doc_id"].to_numpy())
+        entries = "".join(
+            f"<url><loc>https://{src}.example.org/p/{i}</loc>"
+            f"<lastmod>2024-01-{i % 28 + 1:02d}</lastmod></url>"
+            for i in ids)
+        return pd.DataFrame({
+            "url": [f"https://{src}.example.org/sitemap.xml"],
+            "html": [f"<urlset>{entries}</urlset>".encode()],
+        })
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+    sitemaps = docs.groupby("source").map_groups(
+        _build, batch_format="pandas")
+    entries = sitemaps.map_batches(sitemap_batch, batch_format="pyarrow")
+    return entries.select_columns(["loc", "lastmod"])
+
+
 def q_url_traps(sf_dir: str):
     """Crawler-trap URL detection (`functions/urlnorm.py:
     url_trap_signals` — calendar-loop / parameter-explosion / over-deep
@@ -2500,6 +2533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl": q_crawl,
         "main_content": q_main_content,
         "anchor_text": q_anchor_text,
+        "sitemap": q_sitemap,
         "url_traps": q_url_traps,
         "minhash_pairs": q_minhash_pairs,
         "neardup_removed": q_neardup_removed,
@@ -2619,6 +2653,12 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
             " AS fp FROM documents"
+        ),
+        "sitemap": (
+            "SELECT 'https://' || source || '.example.org/p/' || "
+            "CAST(doc_id AS VARCHAR) AS loc, '2024-01-' || "
+            "lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod "
+            "FROM documents"
         ),
         "url_traps": (
             "WITH u AS (SELECT 'https://' || source || '.example.org' || "

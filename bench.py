@@ -346,6 +346,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "main_content",
         "url_traps",
         "anchor_text",
+        "sitemap",
         "connected_components",
         "sessionize",
         "grouped_topk",

@@ -49,3 +49,53 @@ def test_config_date_defaults():
     assert c2.start == datetime(2024, 1, 7)  # only end -> end-days
     c3 = RunConfig(scraper="x", days=2)
     assert (c3.end - c3.start) == timedelta(days=2)
+
+
+# --- sitemap discovery source (sources/sitemap.py) ------------------------
+
+def test_parse_sitemap_urlset_index_and_gzip():
+    import gzip
+
+    from siren_ray.sources.sitemap import parse_sitemap
+
+    urlset = (b"<?xml version='1.0'?>"
+              b"<urlset xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'>"
+              b"<url><loc> https://h.example.org/a </loc>"
+              b"<lastmod>2024-01-05</lastmod></url>"
+              b"<url><loc>https://h.example.org/b</loc></url>"
+              b"<url><lastmod>2024-01-06</lastmod></url>"  # no loc: skip
+              b"</urlset>")
+    got = parse_sitemap("https://h.example.org/sitemap.xml", urlset)
+    assert [(e["loc"], e["lastmod"], e["is_index"]) for e in got] == [
+        ("https://h.example.org/a", "2024-01-05", False),
+        ("https://h.example.org/b", None, False),
+    ]
+    idx = (b"<sitemapindex>"
+           b"<sitemap><loc>https://h.example.org/sm-1.xml.gz</loc>"
+           b"<lastmod>2024-02-01</lastmod></sitemap>"
+           b"</sitemapindex>")
+    got = parse_sitemap("https://h.example.org/sitemap.xml", idx)
+    assert got[0]["is_index"] is True
+    assert got[0]["loc"] == "https://h.example.org/sm-1.xml.gz"
+    # gzip-compressed payloads decompress transparently
+    got = parse_sitemap("https://h/s.xml.gz", gzip.compress(urlset))
+    assert len(got) == 2
+    # degenerate inputs
+    assert parse_sitemap("https://h/s", None) == []
+    assert parse_sitemap("https://h/s", b"\x1f\x8bnot-gzip") == []
+    assert parse_sitemap("https://h/s", b"<html>no sitemap</html>") == []
+
+
+def test_sitemap_batch_stage(ray_session):
+    import ray.data as rd
+
+    from siren_ray.sources.sitemap import sitemap_batch
+
+    ds = rd.from_items([
+        {"url": "https://h/s1.xml",
+         "html": b"<urlset><url><loc>https://h/p1</loc></url></urlset>"},
+        {"url": "https://h/s2.xml", "html": b""},
+    ])
+    out = ds.map_batches(sitemap_batch, batch_format="pyarrow").to_pandas()
+    assert list(out.columns) == ["src", "loc", "lastmod", "is_index"]
+    assert len(out) == 1 and out.loc[0, "loc"] == "https://h/p1"
