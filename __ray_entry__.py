@@ -785,6 +785,41 @@ def q_anchor_text(sf_dir: str):
                         "min_anchor": ("anchor", "min")})
 
 
+def q_charset_decode(sf_dir: str):
+    """Charset-sniffing HTML decode (`stages/maincontent.py:
+    decode_html_batch` — WHATWG-style BOM / meta-charset / fallback
+    chain, the WARC-ingest decode step). ORACLE-checked hash-exact via
+    a deterministic round-trip: each documents row is ENCODED by
+    doc_id%3 (plain UTF-8 / BOM utf-16 / meta-tagged latin-1), decoded
+    back through the operator, and the DuckDB oracle states the
+    expected text and detected encoding directly."""
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import decode_html_batch
+
+    def _encode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        payloads = []
+        for i, x in zip(ids, texts):
+            x = x or ""
+            m = i % 3
+            if m == 0:
+                payloads.append(x.encode("utf-8"))
+            elif m == 1:
+                payloads.append(x.encode("utf-16"))
+            else:
+                payloads.append(
+                    ("<meta charset='latin-1'>" + x).encode("latin-1"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "html": pa.array(payloads, pa.binary())})
+
+    enc = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _encode, batch_format="pyarrow")
+    out = enc.map_batches(decode_html_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "html_text", "encoding"])
+
+
 def q_sitemap(sf_dir: str):
     """Sitemap discovery source (`sources/sitemap.py` — sitemaps.org
     urlset/sitemapindex/gzip parsing, map-only flat-map). ORACLE-checked
@@ -2533,6 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl": q_crawl,
         "main_content": q_main_content,
         "anchor_text": q_anchor_text,
+        "charset_decode": q_charset_decode,
         "sitemap": q_sitemap,
         "url_traps": q_url_traps,
         "minhash_pairs": q_minhash_pairs,
@@ -2653,6 +2689,14 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
             " AS fp FROM documents"
+        ),
+        "charset_decode": (
+            "SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN "
+            "'<meta charset=''latin-1''>' || coalesce(text, '') "
+            "ELSE coalesce(text, '') END AS html_text, "
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'utf-8' "
+            "WHEN 1 THEN 'utf-16-le' ELSE 'latin-1' END AS encoding "
+            "FROM documents"
         ),
         "sitemap": (
             "SELECT 'https://' || source || '.example.org/p/' || "

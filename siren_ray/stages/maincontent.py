@@ -220,3 +220,65 @@ def anchor_links_batch(batch: pa.Table, *, html_col: str = "html",
         "dst": pa.array(dst, pa.string()),
         "anchor": pa.array(anc, pa.string()),
     })
+
+
+# --- charset-sniffing decode ----------------------------------------------
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I)
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+
+def decode_html(payload: bytes | str | None) -> tuple[str, str]:
+    """Decode a raw HTML byte payload to text, sniffing the encoding the
+    way browsers (WHATWG) and Common-Crawl processors do: BOM first,
+    then a ``<meta charset=…>`` / ``http-equiv`` declaration scanned in
+    the first 1024 bytes, else UTF-8; undecodable byte sequences fall
+    back to latin-1 (which never fails) rather than dropping the
+    document. Returns ``(text, encoding_used)``.
+
+    The corpus generator writes clean UTF-8 so the crawl's hot path
+    never needs this, but a real WARC ingest does — it slots between
+    ``read_warc`` and the extraction stages as a map-only transform."""
+    if payload is None:
+        return "", "utf-8"
+    if isinstance(payload, str):
+        return payload, "utf-8"
+    for bom, enc in _BOMS:
+        if payload.startswith(bom):
+            try:
+                # utf-8-sig consumes its BOM; utf-16 BOMs are sliced off
+                body = payload if enc == "utf-8-sig" else payload[len(bom):]
+                return body.decode(enc), enc
+            except UnicodeDecodeError:
+                break
+    m = _META_CHARSET_RE.search(payload[:1024])
+    if m:
+        enc = m.group(1).decode("ascii", "replace").lower()
+        try:
+            return payload.decode(enc), enc
+        except (UnicodeDecodeError, LookupError):
+            pass
+    try:
+        return payload.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return payload.decode("latin-1"), "latin-1"
+
+
+def decode_html_batch(batch: pa.Table, *, payload_col: str = "html",
+                      out_col: str = "html_text") -> pa.Table:
+    """Map-only batched decode: appends ``out_col`` (decoded text) and
+    ``encoding`` columns."""
+    payloads = batch[payload_col].to_pylist()
+    texts, encs = [], []
+    for p in payloads:
+        t, e = decode_html(p)
+        texts.append(t)
+        encs.append(e)
+    return batch.append_column(
+        out_col, pa.array(texts, pa.string())
+    ).append_column("encoding", pa.array(encs, pa.string()))

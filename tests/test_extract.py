@@ -207,3 +207,49 @@ def test_anchor_links_batch_stage(ray_session):
                          batch_format="pyarrow").to_pandas()
     assert list(out.columns) == ["src", "dst", "anchor"]
     assert len(out) == 1 and out.loc[0, "dst"] == "https://h/a"
+
+
+def test_decode_html_charset_sniffing():
+    from siren_ray.stages.maincontent import decode_html
+
+    # BOM wins (and is stripped from the decoded text)
+    t, e = decode_html("héllo".encode("utf-8-sig"))
+    assert (t, e) == ("héllo", "utf-8-sig")
+    t, e = decode_html("héllo".encode("utf-16"))  # BOM-prefixed utf-16
+    assert t == "héllo" and e.startswith("utf-16")
+    # meta charset declaration
+    raw = ("<html><head><meta charset='iso-8859-1'></head>"
+           "<body>caf\xe9</body></html>").encode("latin-1")
+    t, e = decode_html(raw)
+    assert e == "iso-8859-1" and "café" in t
+    # http-equiv form
+    raw = (b"<meta http-equiv='Content-Type' "
+           b"content='text/html; charset=windows-1252'>caf\xe9")
+    t, e = decode_html(raw)
+    assert e == "windows-1252" and "café" in t
+    # clean utf-8 default, latin-1 last resort
+    assert decode_html("plain".encode())[1] == "utf-8"
+    assert decode_html(b"\xff\xfa\x01")[1] in ("latin-1", "utf-16-le")
+    assert decode_html(None) == ("", "utf-8")
+    # declared charset that cannot decode the bytes -> fallback chain
+    raw = b"<meta charset='utf-8'>caf\xe9"
+    t, e = decode_html(raw)
+    assert e == "latin-1" and "café" in t
+
+
+def test_decode_html_batch_stage(ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.maincontent import decode_html_batch
+
+    ds = rd.from_items([
+        {"url": "u1", "html": "héllo".encode("utf-8")},
+        {"url": "u2", "html": ("<meta charset='latin-1'>"
+                               "caf\xe9").encode("latin-1")},
+    ])
+    out = ds.map_batches(decode_html_batch,
+                         batch_format="pyarrow").to_pandas()
+    assert "html_text" in out.columns and "encoding" in out.columns
+    out = out.set_index("url")
+    assert out.loc["u1", "html_text"] == "héllo"
+    assert "café" in out.loc["u2", "html_text"]
