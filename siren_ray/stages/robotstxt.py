@@ -110,3 +110,26 @@ def robots_from_http(hosts, transport, *, scheme: str = "https",
             continue
         out[h] = parse_robots_txt(text, agent=agent)
     return out
+
+
+def robots_sitemaps(text: str) -> list[str]:
+    """Extract ``Sitemap:`` directive URLs from a robots.txt body — the
+    standard discovery hook for the sitemap source
+    (``sources/sitemap.py``). Per the REP, Sitemap lines are GLOBAL
+    (not scoped to a user-agent group), so this scan is independent of
+    the group selection in :func:`parse_robots_txt`. The single
+    ``partition(":")`` split keeps the ``https://`` colon intact;
+    duplicates are removed first-wins, order preserved."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            v = value.strip()
+            if v and v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out

@@ -84,3 +84,25 @@ def test_robots_over_http_end_to_end():
     assert robots["a.example.org"] == (["/siren-only/"], 500)
     assert "b.example.org" not in robots  # 404 -> unrestricted
     assert is_disallowed(robots, "a.example.org", "/siren-only/p")
+
+
+def test_robots_sitemaps_global_directives():
+    from siren_ray.stages.robotstxt import robots_sitemaps
+
+    body = """
+# comment
+User-agent: *
+Disallow: /private
+Sitemap: https://h.example.org/sitemap.xml
+User-agent: otherbot
+Sitemap: https://h.example.org/news-sitemap.xml  # trailing comment
+Sitemap: https://h.example.org/sitemap.xml
+sitemap: https://h.example.org/lower.xml
+"""
+    assert robots_sitemaps(body) == [
+        "https://h.example.org/sitemap.xml",
+        "https://h.example.org/news-sitemap.xml",
+        "https://h.example.org/lower.xml",
+    ]
+    assert robots_sitemaps("") == []
+    assert robots_sitemaps(None) == []
