@@ -659,21 +659,33 @@ class _Crawl:
             selected = eligible
 
         t_fetch0 = time.perf_counter()
-        fetched = (
-            selected.map_batches(
-                seen_add_batch, fn_kwargs=self._seen_kwargs,
-                batch_format="pyarrow",
-            )
-            .map_batches(
+        marked = selected.map_batches(
+            seen_add_batch, fn_kwargs=self._seen_kwargs,
+            batch_format="pyarrow",
+        )
+        if self.fetch_kwargs.get("http_base") is not None:
+            # live HTTP: per-actor transport state is real — actor pool
+            fetched = marked.map_batches(
                 FetchExtract,
                 fn_constructor_kwargs=self.fetch_kwargs,
                 fn_kwargs={"round_no": r},
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
                 concurrency=(1, cfg.fetch_concurrency),
-            )
-            .materialize()
-        )
+            ).materialize()
+        else:
+            # corpus modes: TASK pool with per-worker-process cached
+            # lookup state (stages/fetch.py:fetch_extract_task) — a
+            # fresh actor pool per round paid spin-up and lost the
+            # bucket cache every round
+            from ..stages.fetch import fetch_extract_task
+
+            fetched = marked.map_batches(
+                fetch_extract_task,
+                fn_kwargs={"round_no": r, **self.fetch_kwargs},
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+            ).materialize()
         n_sel = fetched.count()
         t_fetch = time.perf_counter() - t_fetch0
 

@@ -79,6 +79,51 @@ _NULL_EXTRACT_COLS: list[tuple[str, pa.DataType]] = [
 ]
 
 
+# per-worker-process caches (CLAUDE.md task-pool discipline): Ray worker
+# processes persist across Dataset executions, so corpus-lookup state
+# cached here survives the per-round map_batches teardown that destroys
+# actor instances. Bounded: one broadcast corpus, cache_buckets buckets.
+_BCAST_COLS_CACHE: dict = {}
+_BUCKET_CACHE: OrderedDict = OrderedDict()
+_FETCH_CACHE: dict = {}
+
+
+def _cached_fetch_extract(**kwargs) -> "FetchExtract":
+    """Per-worker-process FetchExtract construction cache for TASK-pool
+    use (corpus modes only — live-HTTP keeps a real per-actor
+    transport). Keyed by the lookup identity; the heavy state behind it
+    (broadcast columns / bucket LRU) is itself process-global, so even
+    a key miss only pays object construction."""
+    ref = kwargs.get("pages_ref")
+    key = (
+        ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref),
+        kwargs.get("pages_dir"), kwargs.get("num_buckets"),
+        kwargs.get("cache_buckets"), kwargs.get("enrich"),
+    )
+    fe = _FETCH_CACHE.get(key)
+    if fe is None:
+        if len(_FETCH_CACHE) > 4:
+            _FETCH_CACHE.clear()
+        fe = FetchExtract(**kwargs)
+        _FETCH_CACHE[key] = fe
+    return fe
+
+
+def fetch_extract_task(batch: pa.Table, *, round_no: int | None = None,
+                       **kwargs) -> pa.Table:
+    """Task-pool fetch+extract: same semantics as the FetchExtract
+    actor, but runs on the shared task pool with per-worker-process
+    cached state — no actor spin-up per Dataset execution. This is the
+    distributed scheduler's per-round fetch path (a new actor pool per
+    round paid spin-up AND lost the bucket cache every round; measured
+    ~450 URLs/s vs the driver path's ~9000/s at sf0.01). Only for
+    corpus modes; live HTTP needs the per-actor transport."""
+    if kwargs.get("http_base") is not None:
+        raise ValueError("fetch_extract_task: http mode needs the "
+                         "FetchExtract actor pool")
+    return _cached_fetch_extract(**kwargs)(batch, round_no=round_no)
+
+
 class FetchExtract:
     """Actor-pool callable: scheduling rows in, extracted rows out."""
 
@@ -100,7 +145,6 @@ class FetchExtract:
         self.enrich = enrich
         self.num_buckets = num_buckets
         self.cache_buckets = cache_buckets
-        self._bucket_cache: OrderedDict[int, tuple[dict, pa.Table]] = OrderedDict()
         self.pages_dir = pages_dir
         if http_base is not None:
             # live-HTTP mode (F3/F5): one transport per actor, built once
@@ -115,14 +159,27 @@ class FetchExtract:
             self.mode = "http"
         elif pages_ref is not None:
             # ray auto-derefs ObjectRef args to actors; map_batches
-            # fn_constructor_kwargs pass the ref through untouched
-            table: pa.Table = (
-                ray.get(pages_ref)
-                if isinstance(pages_ref, ray.ObjectRef)
-                else pages_ref
-            )  # zero-copy from plasma either way
-            self._urls = table["url"].combine_chunks()
-            self._html = table["html"].combine_chunks()
+            # fn_constructor_kwargs pass the ref through untouched.
+            # The decoded (urls, html) columns are cached PER WORKER
+            # PROCESS (keyed by the ref identity), so a fresh
+            # FetchExtract in the same long-lived Ray worker — e.g. the
+            # distributed scheduler building one per round — skips the
+            # plasma map + combine_chunks instead of repaying it.
+            key = (pages_ref.hex()
+                   if isinstance(pages_ref, ray.ObjectRef)
+                   else id(pages_ref))
+            cached = _BCAST_COLS_CACHE.get(key)
+            if cached is None:
+                table: pa.Table = (
+                    ray.get(pages_ref)
+                    if isinstance(pages_ref, ray.ObjectRef)
+                    else pages_ref
+                )  # zero-copy from plasma either way
+                cached = (table["url"].combine_chunks(),
+                          table["html"].combine_chunks())
+                _BCAST_COLS_CACHE.clear()  # one corpus per worker
+                _BCAST_COLS_CACHE[key] = cached
+            self._urls, self._html = cached
             self.mode = "broadcast"
         else:
             assert pages_dir is not None
@@ -149,16 +206,21 @@ class FetchExtract:
         return pa.array(bodies, pa.binary())
 
     def _bucket_table(self, b: int) -> tuple[pa.Array, pa.Array]:
-        cached = self._bucket_cache.get(b)
+        # PROCESS-global LRU (keyed by pages_dir too): Ray worker
+        # processes are long-lived, so decoded buckets survive across
+        # map_batches executions — the distributed scheduler's per-round
+        # fetch no longer re-reads every bucket it touched last round.
+        key = (self.pages_dir, b)
+        cached = _BUCKET_CACHE.get(key)
         if cached is not None:
-            self._bucket_cache.move_to_end(b)
+            _BUCKET_CACHE.move_to_end(key)
             return cached
         dset = pads.dataset(self.pages_dir, partitioning="hive")
         t = dset.to_table(columns=["url", "html"], filter=pads.field("bucket") == b)
         entry = (t["url"].combine_chunks(), t["html"].combine_chunks())
-        self._bucket_cache[b] = entry
-        while len(self._bucket_cache) > self.cache_buckets:
-            self._bucket_cache.popitem(last=False)
+        _BUCKET_CACHE[key] = entry
+        while len(_BUCKET_CACHE) > self.cache_buckets:
+            _BUCKET_CACHE.popitem(last=False)
         return entry
 
     def _lookup_bucketed(self, url_arr: pa.Array) -> pa.Array:
