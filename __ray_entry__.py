@@ -853,6 +853,54 @@ def q_sitemap(sf_dir: str):
     return entries.select_columns(["loc", "lastmod"])
 
 
+def q_feed(sf_dir: str):
+    """RSS/Atom feed discovery source (`sources/feeds.py` — the other
+    universal seed-expansion protocol next to sitemaps; map-only
+    flat-map, RFC 822 / ISO 8601 timestamp normalization to epoch
+    seconds). ORACLE-checked hash-exact: the query builds one REAL RSS
+    feed (even doc_ids) and one REAL Atom feed (odd doc_ids) per
+    `documents` source with deterministic doc_id arithmetic, parses
+    them back through the operator, and the DuckDB oracle states the
+    expected (link, title, published_ts, kind) rows directly — the
+    parser and both timestamp grammars must recover exactly the
+    embedded entries. Per-source XML build is fixture scaffolding over
+    ~5 groups, not an engine hot path."""
+    import numpy as np
+    import pandas as pd
+
+    from siren_ray.sources.feeds import feed_batch
+
+    def _build(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"].iloc[0]
+        ids = np.sort(df["doc_id"].to_numpy())
+        rss = "".join(
+            f"<item><title>doc {i}</title>"
+            f"<link>https://{src}.example.org/a/{i}</link>"
+            f"<pubDate>{i % 28 + 1:02d} Jan 2024 "
+            f"{i % 24:02d}:00:00 +0000</pubDate></item>"
+            for i in ids if i % 2 == 0)
+        atom = "".join(
+            f"<entry><title>doc {i}</title>"
+            f"<link rel='alternate' "
+            f"href='https://{src}.example.org/a/{i}'/>"
+            f"<updated>2024-01-{i % 28 + 1:02d}T"
+            f"{i % 24:02d}:00:00Z</updated></entry>"
+            for i in ids if i % 2 == 1)
+        return pd.DataFrame({
+            "url": [f"https://{src}.example.org/feed.rss",
+                    f"https://{src}.example.org/feed.atom"],
+            "html": [f"<rss><channel>{rss}</channel></rss>".encode(),
+                     f"<feed>{atom}</feed>".encode()],
+        })
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+    feeds = docs.groupby("source").map_groups(
+        _build, batch_format="pandas")
+    entries = feeds.map_batches(feed_batch, batch_format="pyarrow")
+    return entries.select_columns(
+        ["link", "title", "published_ts", "kind"])
+
+
 def q_url_traps(sf_dir: str):
     """Crawler-trap URL detection (`functions/urlnorm.py:
     url_trap_signals` — calendar-loop / parameter-explosion / over-deep
@@ -2570,6 +2618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": q_anchor_text,
         "charset_decode": q_charset_decode,
         "sitemap": q_sitemap,
+        "feed": q_feed,
         "url_traps": q_url_traps,
         "minhash_pairs": q_minhash_pairs,
         "neardup_removed": q_neardup_removed,
@@ -2703,6 +2752,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR) AS loc, '2024-01-' || "
             "lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod "
             "FROM documents"
+        ),
+        "feed": (
+            "SELECT 'https://' || source || '.example.org/a/' || "
+            "CAST(doc_id AS VARCHAR) AS link, "
+            "'doc ' || CAST(doc_id AS VARCHAR) AS title, "
+            "CAST(1704067200 + (doc_id % 28) * 86400 + "
+            "(doc_id % 24) * 3600 AS BIGINT) AS published_ts, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END "
+            "AS kind FROM documents"
         ),
         "url_traps": (
             "WITH u AS (SELECT 'https://' || source || '.example.org' || "

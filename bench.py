@@ -347,6 +347,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "url_traps",
         "anchor_text",
         "sitemap",
+        "feed",
         "charset_decode",
         "connected_components",
         "sessionize",

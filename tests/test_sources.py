@@ -99,3 +99,69 @@ def test_sitemap_batch_stage(ray_session):
     out = ds.map_batches(sitemap_batch, batch_format="pyarrow").to_pandas()
     assert list(out.columns) == ["src", "loc", "lastmod", "is_index"]
     assert len(out) == 1 and out.loc[0, "loc"] == "https://h/p1"
+
+
+def test_parse_feed_rss_and_atom():
+    import gzip
+
+    from siren_ray.sources.feeds import parse_feed
+
+    rss = (b"<?xml version='1.0'?><rss version='2.0'><channel>"
+           b"<title>chan title ignored</title>"
+           b"<link>https://h.example.org/</link>"
+           b"<item><title><![CDATA[A &amp; B]]></title>"
+           b"<link> https://h.example.org/a </link>"
+           b"<pubDate>Mon, 05 Jan 2024 06:30:00 +0000</pubDate></item>"
+           b"<item><link>https://h.example.org/b</link></item>"
+           b"<item><title>no link: skip</title></item>"
+           b"</channel></rss>")
+    got = parse_feed("https://h.example.org/feed.xml", rss)
+    assert [(e["link"], e["title"], e["published_ts"], e["kind"])
+            for e in got] == [
+        ("https://h.example.org/a", "A &amp; B", 1704436200, "rss"),
+        ("https://h.example.org/b", None, None, "rss"),
+    ]
+
+    atom = (b"<feed xmlns='http://www.w3.org/2005/Atom'>"
+            b"<title>feed title ignored</title>"
+            b"<link rel='self' href='https://h/feed.atom'/>"
+            b"<entry><title>e1</title>"
+            b"<link rel='self' href='https://h/feed.atom'/>"
+            b"<link rel='alternate' href='https://h/e1'/>"
+            b"<updated>2024-01-05T06:30:00Z</updated></entry>"
+            b"<entry><title>e2</title><link href='https://h/e2'/>"
+            b"<published>2024-02-01T00:00:00+05:30</published></entry>"
+            b"</feed>")
+    got = parse_feed("https://h/feed.atom", atom)
+    assert [(e["link"], e["title"], e["published_ts"], e["kind"])
+            for e in got] == [
+        ("https://h/e1", "e1", 1704436200, "atom"),
+        ("https://h/e2", "e2", 1706725800, "atom"),
+    ]
+
+    # gzip transparent; degenerate inputs degrade to []
+    assert len(parse_feed("https://h/f.gz", gzip.compress(rss))) == 2
+    assert parse_feed("https://h/f", None) == []
+    assert parse_feed("https://h/f", b"\x1f\x8bnot-gzip") == []
+    assert parse_feed("https://h/f", b"<html>no feed</html>") == []
+    # bad timestamps -> null ts, row kept
+    bad = (b"<rss><channel><item><link>https://h/x</link>"
+           b"<pubDate>not a date</pubDate></item></channel></rss>")
+    assert parse_feed("https://h/f", bad)[0]["published_ts"] is None
+
+
+def test_feed_batch_stage(ray_session):
+    import ray.data as rd
+
+    from siren_ray.sources.feeds import feed_batch
+
+    ds = rd.from_items([
+        {"url": "https://h/f1.xml",
+         "html": (b"<rss><channel><item><link>https://h/p1</link>"
+                  b"</item></channel></rss>")},
+        {"url": "https://h/f2.xml", "html": b""},
+    ])
+    out = ds.map_batches(feed_batch, batch_format="pyarrow").to_pandas()
+    assert list(out.columns) == ["src", "link", "title",
+                                 "published_ts", "kind"]
+    assert len(out) == 1 and out.loc[0, "link"] == "https://h/p1"
