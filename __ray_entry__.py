@@ -257,6 +257,38 @@ def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(_f, batch_format="pyarrow")
 
 
+def q_normalize_text(sf_dir: str):
+    """Unicode text normalization (`functions/textstats.py:
+    normalize_text_batch` — NFC + control/zero-width strip + whitespace
+    collapse + trim, fully vectorized Arrow kernels). ORACLE-checked
+    hash-exact: each doc's text is decorated deterministically by
+    doc_id%3 with a combining-accent sequence (NFC must compose),
+    tabs/newlines (collapse must fold), and zero-width/control bytes
+    (strip must remove); DuckDB replays the same decoration and
+    normalizes with nfc_normalize + the same RE2 patterns — both NFC
+    implementations are utf8proc, both regex engines RE2."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from siren_ray.functions.textstats import normalize_text_batch
+
+    dirty = pa.array([" é\t\tq", "​ x\x01\n\ny ", ""],
+                     pa.string())
+
+    def _mk(t: pa.Table) -> pa.Table:
+        case = np.asarray(t["doc_id"], dtype=np.int64) % 3
+        suffix = pc.take(dirty, pa.array(case))
+        decorated = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""), suffix, "")
+        out = normalize_text_batch(
+            pa.table({"doc_id": t["doc_id"], "text": decorated}))
+        return out.select(["doc_id", "norm_text"])
+
+    return _docs(sf_dir).select_columns(
+        ["doc_id", "text"]).map_batches(_mk, batch_format="pyarrow")
+
+
 def q_pagination_expand(sf_dir: str):
     """X10 (NewsMinute convention, newsminute.py:84-90): per-key totals ->
     offset fan-out with the exact (total//100)-1 / range(1, pages-1)
@@ -2619,6 +2651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_decode": q_charset_decode,
         "sitemap": q_sitemap,
         "feed": q_feed,
+        "normalize_text": q_normalize_text,
         "url_traps": q_url_traps,
         "minhash_pairs": q_minhash_pairs,
         "neardup_removed": q_neardup_removed,
@@ -2761,6 +2794,18 @@ def oracle_sql() -> dict[str, str]:
             "(doc_id % 24) * 3600 AS BIGINT) AS published_ts, "
             "CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END "
             "AS kind FROM documents"
+        ),
+        "normalize_text": (
+            "SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "nfc_normalize(coalesce(text, '') || "
+            "CASE CAST(doc_id % 3 AS INT) "
+            "WHEN 0 THEN ' e' || chr(769) || chr(9) || chr(9) || 'q' "
+            "WHEN 1 THEN chr(8203) || ' x' || chr(1) || chr(10) || "
+            "chr(10) || 'y ' ELSE '' END), "
+            "'[\\x00-\\x08\\x0e-\\x1f\\x7f' || chr(8203) || chr(8204) "
+            "|| chr(8205) || chr(65279) || ']', '', 'g'), "
+            "'[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS norm_text "
+            "FROM documents"
         ),
         "url_traps": (
             "WITH u AS (SELECT 'https://' || source || '.example.org' || "

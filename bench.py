@@ -348,6 +348,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "anchor_text",
         "sitemap",
         "feed",
+        "normalize_text",
         "charset_decode",
         "connected_components",
         "sessionize",

@@ -617,3 +617,49 @@ def dup_ngram_chars_batch(batch: pa.Table, *, text_col: str = "text",
     for k in ks:
         cols[f"dup{k}gram_chars"] = pa.array(_dup_cover(k), pa.int64())
     return pa.table(cols)
+
+
+# --- unicode text normalization --------------------------------------------
+
+# Control chars (C0 minus the whitespace set, DEL) plus zero-width
+# chars (ZWSP/ZWNJ/ZWJ/BOM). \x0b\x0c (\v\f) belong to the whitespace
+# class below, never stripped here — the classes are disjoint by
+# construction. RE2 semantics shared with the DuckDB oracle (Arrow's
+# replace_substring_regex and DuckDB regexp_replace are both RE2, and
+# both NFC implementations are utf8proc).
+_CTRL_ZW_PATTERN = ("[\\x00-\\x08\\x0e-\\x1f\\x7f"
+                    "​‌‍﻿]")
+_WS_PATTERN = "[ \\t\\n\\r\\f\\v]+"
+
+
+def normalize_text_batch(batch: pa.Table, *, text_col: str = "text",
+                         out_col: str = "norm_text") -> pa.Table:
+    """Canonical webtext cleanup, fully vectorized in Arrow:
+    NFC-normalize (combining sequences compose, e.g. ``e`` + U+0301 ->
+    ``é``), strip control + zero-width chars, collapse ASCII whitespace
+    runs to one space, trim spaces. Nulls propagate. Map-only — the
+    standard first step of a curation pipeline (normalize BEFORE
+    fingerprint/dedup so visually-identical docs hash identically).
+
+    NFC note: this container's pyarrow (16.1) ships a silently no-op
+    ``utf8_normalize`` (e + U+0301 stays decomposed), so composition
+    uses CPython's C-level ``unicodedata.normalize`` — and only on the
+    rows an RE2 scan finds non-ASCII, since ASCII is NFC-invariant
+    (the overwhelming share of webtext batches skips the loop)."""
+    import unicodedata
+
+    x = batch[text_col]
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    nonascii = pc.match_substring_regex(x, "[^\\x00-\\x7f]")
+    if pc.any(pc.fill_null(nonascii, False)).as_py():
+        vals = x.to_pylist()
+        hot = pc.fill_null(nonascii, False).to_numpy(zero_copy_only=False)
+        x = pa.array(
+            [unicodedata.normalize("NFC", v) if h else v
+             for v, h in zip(vals, hot)], pa.string())
+    x = pc.replace_substring_regex(
+        x, pattern=_CTRL_ZW_PATTERN, replacement="")
+    x = pc.replace_substring_regex(x, pattern=_WS_PATTERN, replacement=" ")
+    x = pc.utf8_trim(x, " ")
+    return batch.append_column(out_col, x)

@@ -1563,3 +1563,20 @@ def test_remove_simhash_neardups_keeps_min_per_cluster(ray_session):
     # min id survives each duplicate cluster
     assert 1 in kept and 2 in kept
     assert 3 not in kept and 7 not in kept
+
+
+def test_normalize_text_batch():
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import normalize_text_batch
+
+    t = pa.table({"text": [
+        "é composed",          # NFC: e + U+0301 -> é
+        "a​b‌c﻿d",    # zero-width chars stripped
+        "x\x01y\x7fz",               # control chars stripped
+        "  a\t\tb\n\nc\x0b\x0cd  ",  # ws runs collapse, ends trim
+        None,
+        "",
+    ]})
+    got = normalize_text_batch(t)["norm_text"].to_pylist()
+    assert got == ["é composed", "abcd", "xyz", "a b c d", None, ""]
