@@ -289,6 +289,40 @@ def q_normalize_text(sf_dir: str):
         ["doc_id", "text"]).map_batches(_mk, batch_format="pyarrow")
 
 
+def q_soft404(sf_dir: str):
+    """Soft-404 screen (`stages/maincontent.py:soft404_batch` — pages
+    that answered 200 but are error pages; RE2 phrase screen + thin-page
+    floor, fully vectorized Arrow, map-only). ORACLE-checked hash-exact:
+    text is decorated deterministically by doc_id%4 (phrase-bearing
+    error body / thin stub / clean / clean-with-appended-phrase) and the
+    DuckDB oracle replays the same decoration with the VERBATIM pattern
+    and length rule."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import soft404_batch
+
+    ERR = "Sorry, error 404 - the page could not be found."
+    GONE = " This article is no longer available."
+
+    def _mk(t: pa.Table) -> pa.Table:
+        case = np.asarray(t["doc_id"], dtype=np.int64) % 4
+        base = np.array(
+            [x if x is not None else "" for x in t["text"].to_pylist()],
+            dtype=object)
+        txt = base.copy()
+        txt[case == 0] = ERR
+        txt[case == 1] = "ok"
+        txt[case == 3] = np.char.add(base[case == 3].astype(str), GONE)
+        out = soft404_batch(pa.table({
+            "doc_id": t["doc_id"], "text": pa.array(txt, pa.string())}))
+        return out.select(
+            ["doc_id", "n_chars", "has_404_phrase", "is_soft404"])
+
+    return _docs(sf_dir).select_columns(
+        ["doc_id", "text"]).map_batches(_mk, batch_format="pyarrow")
+
+
 def q_pagination_expand(sf_dir: str):
     """X10 (NewsMinute convention, newsminute.py:84-90): per-key totals ->
     offset fan-out with the exact (total//100)-1 / range(1, pages-1)
@@ -2652,6 +2686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap": q_sitemap,
         "feed": q_feed,
         "normalize_text": q_normalize_text,
+        "soft404": q_soft404,
         "url_traps": q_url_traps,
         "minhash_pairs": q_minhash_pairs,
         "neardup_removed": q_neardup_removed,
@@ -2806,6 +2841,21 @@ def oracle_sql() -> dict[str, str]:
             "|| chr(8205) || chr(65279) || ']', '', 'g'), "
             "'[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS norm_text "
             "FROM documents"
+        ),
+        "soft404": (
+            "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) "
+            "WHEN 0 THEN 'Sorry, error 404 - the page could not be "
+            "found.' WHEN 1 THEN 'ok' WHEN 3 THEN coalesce(text, '') "
+            "|| ' This article is no longer available.' "
+            "ELSE coalesce(text, '') END AS t FROM documents) "
+            "SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars, "
+            "regexp_matches(t, '(?i)(page not found|error 404|"
+            "404 not found|not be found|no longer available|"
+            "does not exist)') AS has_404_phrase, "
+            "(regexp_matches(t, '(?i)(page not found|error 404|"
+            "404 not found|not be found|no longer available|"
+            "does not exist)') OR length(t) < 64) AS is_soft404 "
+            "FROM d"
         ),
         "url_traps": (
             "WITH u AS (SELECT 'https://' || source || '.example.org' || "

@@ -349,6 +349,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "sitemap",
         "feed",
         "normalize_text",
+        "soft404",
         "charset_decode",
         "connected_components",
         "sessionize",

@@ -24,6 +24,7 @@ from __future__ import annotations
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..html_mini import Node, parse_html
 
@@ -282,3 +283,52 @@ def decode_html_batch(batch: pa.Table, *, payload_col: str = "html",
     return batch.append_column(
         out_col, pa.array(texts, pa.string())
     ).append_column("encoding", pa.array(encs, pa.string()))
+
+
+# --- soft-404 detection -----------------------------------------------------
+
+# Error-page phrase screen. RE2, shared VERBATIM with the DuckDB oracle
+# ((?i) inline flag — both engines are RE2-compatible here). Applied to
+# extracted text (title || body), NOT raw HTML, so chrome like a
+# footer's "404 monitoring" link doesn't fire.
+SOFT404_PATTERN = ("(?i)(page not found|error 404|404 not found|"
+                   "not be found|no longer available|does not exist)")
+SOFT404_MIN_CHARS = 64
+
+
+def soft404_signals(text: pa.Array | pa.ChunkedArray,
+                    *, min_chars: int = SOFT404_MIN_CHARS) -> pa.Table:
+    """Soft-404 screen: pages that answered 200 but are error pages —
+    the classic crawl-corpus pollutant (the reference's scrapers never
+    see them because their search APIs only return real articles; a
+    generic frontier must screen for them before text lands in a
+    training corpus).
+
+    Fully vectorized Arrow kernels, map-only. Signals: ``n_chars``
+    (codepoints), ``has_404_phrase`` (RE2 phrase screen over the
+    extracted text), and the verdict ``is_soft404`` = phrase hit OR
+    thin page (< ``min_chars`` after extraction — error pages that
+    say nothing recognizable still say almost nothing). Nulls count
+    as empty (thin)."""
+    x = text
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    filled = pc.fill_null(x, "")
+    n_chars = pc.cast(pc.utf8_length(filled), pa.int64())
+    phrase = pc.match_substring_regex(filled, SOFT404_PATTERN)
+    thin = pc.less(n_chars, pa.scalar(min_chars, pa.int64()))
+    return pa.table({
+        "n_chars": n_chars,
+        "has_404_phrase": phrase,
+        "is_soft404": pc.or_(phrase, thin),
+    })
+
+
+def soft404_batch(batch: pa.Table, *, text_col: str = "text",
+                  min_chars: int = SOFT404_MIN_CHARS) -> pa.Table:
+    """Batched soft-404 screen: appends the three signal columns."""
+    sig = soft404_signals(batch[text_col], min_chars=min_chars)
+    out = batch
+    for name in sig.column_names:
+        out = out.append_column(name, sig[name])
+    return out

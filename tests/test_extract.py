@@ -253,3 +253,22 @@ def test_decode_html_batch_stage(ray_session):
     out = out.set_index("url")
     assert out.loc["u1", "html_text"] == "héllo"
     assert "café" in out.loc["u2", "html_text"]
+
+
+def test_soft404_signals():
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import soft404_batch
+
+    t = pa.table({"text": [
+        "Oops - Page Not Found. Try the homepage instead, or search.",
+        "ERROR 404 " + "x" * 100,      # phrase hit despite length
+        "a real long article body " * 10,
+        "tiny stub",                    # thin -> soft404, no phrase
+        None,                           # null counts as empty/thin
+    ]})
+    o = soft404_batch(t)
+    assert o["has_404_phrase"].to_pylist() == [
+        True, True, False, False, False]
+    assert o["is_soft404"].to_pylist() == [True, True, False, True, True]
+    assert o["n_chars"].to_pylist()[4] == 0
