@@ -323,6 +323,46 @@ def q_soft404(sf_dir: str):
         ["doc_id", "text"]).map_batches(_mk, batch_format="pyarrow")
 
 
+def q_registrable_domain(sf_dir: str):
+    """Registrable-domain extraction (`functions/urlnorm.py:
+    registrable_domain_batch` — public-suffix LONGEST-match, eTLD+1;
+    groups sibling subdomains into one politeness/budget unit).
+    ORACLE-checked hash-exact: hosts are synthesized deterministically
+    by doc_id%8 covering 2-level suffix, deep subdomain, bare suffix
+    (no registrable), unlisted TLD (no suffix), and 1-level cases; the
+    DuckDB oracle replays the longest-match rule with the VERBATIM
+    PSL IN-lists."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.functions.urlnorm import registrable_domain_batch
+
+    def _mk(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        ids = d.astype(str)
+        case = d % 8
+        host = np.empty(len(d), dtype=object)
+        host[case == 0] = np.char.add(
+            np.char.add("news.h", ids[case == 0]), ".co.uk")
+        host[case == 1] = np.char.add(
+            np.char.add("a.b.h", ids[case == 1]), ".com")
+        host[case == 2] = "example.org"
+        host[case == 3] = "co.uk"
+        host[case == 4] = np.char.add(
+            np.char.add("h", ids[case == 4]), ".unknowntld")
+        host[case == 5] = np.char.add(
+            np.char.add("h", ids[case == 5]), ".gov.in")
+        host[case == 6] = "uk"
+        host[case == 7] = np.char.add(
+            np.char.add("x.h", ids[case == 7]), ".io")
+        out = registrable_domain_batch(pa.table({
+            "doc_id": t["doc_id"], "host": pa.array(host, pa.string())}))
+        return out
+
+    return _docs(sf_dir).select_columns(
+        ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+
+
 def q_pagination_expand(sf_dir: str):
     """X10 (NewsMinute convention, newsminute.py:84-90): per-key totals ->
     offset fan-out with the exact (total//100)-1 / range(1, pages-1)
@@ -2687,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feed": q_feed,
         "normalize_text": q_normalize_text,
         "soft404": q_soft404,
+        "registrable_domain": q_registrable_domain,
         "url_traps": q_url_traps,
         "minhash_pairs": q_minhash_pairs,
         "neardup_removed": q_neardup_removed,
@@ -2856,6 +2897,39 @@ def oracle_sql() -> dict[str, str]:
             "404 not found|not be found|no longer available|"
             "does not exist)') OR length(t) < 64) AS is_soft404 "
             "FROM d"
+        ),
+        "registrable_domain": (
+            "WITH h AS (SELECT doc_id, CASE CAST(doc_id % 8 AS INT) "
+            "WHEN 0 THEN 'news.h' || CAST(doc_id AS VARCHAR) || '.co.uk' "
+            "WHEN 1 THEN 'a.b.h' || CAST(doc_id AS VARCHAR) || '.com' "
+            "WHEN 2 THEN 'example.org' WHEN 3 THEN 'co.uk' "
+            "WHEN 4 THEN 'h' || CAST(doc_id AS VARCHAR) || '.unknowntld' "
+            "WHEN 5 THEN 'h' || CAST(doc_id AS VARCHAR) || '.gov.in' "
+            "WHEN 6 THEN 'uk' "
+            "ELSE 'x.h' || CAST(doc_id AS VARCHAR) || '.io' END AS host "
+            "FROM documents), "
+            "p AS (SELECT doc_id, host, "
+            "nullif(regexp_extract(host, '([^.]+)$', 1), '') AS l1, "
+            "nullif(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') "
+            "AS l2, "
+            "nullif(regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+            ", '') AS l3 FROM h), "
+            "s AS (SELECT doc_id, host, l1, l2, l3, "
+            "CASE WHEN l2 IN ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', "
+            "'com.au', 'net.au', 'org.au', 'co.jp', 'ne.jp', 'or.jp', "
+            "'co.in', 'net.in', 'org.in', 'ac.in', 'gov.in', 'com.br', "
+            "'com.cn', 'com.mx', 'co.za', 'com.sg', 'com.tr') THEN l2 "
+            "WHEN l1 IN ('com', 'org', 'net', 'edu', 'gov', 'mil', "
+            "'int', 'io', 'co', 'ai', 'app', 'dev', 'info', 'biz', "
+            "'uk', 'in', 'jp', 'au', 'de', 'fr', 'br', 'cn', 'ru', "
+            "'us', 'ca', 'es', 'it', 'nl', 'se', 'no') THEN l1 END "
+            "AS public_suffix FROM p) "
+            "SELECT doc_id, host, public_suffix, "
+            "CASE WHEN public_suffix IS NULL THEN NULL "
+            "WHEN public_suffix = l2 THEN "
+            "(CASE WHEN host <> l2 THEN l3 END) "
+            "ELSE (CASE WHEN host <> l1 THEN l2 END) END "
+            "AS registrable_domain FROM s"
         ),
         "url_traps": (
             "WITH u AS (SELECT 'https://' || source || '.example.org' || "

@@ -345,6 +345,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "simhash_neardup",
         "main_content",
         "url_traps",
+        "registrable_domain",
         "anchor_text",
         "sitemap",
         "feed",

@@ -228,3 +228,59 @@ def url_trap_batch(batch: pa.Table, url_col: str = "url",
                    **limits) -> pa.Table:
     """map_batches wrapper around :func:`url_trap_signals`."""
     return url_trap_signals(batch[url_col], **limits)
+
+
+# --- registrable domain (public-suffix, eTLD+1) -----------------------------
+
+# Embedded slice of the public suffix list (publicsuffix.org) — enough
+# for deterministic tests and the common crawl hosts; production swaps
+# in the full PSL data file via these two sets (pure config, the
+# longest-match algorithm below is list-size-independent). Shared
+# VERBATIM with the DuckDB oracle's IN-lists.
+PSL_2 = frozenset({
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "co.in", "net.in", "org.in", "ac.in",
+    "gov.in", "com.br", "com.cn", "com.mx", "co.za", "com.sg", "com.tr",
+})
+PSL_1 = frozenset({
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "ai",
+    "app", "dev", "info", "biz", "uk", "in", "jp", "au", "de", "fr",
+    "br", "cn", "ru", "us", "ca", "es", "it", "nl", "se", "no",
+})
+
+
+def registrable_domain(host: str | None) -> tuple[str | None, str | None]:
+    """PSL longest-match: ``host -> (public_suffix, registrable)``.
+
+    The LONGEST listed suffix wins (``x.co.uk`` registers under
+    ``co.uk``, never ``uk``); the registrable domain (eTLD+1) is the
+    suffix plus exactly one more label. A bare public suffix
+    (``co.uk``) has no registrable domain; an unlisted TLD yields
+    ``(None, None)`` — per-domain politeness then falls back to the
+    full host. This is what groups ``news.bbc.co.uk`` and
+    ``www.bbc.co.uk`` into one politeness/budget unit."""
+    if not host:
+        return (None, None)
+    labels = host.lower().split(".")
+    if len(labels) >= 2 and ".".join(labels[-2:]) in PSL_2:
+        n = 2
+    elif labels[-1] in PSL_1:
+        n = 1
+    else:
+        return (None, None)
+    suffix = ".".join(labels[-n:])
+    if len(labels) <= n:
+        return (suffix, None)
+    return (suffix, ".".join(labels[-(n + 1):]))
+
+
+def registrable_domain_batch(batch: pa.Table, *, host_col: str = "host"
+                             ) -> pa.Table:
+    """Map-only batched PSL match: appends ``public_suffix`` and
+    ``registrable_domain`` columns (set lookups per host — two hashed
+    probes, no regex)."""
+    pairs = [registrable_domain(h) for h in batch[host_col].to_pylist()]
+    return batch.append_column(
+        "public_suffix", pa.array([p[0] for p in pairs], pa.string())
+    ).append_column(
+        "registrable_domain", pa.array([p[1] for p in pairs], pa.string()))

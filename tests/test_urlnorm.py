@@ -143,3 +143,21 @@ def test_url_trap_signals_kernel():
     # consecutive slashes produce no phantom empty segments
     t2 = url_trap_signals(pa.array(["https://h/x//x//x/y"]))
     assert t2.to_pandas().loc[0, "max_seg_repeat"] == 3
+
+
+def test_registrable_domain_psl_longest_match():
+    from siren_ray.functions.urlnorm import registrable_domain
+
+    # longest suffix wins: co.uk beats uk
+    assert registrable_domain("news.bbc.co.uk") == ("co.uk", "bbc.co.uk")
+    assert registrable_domain("a.b.x.com") == ("com", "x.com")
+    assert registrable_domain("example.org") == ("org", "example.org")
+    # bare public suffix: no registrable domain
+    assert registrable_domain("co.uk") == ("co.uk", None)
+    assert registrable_domain("uk") == ("uk", None)
+    # unlisted TLD: no suffix at all
+    assert registrable_domain("x.unknowntld") == (None, None)
+    assert registrable_domain(None) == (None, None)
+    assert registrable_domain("") == (None, None)
+    # case-insensitive on input
+    assert registrable_domain("WWW.Example.COM") == ("com", "example.com")
