@@ -1070,6 +1070,45 @@ def q_crawl(sf_dir: str):
     return t
 
 
+def q_revalidate(sf_dir: str):
+    """Conditional-GET revalidation recrawl (`stages/revalidate.py` —
+    stored ETags replayed as If-None-Match over REAL sockets against
+    the corpus HTTP front-end; 304 rows carry prior text forward
+    byte-identically with zero body bytes on the wire). Two cycles over
+    the article pages: cycle 1 unconditional (all fresh), cycle 2 with
+    cycle-1 validators (all not_modified). Rows-only (live-socket
+    operator, not SQL); the three-cycle change-detection test is
+    t:test_http::test_conditional_get_revalidation."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.sources.localhttp import CorpusHttpServer, load_pages_map
+    from siren_ray.stages.extract import classify_url
+    from siren_ray.stages.revalidate import revalidate_dataset
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    pages = load_pages_map(os.path.join(corpus, "pages"))
+    urls = [u for u in sorted(pages) if classify_url(u) == "ld"][:200]
+    with CorpusHttpServer({u: pages[u] for u in urls}, etags=True) as srv:
+        c1 = revalidate_dataset(
+            rd.from_items([{"url": u} for u in urls]),
+            http_base=srv.base_url, concurrency=2).to_pandas()
+        snap = rd.from_items([
+            {"url": r.url, "etag": r.etag, "prior_text": r.text}
+            for r in c1.itertuples()])
+        c2 = revalidate_dataset(
+            snap, http_base=srv.base_url,
+            concurrency=2).to_pandas()
+    c2["cycle1_status"] = c1.set_index("url").status.reindex(
+        c2.url).to_numpy()
+    return pa.Table.from_pandas(
+        c2[["url", "cycle1_status", "status", "text"]],
+        preserve_index=False)
+
+
 def q_minhash_pairs(sf_dir: str):
     from siren_ray.stages.dedup import minhash_duplicate_pairs
 
@@ -2728,6 +2767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "soft404": q_soft404,
         "registrable_domain": q_registrable_domain,
+        "revalidate": q_revalidate,
         "url_traps": q_url_traps,
         "minhash_pairs": q_minhash_pairs,
         "neardup_removed": q_neardup_removed,

@@ -42,17 +42,34 @@ class CorpusHttpServer:
       a polite crawler must pass: F3).
     - ``slow_urls``: per-url artificial latency in seconds, for client
       timeout tests (F5).
+    - ``etags=True``: strong validators — every 200 carries
+      ``ETag: "<md5(body)>"`` and a request whose ``If-None-Match``
+      equals the current tag gets ``304 Not Modified`` with NO body
+      (RFC 9110 §13.1.2). Counters ``n_200``/``n_304``/``body_bytes``
+      let tests assert the bandwidth actually saved.
     """
 
     def __init__(self, pages: dict[str, bytes], *,
                  require_headers: dict[str, str] | None = None,
-                 slow_urls: dict[str, float] | None = None):
+                 slow_urls: dict[str, float] | None = None,
+                 etags: bool = False):
         self.pages = pages
         self.require_headers = dict(require_headers or {})
         self.slow_urls = dict(slow_urls or {})
+        self.etags = bool(etags)
+        self.n_200 = 0
+        self.n_304 = 0
+        self.body_bytes = 0
+        self._counter_lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self.base_url: str | None = None
+
+    @staticmethod
+    def etag_of(body: bytes) -> str:
+        import hashlib
+
+        return '"' + hashlib.md5(body).hexdigest() + '"'
 
     def start(self) -> str:
         outer = self
@@ -82,11 +99,25 @@ class CorpusHttpServer:
                 if body is None:
                     self.send_error(404)
                     return
+                if outer.etags:
+                    tag = outer.etag_of(body)
+                    if self.headers.get("If-None-Match") == tag:
+                        with outer._counter_lock:
+                            outer.n_304 += 1
+                        self.send_response(304)
+                        self.send_header("ETag", tag)
+                        self.end_headers()
+                        return
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
                 self.send_header("Content-Length", str(len(body)))
+                if outer.etags:
+                    self.send_header("ETag", outer.etag_of(body))
                 self.end_headers()
                 self.wfile.write(body)
+                with outer._counter_lock:
+                    outer.n_200 += 1
+                    outer.body_bytes += len(body)
 
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self._thread = threading.Thread(

@@ -43,17 +43,32 @@ class HttpTransport:
             return url
         return f"{self.base_url}/page?{self.page_param}={quote(url, safe='')}"
 
-    def _fetch_one(self, url: str) -> tuple[bytes | None, str | None]:
+    def _fetch_one(
+        self, url: str, etag: str | None = None
+    ) -> tuple[bytes | None, str | None, str | None]:
+        """One GET -> (body, err, etag). With ``etag`` the request is a
+        conditional GET (``If-None-Match``); a 304 comes back as
+        (None, "not_modified", etag) — NOT an error family, the caller
+        carries prior content forward. A 200 returns the response's
+        own ``ETag`` (None if the server sends none)."""
+        headers = self.headers
+        if etag:
+            headers = dict(self.headers)
+            headers["If-None-Match"] = etag
         req = urllib.request.Request(self._request_url(url),
-                                     headers=self.headers)
+                                     headers=headers)
         last_err = "unknown"
         for _ in range(self.retries + 1):
             try:
                 with self._opener.open(req, timeout=self.timeout_s) as resp:
-                    return resp.read(), None
+                    return resp.read(), None, resp.headers.get("ETag")
             except urllib.error.HTTPError as e:
+                if e.code == 304:
+                    # revalidated: content unchanged, keep the validator
+                    return None, "not_modified", (
+                        e.headers.get("ETag") or etag)
                 # a definitive server answer: do not retry
-                return None, f"http_{e.code}"
+                return None, f"http_{e.code}", None
             except (urllib.error.URLError, socket.timeout, TimeoutError) as e:
                 reason = getattr(e, "reason", e)
                 last_err = ("timeout"
@@ -63,14 +78,26 @@ class HttpTransport:
                             else f"conn_{type(reason).__name__}")
             except OSError as e:
                 last_err = f"os_{type(e).__name__}"
-        return None, last_err
+        return None, last_err, None
 
     def fetch_many(
         self, urls: list[str]
     ) -> tuple[list[bytes | None], list[str | None]]:
         """Order-preserving concurrent GETs; never raises."""
         results = list(self._pool.map(self._fetch_one, urls))
-        return [b for b, _ in results], [e for _, e in results]
+        return [b for b, _, _ in results], [e for _, e, _ in results]
+
+    def fetch_many_conditional(
+        self, urls: list[str], etags: list[str | None]
+    ) -> tuple[list[bytes | None], list[str | None], list[str | None]]:
+        """Order-preserving concurrent conditional GETs (If-None-Match
+        per URL; None etag = plain GET). Returns (bodies, errs, etags):
+        a revalidation hit is (None, "not_modified", <etag>); a fresh
+        body is (bytes, None, <new etag>). Never raises."""
+        results = list(self._pool.map(self._fetch_one, urls, etags))
+        return ([b for b, _, _ in results],
+                [e for _, e, _ in results],
+                [t for _, _, t in results])
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)

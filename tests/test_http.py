@@ -121,3 +121,80 @@ def test_crawl_over_http_matches_broadcast(corpus_sf0001, pages,
     a = dict(zip(ref_txt["url"].to_pylist(), ref_txt["text"].to_pylist()))
     b = dict(zip(http_txt["url"].to_pylist(), http_txt["text"].to_pylist()))
     assert a == b
+
+
+def test_conditional_get_revalidation(pages, ray_session):
+    """Full ETag cycle over live sockets: cycle 1 (no validators) is
+    all fresh 200s; cycle 2 with stored etags is all 304 — ZERO body
+    bytes on the wire — and text carries forward byte-identically;
+    after one page changes server-side, cycle 3 refetches exactly that
+    page and its text reflects the new content."""
+    import ray.data as rd
+
+    from siren_ray.stages.extract import classify_url, extract_one
+    from siren_ray.stages.revalidate import revalidate_dataset
+
+    # article pages (ld+json kind): extraction yields real text, and a
+    # same-kind donor body parses under any ld url
+    lds = [u for u in sorted(pages) if classify_url(u) == "ld"][:25]
+    urls, donor = lds[:24], lds[24]
+    live = {u: pages[u] for u in urls}
+    with CorpusHttpServer(live, etags=True) as srv:
+        prior = rd.from_items([{"url": u} for u in urls])
+        c1 = revalidate_dataset(
+            prior, http_base=srv.base_url, concurrency=2).to_pandas()
+        assert set(c1.status) == {"fresh"}
+        assert c1.etag.notna().all()
+        base_200 = srv.n_200
+        assert base_200 == len(urls) and srv.n_304 == 0
+
+        snap1 = rd.from_items([
+            {"url": r.url, "etag": r.etag, "prior_text": r.text}
+            for r in c1.itertuples()])
+        c2 = revalidate_dataset(
+            snap1, http_base=srv.base_url, concurrency=2).to_pandas()
+        assert set(c2.status) == {"not_modified"}
+        assert srv.n_200 == base_200  # no body was re-sent
+        assert srv.n_304 == len(urls)
+        m1 = c1.set_index("url").text
+        m2 = c2.set_index("url").text
+        assert m2.equals(m1)  # byte-identical carry-forward
+
+        changed = urls[3]
+        live[changed] = pages[donor]  # same kind, different content
+        want_text = extract_one(changed, pages[donor])["text"]
+        assert want_text and want_text != m1[changed]
+        snap2 = rd.from_items([
+            {"url": r.url, "etag": r.etag, "prior_text": r.text}
+            for r in c2.itertuples()])
+        c3 = revalidate_dataset(
+            snap2, http_base=srv.base_url, concurrency=2).to_pandas()
+        by = c3.set_index("url")
+        assert by.loc[changed, "status"] == "fresh"
+        assert by.loc[changed, "text"] == want_text  # re-extracted
+        assert (by.drop(index=changed).status == "not_modified").all()
+        assert srv.n_200 == base_200 + 1  # exactly one body refetched
+
+
+def test_conditional_get_error_keeps_prior(pages):
+    """A transient error during revalidation must not erase the prior
+    document: status=error, prior text retained, etag retained."""
+    import pyarrow as pa
+
+    from siren_ray.stages.revalidate import RevalidateFetch
+
+    url = sorted(pages)[0]
+    with CorpusHttpServer({url: pages[url]}, etags=True) as srv:
+        stage = RevalidateFetch(http_base=srv.base_url,
+                                http_timeout_s=1.0, http_retries=0)
+        batch = pa.table({
+            "url": pa.array([url, "https://nowhere.example.org/gone"]),
+            "etag": pa.array(["\"bogus\"", "\"kept\""]),
+            "prior_text": pa.array(["old A", "old B"]),
+        })
+        out = stage(batch).to_pandas().set_index("url")
+        # bogus etag mismatches -> fresh refetch
+        assert out.loc[url, "status"] == "fresh"
+        gone = out.loc["https://nowhere.example.org/gone"]
+        assert gone.status == "error" and gone.err == "http_404"
+        assert gone.text == "old B" and gone.etag == "\"kept\""
