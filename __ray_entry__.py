@@ -363,6 +363,48 @@ def q_registrable_domain(sf_dir: str):
         ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
 
 
+def q_robots_rules(sf_dir: str):
+    """RFC 9309 robots matcher (`stages/robotstxt.py:
+    parse_robots_rules/RobotsMatcher` — full Allow/Disallow
+    longest-match with * and $ wildcards, allow-wins tiebreak; the
+    live-deployment upgrade over the engine's conservative
+    prefix-disallow corpus model). ORACLE-checked hash-exact: paths
+    are synthesized by doc_id%5 to hit prefix-disallow, longer-Allow
+    override, $-anchored wildcard, and anchor-miss cases; the DuckDB
+    oracle states each case's decision directly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.robotstxt import RobotsMatcher, parse_robots_rules
+
+    txt = ("User-agent: *\n"
+           "Disallow: /private/\n"
+           "Allow: /private/public/\n"
+           "Disallow: /files/*.pdf$\n")
+    rules, _delay = parse_robots_rules(txt)
+
+    def _mk(t: pa.Table) -> pa.Table:
+        m = RobotsMatcher(rules)
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        ids = d.astype(str)
+        case = d % 5
+        path = np.empty(len(d), dtype=object)
+        path[case == 0] = np.char.add(
+            np.char.add("/p/", ids[case == 0]), ".html")
+        path[case == 1] = np.char.add("/private/", ids[case == 1])
+        path[case == 2] = np.char.add("/private/public/", ids[case == 2])
+        path[case == 3] = np.char.add(
+            np.char.add("/files/", ids[case == 3]), ".pdf")
+        path[case == 4] = np.char.add(
+            np.char.add("/files/", ids[case == 4]), ".pdf.html")
+        parr = pa.array(path, pa.string())
+        return pa.table({"doc_id": t["doc_id"], "path": parr,
+                         "allowed": pa.array(m.allowed(parr))})
+
+    return _docs(sf_dir).select_columns(
+        ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+
+
 def q_pagination_expand(sf_dir: str):
     """X10 (NewsMinute convention, newsminute.py:84-90): per-key totals ->
     offset fan-out with the exact (total//100)-1 / range(1, pages-1)
@@ -2768,6 +2810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft404": q_soft404,
         "registrable_domain": q_registrable_domain,
         "revalidate": q_revalidate,
+        "robots_rules": q_robots_rules,
         "url_traps": q_url_traps,
         "minhash_pairs": q_minhash_pairs,
         "neardup_removed": q_neardup_removed,
@@ -2970,6 +3013,17 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN host <> l2 THEN l3 END) "
             "ELSE (CASE WHEN host <> l1 THEN l2 END) END "
             "AS registrable_domain FROM s"
+        ),
+        "robots_rules": (
+            "SELECT doc_id, CASE CAST(doc_id % 5 AS INT) "
+            "WHEN 0 THEN '/p/' || CAST(doc_id AS VARCHAR) || '.html' "
+            "WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR) "
+            "WHEN 2 THEN '/private/public/' || CAST(doc_id AS VARCHAR) "
+            "WHEN 3 THEN '/files/' || CAST(doc_id AS VARCHAR) || '.pdf' "
+            "ELSE '/files/' || CAST(doc_id AS VARCHAR) || '.pdf.html' "
+            "END AS path, "
+            "CAST(doc_id % 5 AS INT) IN (0, 2, 4) AS allowed "
+            "FROM documents"
         ),
         "url_traps": (
             "WITH u AS (SELECT 'https://' || source || '.example.org' || "

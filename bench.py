@@ -346,6 +346,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "main_content",
         "url_traps",
         "registrable_domain",
+        "robots_rules",
         "anchor_text",
         "sitemap",
         "feed",

@@ -133,3 +133,125 @@ def robots_sitemaps(text: str) -> list[str]:
                 seen.add(v)
                 out.append(v)
     return out
+
+
+# --- RFC 9309 longest-match rule matcher ------------------------------------
+
+def parse_robots_rules(text: str, agent: str = "siren-ray"
+                       ) -> tuple[list[tuple[str, bool]], int]:
+    """robots.txt body -> (rules, crawl_delay_ms) for ``agent``, where
+    rules are ``(path_pattern, is_allow)`` pairs from the applicable
+    group (same longest-substring group selection as
+    :func:`parse_robots_txt`). Patterns keep their raw ``*``/``$``
+    syntax; feed them to :class:`RobotsMatcher`. Unlike the
+    prefix-only engine model, Allow lines are RETAINED — this is the
+    full Robots Exclusion Protocol (RFC 9309 §2.2.2)."""
+    agent_l = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]],
+                       float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
+    in_agent_run = False
+
+    def _close():
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                _close()
+                in_agent_run = True
+            cur_agents.append(value.lower())
+            continue
+        in_agent_run = False
+        if field == "disallow":
+            if value:
+                cur_rules.append((value, False))
+        elif field == "allow":
+            if value:
+                cur_rules.append((value, True))
+        elif field == "crawl-delay":
+            try:
+                cur_delay = float(value)
+            except ValueError:
+                pass
+    _close()
+
+    best_len = -1
+    best: tuple[list[tuple[str, bool]], float | None] | None = None
+    for agents, rules, delay in groups:
+        for a in agents:
+            if a == "*":
+                match_len = 0
+            elif a and a in agent_l:
+                match_len = len(a)
+            else:
+                continue
+            if match_len > best_len:
+                best_len = match_len
+                best = (rules, delay)
+    if best is None:
+        return [], 0
+    rules, delay = best
+    return list(rules), int(round((delay or 0.0) * 1000))
+
+
+class RobotsMatcher:
+    """RFC 9309 §2.2.2 path matcher for one host's applicable group.
+
+    Decision per path: among the rules whose pattern matches, the one
+    with the LONGEST pattern (octet length) wins; on an exact length
+    tie between an Allow and a Disallow, Allow wins (the RFC's
+    least-restrictive tiebreak). No matching rule => allowed.
+
+    Pattern syntax: anchored at path start; ``*`` matches any char run;
+    a trailing ``$`` anchors the end. Compiled ONCE to RE2-safe regexes
+    (re.escape + the two metachar substitutions) — matching a batch of
+    paths is one vectorized ``pyarrow.compute.match_substring_regex``
+    pass per rule, O(rules) passes total, no per-path Python."""
+
+    def __init__(self, rules: list[tuple[str, bool]]):
+        import re as _re
+
+        self._allow: list[bool] = []
+        self._len: list[int] = []
+        self._regex: list[str] = []
+        for pattern, is_allow in rules:
+            anchored_end = pattern.endswith("$")
+            body = pattern[:-1] if anchored_end else pattern
+            rx = ".*".join(_re.escape(part) for part in body.split("*"))
+            rx = "^" + rx + ("$" if anchored_end else "")
+            self._regex.append(rx)
+            self._allow.append(bool(is_allow))
+            self._len.append(len(pattern.encode("utf-8")))
+
+    def allowed(self, paths) -> "np.ndarray":
+        """Vectorized decision for a path batch -> bool ndarray."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = paths if isinstance(paths, (pa.Array, pa.ChunkedArray)) \
+            else pa.array(list(paths), pa.string())
+        n = len(arr)
+        best_len = np.full(n, -1, dtype=np.int64)
+        best_allow = np.ones(n, dtype=bool)
+        for rx, is_allow, plen in zip(self._regex, self._allow, self._len):
+            hit = pc.match_substring_regex(arr, rx)
+            hit = pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
+            # longest pattern wins; equal length: allow beats disallow
+            better = hit & ((plen > best_len)
+                            | ((plen == best_len) & is_allow))
+            best_len[better] = plen
+            best_allow[better] = is_allow
+        return np.where(best_len >= 0, best_allow, True)

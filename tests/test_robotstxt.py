@@ -106,3 +106,52 @@ sitemap: https://h.example.org/lower.xml
     ]
     assert robots_sitemaps("") == []
     assert robots_sitemaps(None) == []
+
+
+def test_parse_robots_rules_retains_allow_and_groups():
+    from siren_ray.stages.robotstxt import parse_robots_rules
+
+    txt = ("User-agent: megabot\nDisallow: /mega/\n\n"
+           "User-agent: *\nDisallow: /private/\n"
+           "Allow: /private/public/\nCrawl-delay: 1.5\n")
+    rules, delay = parse_robots_rules(txt, agent="siren-ray")
+    assert rules == [("/private/", False), ("/private/public/", True)]
+    assert delay == 1500
+    # specific group beats *
+    rules, _ = parse_robots_rules(txt, agent="megabot/2.0")
+    assert rules == [("/mega/", False)]
+    assert parse_robots_rules("", agent="x") == ([], 0)
+
+
+def test_robots_matcher_rfc9309_semantics():
+    import numpy as np
+
+    from siren_ray.stages.robotstxt import RobotsMatcher
+
+    m = RobotsMatcher([
+        ("/private/", False),
+        ("/private/public/", True),   # longer Allow overrides
+        ("/files/*.pdf$", False),     # wildcard + end anchor
+        ("/tmp*", False),
+    ])
+    got = m.allowed([
+        "/",                       # no rule matches -> allowed
+        "/private/a",              # disallowed by prefix
+        "/private/public/a",       # longer allow wins
+        "/files/x.pdf",            # $-anchored wildcard hits
+        "/files/x.pdf.html",       # anchor miss -> allowed
+        "/files/sub/deep.pdf",     # * spans path segments
+        "/tmpfoo",                 # open-ended wildcard prefix hits
+    ])
+    assert list(got) == [True, False, True, False, True, False, False]
+
+    # exact length tie between Allow and Disallow: Allow wins (RFC
+    # 9309 least-restrictive tiebreak)
+    tie = RobotsMatcher([("/page", False), ("/page", True)])
+    assert list(tie.allowed(["/page1"])) == [True]
+    # regex metachars in patterns are escaped, not interpreted
+    esc = RobotsMatcher([("/a.b/", False)])
+    assert list(esc.allowed(["/a.b/x", "/aXb/x"])) == [False, True]
+    # empty rule set: everything allowed
+    assert list(RobotsMatcher([]).allowed(["/x"])) == [True]
+    assert RobotsMatcher([]).allowed([]).dtype == np.bool_
