@@ -52,11 +52,16 @@ class CorpusHttpServer:
     def __init__(self, pages: dict[str, bytes], *,
                  require_headers: dict[str, str] | None = None,
                  slow_urls: dict[str, float] | None = None,
-                 etags: bool = False):
+                 etags: bool = False,
+                 redirects: dict[str, str] | None = None):
         self.pages = pages
         self.require_headers = dict(require_headers or {})
         self.slow_urls = dict(slow_urls or {})
         self.etags = bool(etags)
+        # url -> target url; served as 301 + relative Location so the
+        # client's own opener follows the hop (chains compose)
+        self.redirects = dict(redirects or {})
+        self.n_301 = 0
         self.n_200 = 0
         self.n_304 = 0
         self.body_bytes = 0
@@ -95,6 +100,17 @@ class CorpusHttpServer:
                 delay = outer.slow_urls.get(url)
                 if delay:
                     time.sleep(delay)
+                target = outer.redirects.get(url)
+                if target is not None:
+                    from urllib.parse import quote
+
+                    with outer._counter_lock:
+                        outer.n_301 += 1
+                    self.send_response(301)
+                    self.send_header(
+                        "Location", "/page?url=" + quote(target, safe=""))
+                    self.end_headers()
+                    return
                 body = outer.pages.get(url)
                 if body is None:
                     self.send_error(404)

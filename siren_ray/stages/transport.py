@@ -43,14 +43,28 @@ class HttpTransport:
             return url
         return f"{self.base_url}/page?{self.page_param}={quote(url, safe='')}"
 
+    def _page_url_of(self, request_url: str) -> str:
+        """Final request URL -> the page URL it denotes (inverts
+        ``_request_url``: in page_param mode the page rides in the
+        query string; in direct mode they are the same thing)."""
+        if self.base_url is None or self.page_param is None:
+            return request_url
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(request_url).query)
+        vals = q.get(self.page_param)
+        return vals[0] if vals else request_url
+
     def _fetch_one(
         self, url: str, etag: str | None = None
-    ) -> tuple[bytes | None, str | None, str | None]:
-        """One GET -> (body, err, etag). With ``etag`` the request is a
-        conditional GET (``If-None-Match``); a 304 comes back as
-        (None, "not_modified", etag) — NOT an error family, the caller
-        carries prior content forward. A 200 returns the response's
-        own ``ETag`` (None if the server sends none)."""
+    ) -> tuple[bytes | None, str | None, str | None, str | None]:
+        """One GET -> (body, err, etag, final_url). With ``etag`` the
+        request is a conditional GET (``If-None-Match``); a 304 comes
+        back as (None, "not_modified", etag, url) — NOT an error
+        family, the caller carries prior content forward. A 200
+        returns the response's own ``ETag`` (None if the server sends
+        none) and the URL the opener LANDED on after following any
+        301/302 chain — the canonical alias for URL dedup."""
         headers = self.headers
         if etag:
             headers = dict(self.headers)
@@ -61,14 +75,15 @@ class HttpTransport:
         for _ in range(self.retries + 1):
             try:
                 with self._opener.open(req, timeout=self.timeout_s) as resp:
-                    return resp.read(), None, resp.headers.get("ETag")
+                    return (resp.read(), None, resp.headers.get("ETag"),
+                            self._page_url_of(resp.geturl()))
             except urllib.error.HTTPError as e:
                 if e.code == 304:
                     # revalidated: content unchanged, keep the validator
                     return None, "not_modified", (
-                        e.headers.get("ETag") or etag)
+                        e.headers.get("ETag") or etag), url
                 # a definitive server answer: do not retry
-                return None, f"http_{e.code}", None
+                return None, f"http_{e.code}", None, None
             except (urllib.error.URLError, socket.timeout, TimeoutError) as e:
                 reason = getattr(e, "reason", e)
                 last_err = ("timeout"
@@ -78,14 +93,14 @@ class HttpTransport:
                             else f"conn_{type(reason).__name__}")
             except OSError as e:
                 last_err = f"os_{type(e).__name__}"
-        return None, last_err, None
+        return None, last_err, None, None
 
     def fetch_many(
         self, urls: list[str]
     ) -> tuple[list[bytes | None], list[str | None]]:
         """Order-preserving concurrent GETs; never raises."""
         results = list(self._pool.map(self._fetch_one, urls))
-        return [b for b, _, _ in results], [e for _, e, _ in results]
+        return [r[0] for r in results], [r[1] for r in results]
 
     def fetch_many_conditional(
         self, urls: list[str], etags: list[str | None]
@@ -95,9 +110,23 @@ class HttpTransport:
         a revalidation hit is (None, "not_modified", <etag>); a fresh
         body is (bytes, None, <new etag>). Never raises."""
         results = list(self._pool.map(self._fetch_one, urls, etags))
-        return ([b for b, _, _ in results],
-                [e for _, e, _ in results],
-                [t for _, _, t in results])
+        return ([r[0] for r in results],
+                [r[1] for r in results],
+                [r[2] for r in results])
+
+    def fetch_many_resolved(
+        self, urls: list[str]
+    ) -> tuple[list[bytes | None], list[str | None], list[str | None]]:
+        """Order-preserving concurrent GETs that also report the FINAL
+        page URL after redirect chains (None on error). A url that
+        redirects a→b→c returns c's body and final_url=c — the
+        canonical-alias edge (url, final_url) feeds URL dedup so alias
+        families collapse to one document. Never raises; redirect
+        loops surface as the opener's loop-guard error."""
+        results = list(self._pool.map(self._fetch_one, urls))
+        return ([r[0] for r in results],
+                [r[1] for r in results],
+                [r[3] for r in results])
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)

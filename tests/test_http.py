@@ -198,3 +198,45 @@ def test_conditional_get_error_keeps_prior(pages):
         gone = out.loc["https://nowhere.example.org/gone"]
         assert gone.status == "error" and gone.err == "http_404"
         assert gone.text == "old B" and gone.etag == "\"kept\""
+
+
+def test_redirect_resolution_collapses_aliases(pages, ray_session):
+    """301 chains over live sockets: alias urls land on the canonical
+    page (body served, final_url = chain end); a redirect loop is
+    recorded as an error row, never a hang; dedup on final_url
+    collapses the alias family to one document."""
+    import ray.data as rd
+
+    from siren_ray.stages.dedup import dedup_exact
+    from siren_ray.stages.redirects import resolve_redirects
+
+    urls = sorted(pages)[:4]
+    canon, direct = urls[0], urls[1]
+    a1 = "https://alias.example.org/one"
+    a2 = "https://alias.example.org/two"
+    loop = "https://alias.example.org/loop"
+    with CorpusHttpServer(
+        {u: pages[u] for u in urls},
+        redirects={a1: a2, a2: canon, loop: loop},
+    ) as srv:
+        ds = rd.from_items([{"url": u}
+                            for u in (a1, a2, canon, direct, loop)])
+        out = resolve_redirects(
+            ds, http_base=srv.base_url, concurrency=2,
+            http_retries=0).to_pandas().set_index("url")
+        assert out.loc[a1, "final_url"] == canon      # 2-hop chain
+        assert out.loc[a2, "final_url"] == canon
+        assert bool(out.loc[a1, "redirected"]) is True
+        assert out.loc[canon, "final_url"] == canon
+        assert bool(out.loc[canon, "redirected"]) is False
+        assert bool(out.loc[a1, "found"]) is True
+        assert not out.loc[loop, "found"] and out.loc[loop, "err"]
+        assert srv.n_301 >= 3
+
+        # alias family (a1, a2, canon) -> ONE canonical document
+        resolved = rd.from_items([
+            {"url": u, "final_url": f}
+            for u, f in out.final_url.dropna().items()])
+        kept = dedup_exact(resolved, "final_url", "url").to_pandas()
+        assert (kept.final_url == canon).sum() == 1
+        assert len(kept) == 2  # canon family + direct
