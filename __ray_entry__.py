@@ -2736,6 +2736,40 @@ def q_remove_spans(sf_dir: str):
         _docs(sf_dir).select_columns(["doc_id", "text"]), n=10)
 
 
+def q_redirect_resolve(sf_dir: str):
+    """Redirect-chain canonicalization (graph.py:resolve_chains):
+    every URL in an alias-edge table resolved to its chain end by
+    distributed pointer doubling — ceil(log2 k) co-partitioned rounds
+    for length-k chains, shipping only (owner, pointer) pairs for
+    still-unfinished nodes. The alias forest is derived
+    deterministically from doc_id (parent (d-1)//3, terminal cut at
+    md5(d)%5==0), so the DuckDB oracle's recursive CTE walks the
+    identical graph. Live-socket sibling: stages/redirects.py."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.graph import resolve_chains
+
+    def _edges(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        cut = np.array([
+            int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16) % 5 == 0
+            for x in d], dtype=bool)
+        term = (d == 0) | cut
+        src = np.array([f"https://ex.org/d{x}" for x in d], dtype=object)
+        dst = np.array([
+            None if t_ else f"https://ex.org/d{(x - 1) // 3}"
+            for x, t_ in zip(d, term)], dtype=object)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    edges = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _edges, batch_format="pyarrow")
+    return resolve_chains(edges, num_partitions=16)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2849,6 +2883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q_url_canonicalize,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "redirect_resolve": q_redirect_resolve,
         "bpe_word_freq": q_bpe_word_freq,
         "bpe_tokenize": q_bpe_tokenize,
         "crawl_rank_seeds": q_crawl_rank_seeds,
@@ -3358,6 +3393,30 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_grams, "
             "CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dup_grams "
             "FROM documents d LEFT JOIN c USING (doc_id)"
+        ),
+        "redirect_resolve": (
+            "WITH RECURSIVE e AS ("
+            "SELECT concat('https://ex.org/d', CAST(doc_id AS VARCHAR))"
+            " AS src, "
+            "CASE WHEN doc_id = 0 OR CAST(concat('0x', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+            "% 5 = 0 THEN NULL "
+            "ELSE concat('https://ex.org/d', "
+            "CAST((doc_id - 1) // 3 AS VARCHAR)) END AS dst "
+            "FROM documents), "
+            "nodes AS (SELECT DISTINCT url FROM ("
+            "SELECT src AS url FROM e "
+            "UNION SELECT dst AS url FROM e WHERE dst IS NOT NULL)), "
+            "walk(url, cur, hops) AS ("
+            "SELECT url, url, 0 FROM nodes "
+            "UNION ALL "
+            "SELECT w.url, e2.dst, w.hops + 1 "
+            "FROM walk w JOIN e e2 "
+            "ON e2.src = w.cur AND e2.dst IS NOT NULL) "
+            "SELECT w.url, w.cur AS final_url, "
+            "CAST(w.hops AS BIGINT) AS hops, TRUE AS resolved "
+            "FROM walk w WHERE NOT EXISTS (SELECT 1 FROM e e3 "
+            "WHERE e3.src = w.cur AND e3.dst IS NOT NULL)"
         ),
         "dataset_split": (
             "SELECT doc_id, CASE WHEN b < 9000 THEN 'train' "

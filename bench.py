@@ -397,6 +397,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "semantic_dedup",
         "remove_spans",
         "hits",
+        "redirect_resolve",
         "bpe_word_freq",
         "bpe_tokenize",
     ]

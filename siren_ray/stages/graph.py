@@ -19,6 +19,7 @@ escape hatch for iterative co-partitioned state.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 _PR_PARTITIONS = 64
@@ -630,3 +631,289 @@ def reprioritize_seeds(seeds: pa.Table, ranks_ds, *, by: str = "host",
     idx = seeds.column_names.index("priority")
     return seeds.set_column(idx, "priority",
                             pa.array(pri, pa.float64()))
+
+
+def resolve_chains(edges_ds, *, src_col: str = "src",
+                   dst_col: str = "dst",
+                   num_partitions: int = _PR_PARTITIONS,
+                   max_rounds: int = 48):
+    """Resolve every URL to the end of its redirect/alias chain by
+    distributed pointer doubling (a→b→c→∅ gives final(a)=c).
+
+    ``edges_ds``: rows (src, dst) where a NULL ``dst`` marks ``src``
+    terminal (canonical); URLs appearing only as ``dst`` are implicit
+    terminals. A src may appear once (duplicate identical rows are
+    tolerated; conflicting targets raise). Returns a Dataset of
+    (url, final_url, hops, resolved) covering every distinct URL on
+    either side; unresolved rows (redirect cycles) carry
+    resolved=false and NULL final_url/hops.
+
+    Scale shape: nodes stay hash-partitioned by url-hash across all
+    rounds (the pagerank/CC template above); each round ships only
+    (owner, pointer) pairs for the still-unfinished nodes — pointer
+    doubling halves chain distance per round, so a length-k chain
+    resolves in ceil(log2 k) rounds and round r's shuffle volume is
+    the number of nodes whose chain is longer than 2^r. Driver traffic
+    is O(P) ints per round. The live-socket sibling is
+    stages/redirects.py (the opener follows chains per URL); this
+    operator canonicalizes an already-harvested alias-edge table —
+    e.g. the (url, final_url) output of a crawl — without re-fetching.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..util import ensure_arrow, hash_strings
+
+    P = max(2, int(num_partitions))
+    _EMPTY_NODE = pa.table({
+        "id": pa.array([], pa.int64()),
+        "ptr": pa.array([], pa.int64()),
+        "has_edge": pa.array([], pa.bool_()),
+        "url": pa.array([], pa.string()),
+    })
+    _EMPTY_REQ = pa.table({"owner": pa.array([], pa.int64()),
+                           "tgt": pa.array([], pa.int64())})
+    _EMPTY_REP = pa.table({"owner": pa.array([], pa.int64()),
+                           "new_ptr": pa.array([], pa.int64()),
+                           "add_h": pa.array([], pa.int64()),
+                           "fin": pa.array([], pa.bool_())})
+
+    def _shard(keys: np.ndarray, cols: dict, empty: pa.Table) -> list:
+        pk = keys % P
+        order = np.argsort(pk, kind="stable")
+        bounds = np.searchsorted(pk[order], np.arange(P + 1))
+        out = []
+        for p in range(P):
+            sl = order[bounds[p]:bounds[p + 1]]
+            if len(sl) == 0:
+                out.append(empty)
+                continue
+            out.append(pa.table({
+                name: pa.array(v[sl], empty.schema.field(name).type)
+                for name, v in cols.items()
+            }))
+        return out
+
+    @ray.remote
+    def _split(tbl):
+        """Block of (src, dst) -> P node shards: an explicit row per
+        src and an implicit terminal row per non-null dst."""
+        tbl = ensure_arrow(tbl)
+        if tbl.num_rows == 0 or src_col not in tbl.schema.names:
+            return [_EMPTY_NODE] * P
+        src = tbl[src_col].combine_chunks().cast(pa.string())
+        dst = tbl[dst_col].combine_chunks().cast(pa.string())
+        src_np = src.to_numpy(zero_copy_only=False)
+        dst_np = dst.to_numpy(zero_copy_only=False)
+        has = np.array([d is not None for d in dst_np], dtype=bool)
+        sid = hash_strings(src_np).view(np.int64)
+        ids = [sid]
+        ptrs = [np.where(
+            has,
+            hash_strings(np.where(has, dst_np, src_np)).view(np.int64),
+            sid)]
+        hases = [has]
+        urls = [src_np]
+        if has.any():
+            d_np = dst_np[has]
+            did = hash_strings(d_np).view(np.int64)
+            ids.append(did)
+            ptrs.append(did)
+            hases.append(np.zeros(len(did), dtype=bool))
+            urls.append(d_np)
+        return _shard(np.concatenate(ids), {
+            "id": np.concatenate(ids),
+            "ptr": np.concatenate(ptrs),
+            "has_edge": np.concatenate(hases),
+            "url": np.concatenate([np.asarray(u, object) for u in urls]),
+        }, _EMPTY_NODE)
+
+    @ray.remote(num_returns=5)
+    def _init_state(*shards):
+        """Partition state: sorted unique ids with (url, ptr, hops
+        covered, finished). A node with an out-edge starts at
+        (ptr=dst, h=1); a terminal at (ptr=self, h=0, finished)."""
+        rows = [s for s in shards if s.num_rows]
+        if not rows:
+            return (np.empty(0, np.int64), np.empty(0, object),
+                    np.empty(0, np.int64), np.empty(0, np.int64), 0)
+        t = pa.concat_tables(rows)
+        ids = np.asarray(t["id"], dtype=np.int64)
+        ptr = np.asarray(t["ptr"], dtype=np.int64)
+        has = np.asarray(t["has_edge"], dtype=bool)
+        url = t["url"].combine_chunks().to_numpy(zero_copy_only=False)
+        # explicit rows win over implicit-terminal rows for the same id
+        order = np.lexsort((~has, ids))  # per id: has_edge=True first
+        ids, ptr, has, url = ids[order], ptr[order], has[order], url[order]
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(first)
+        # conflicting redirect targets for one src (two has_edge rows,
+        # different ptr) — data error, raise rather than pick one
+        grp = np.cumsum(first) - 1
+        edge_ptr = np.where(has, ptr, np.int64(0))
+        n_grp = len(starts)
+        lo = np.full(n_grp, np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(n_grp, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(lo, grp[has], edge_ptr[has])
+        np.maximum.at(hi, grp[has], edge_ptr[has])
+        bad = (lo != np.iinfo(np.int64).max) & (lo != hi)
+        if bad.any():
+            raise ValueError(
+                "resolve_chains: conflicting dst for one src "
+                f"(e.g. {url[starts[np.flatnonzero(bad)[0]]]!r})")
+        # 64-bit url-hash collision guard (same id, different strings)
+        rep_url = url[starts][grp]
+        if (url != rep_url).any():
+            raise ValueError("resolve_chains: 64-bit url-hash collision")
+        u_ids = ids[starts]
+        u_ptr = ptr[starts]
+        u_fin = ~has[starts]
+        u_url = url[starts]
+        h = np.where(u_fin, np.int64(0), np.int64(1))
+        # finished terminals point at themselves
+        u_ptr = np.where(u_fin, u_ids, u_ptr)
+        state_fin = np.where(u_fin, np.int64(1), np.int64(0))
+        return (u_ids, u_url, np.ascontiguousarray(u_ptr),
+                np.ascontiguousarray(h + (state_fin << 62)),
+                int((~u_fin).sum()))
+
+    # h and finished are packed into one int64 (bit 62 = finished) so a
+    # round's state delta is two arrays, not three
+    _FIN = np.int64(1) << 62
+
+    @ray.remote
+    def _requests(ids, ptr, hfin):
+        un = (hfin & _FIN) == 0
+        owner = ids[un]
+        tgt = ptr[un]
+        return _shard(tgt, {"owner": owner, "tgt": tgt}, _EMPTY_REQ)
+
+    @ray.remote
+    def _serve(ids, ptr, hfin, *req_shards):
+        reqs = [r for r in req_shards if r.num_rows]
+        if not reqs:
+            return [_EMPTY_REP] * P
+        t = pa.concat_tables(reqs)
+        owner = np.asarray(t["owner"], dtype=np.int64)
+        tgt = np.asarray(t["tgt"], dtype=np.int64)
+        idx = np.searchsorted(ids, tgt)
+        idx_c = np.minimum(idx, max(len(ids) - 1, 0))
+        if len(ids) == 0 or (ids[idx_c] != tgt).any():
+            raise ValueError("resolve_chains: pointer target missing "
+                             "from node universe")
+        return _shard(owner, {
+            "owner": owner,
+            "new_ptr": ptr[idx_c],
+            "add_h": (hfin[idx_c] & ~_FIN),
+            "fin": (hfin[idx_c] & _FIN) != 0,
+        }, _EMPTY_REP)
+
+    @ray.remote(num_returns=3)
+    def _apply(ids, ptr, hfin, *rep_shards):
+        reps = [r for r in rep_shards if r.num_rows]
+        if not reps:
+            return ptr, hfin, int(((hfin & _FIN) == 0).sum())
+        t = pa.concat_tables(reps)
+        owner = np.asarray(t["owner"], dtype=np.int64)
+        new_ptr = np.asarray(t["new_ptr"], dtype=np.int64)
+        add_h = np.asarray(t["add_h"], dtype=np.int64)
+        fin = np.asarray(t["fin"], dtype=bool)
+        idx = np.searchsorted(ids, owner)
+        ptr = ptr.copy()
+        hfin = hfin.copy()
+        ptr[idx] = new_ptr
+        hfin[idx] = (hfin[idx] + add_h) | np.where(fin, _FIN, np.int64(0))
+        return ptr, hfin, int(((hfin & _FIN) == 0).sum())
+
+    blocks = edges_ds.to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "final_url": pa.array([], pa.string()),
+            "hops": pa.array([], pa.int64()),
+            "resolved": pa.array([], pa.bool_()),
+        }))
+    sh = [_split.options(num_returns=P).remote(b) for b in blocks]
+    init = [_init_state.remote(*[sh[i][p] for i in range(len(sh))])
+            for p in range(P)]
+    ids_p = [i[0] for i in init]
+    url_p = [i[1] for i in init]
+    ptr_p = [i[2] for i in init]
+    hfin_p = [i[3] for i in init]
+    unfinished = sum(ray.get([i[4] for i in init]))
+
+    rounds = 0
+    while unfinished and rounds < max_rounds:
+        req = [_requests.options(num_returns=P).remote(
+                   ids_p[p], ptr_p[p], hfin_p[p]) for p in range(P)]
+        rep = [_serve.options(num_returns=P).remote(
+                   ids_p[q], ptr_p[q], hfin_p[q],
+                   *[req[p][q] for p in range(P)]) for q in range(P)]
+        applied = [_apply.remote(ids_p[p], ptr_p[p], hfin_p[p],
+                                 *[rep[q][p] for q in range(P)])
+                   for p in range(P)]
+        ptr_p = [a[0] for a in applied]
+        hfin_p = [a[1] for a in applied]
+        unfinished = sum(ray.get([a[2] for a in applied]))
+        rounds += 1
+
+    # final_url strings live in ptr's partition: one lookup round
+    @ray.remote
+    def _url_req(ids, ptr, hfin):
+        fin = (hfin & _FIN) != 0
+        return _shard(ptr[fin], {"owner": ids[fin], "tgt": ptr[fin]},
+                      _EMPTY_REQ)
+
+    @ray.remote
+    def _url_serve(ids, urls, *req_shards):
+        reqs = [r for r in req_shards if r.num_rows]
+        if not reqs:
+            return [pa.table({"owner": pa.array([], pa.int64()),
+                              "final_url": pa.array([], pa.string())})
+                    ] * P
+        t = pa.concat_tables(reqs)
+        owner = np.asarray(t["owner"], dtype=np.int64)
+        tgt = np.asarray(t["tgt"], dtype=np.int64)
+        idx = np.searchsorted(ids, tgt)
+        idx = np.minimum(idx, max(len(ids) - 1, 0))
+        if len(ids) == 0 or (ids[idx] != tgt).any():
+            raise ValueError("resolve_chains: final pointer missing "
+                             "from node universe")
+        empty = pa.table({"owner": pa.array([], pa.int64()),
+                          "final_url": pa.array([], pa.string())})
+        return _shard(owner, {
+            "owner": owner,
+            "final_url": np.asarray(urls, object)[idx],
+        }, empty)
+
+    @ray.remote
+    def _emit(ids, urls, hfin, *rep_shards):
+        fin = (hfin & _FIN) != 0
+        final = np.full(len(ids), None, dtype=object)
+        reps = [r for r in rep_shards if r.num_rows]
+        if reps:
+            t = pa.concat_tables(reps)
+            owner = np.asarray(t["owner"], dtype=np.int64)
+            fu = t["final_url"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            final[np.searchsorted(ids, owner)] = fu
+        hops = (hfin & ~_FIN)
+        return pa.table({
+            "url": pa.array(np.asarray(urls, object), pa.string()),
+            "final_url": pa.array(final, pa.string()),
+            "hops": pa.Array.from_pandas(
+                pd.Series(np.where(fin, hops, np.int64(0))).mask(~fin),
+                type=pa.int64()),
+            "resolved": pa.array(fin, pa.bool_()),
+        })
+
+    ureq = [_url_req.options(num_returns=P).remote(
+                ids_p[p], ptr_p[p], hfin_p[p]) for p in range(P)]
+    urep = [_url_serve.options(num_returns=P).remote(
+                ids_p[q], url_p[q],
+                *[ureq[p][q] for p in range(P)]) for q in range(P)]
+    return rd.from_arrow_refs(
+        [_emit.remote(ids_p[p], url_p[p], hfin_p[p],
+                      *[urep[q][p] for q in range(P)])
+         for p in range(P)])

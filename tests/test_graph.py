@@ -266,3 +266,58 @@ def test_crawl_pagerank_reprioritized_seeds_conformance(
     r0_old = [u for r, u in zip(t1["round"].to_pylist(),
                                 t1["url"].to_pylist()) if r == 0]
     assert r0_new != r0_old
+
+
+def test_resolve_chains_semantics(ray_session):
+    """Pointer doubling resolves multi-hop chains to the terminal,
+    implicit dst-only nodes are terminals, cycles (incl. self-loops)
+    come back resolved=false, and a conflicting redirect raises."""
+    import ray.data as rd
+
+    from siren_ray.stages.graph import resolve_chains
+
+    edges = rd.from_items([
+        {"src": "a", "dst": "b"},
+        {"src": "b", "dst": "c"},
+        {"src": "c", "dst": None},       # explicit terminal
+        {"src": "e", "dst": "f"},        # f: implicit terminal
+        {"src": "x", "dst": "y"},        # 2-cycle
+        {"src": "y", "dst": "x"},
+        {"src": "z", "dst": "z"},        # self-loop
+    ]).repartition(3)
+    out = resolve_chains(edges, num_partitions=4,
+                         max_rounds=8).to_pandas().set_index("url")
+    assert len(out) == 8
+    assert out.loc["a", "final_url"] == "c" and out.loc["a", "hops"] == 2
+    assert out.loc["b", "final_url"] == "c" and out.loc["b", "hops"] == 1
+    assert out.loc["c", "hops"] == 0 and out.loc["c", "final_url"] == "c"
+    assert out.loc["e", "final_url"] == "f" and out.loc["f", "hops"] == 0
+    for cyc in ("x", "y", "z"):
+        assert not out.loc[cyc, "resolved"]
+        assert out.loc[cyc, "final_url"] is None
+        assert pd.isna(out.loc[cyc, "hops"])
+
+    with pytest.raises(Exception, match="conflicting dst"):
+        resolve_chains(rd.from_items([
+            {"src": "a", "dst": "b"}, {"src": "a", "dst": "c"},
+            {"src": "b", "dst": None}, {"src": "c", "dst": None},
+        ]), num_partitions=2).to_pandas()
+
+
+def test_resolve_chains_long_chain_logarithmic_rounds(ray_session):
+    """A 300-hop chain resolves inside max_rounds=9 (2^9 = 512 >= 300):
+    doubling, not per-hop stepping."""
+    import ray.data as rd
+
+    from siren_ray.stages.graph import resolve_chains
+
+    n = 300
+    edges = rd.from_items(
+        [{"src": f"u{i:04d}", "dst": f"u{i + 1:04d}"} for i in range(n)]
+        + [{"src": f"u{n:04d}", "dst": None}]).repartition(4)
+    out = resolve_chains(edges, num_partitions=4,
+                         max_rounds=9).to_pandas().set_index("url")
+    assert bool(out.resolved.all())
+    assert out.loc["u0000", "final_url"] == f"u{n:04d}"
+    assert out.loc["u0000", "hops"] == n
+    assert sorted(out.hops) == list(range(n + 1))
