@@ -2736,6 +2736,43 @@ def q_remove_spans(sf_dir: str):
         _docs(sf_dir).select_columns(["doc_id", "text"]), n=10)
 
 
+def q_dedup_paragraphs(sf_dir: str):
+    """Corpus-wide first-occurrence paragraph dedup
+    (lines.py:dedup_paragraphs, the RefinedWeb/Dolma recipe): a
+    paragraph survives only at its globally-first (doc_id, idx)
+    position; docs are rebuilt from kept paragraphs. The query
+    synthesizes multi-paragraph docs deterministically (text thirds
+    joined by blank lines, the middle third replaced by a fixed
+    boilerplate paragraph when md5(doc_id)%4==0) so exactly one
+    boilerplate copy survives; DuckDB replays the identical
+    construction and dedups with a window function — exact oracle."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.lines import dedup_paragraphs
+
+    BOILER = "subscribe to our newsletter for daily updates"
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        texts = t["text"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = []
+        for d, tx in zip(ids, texts):
+            k = len(tx) // 3
+            boiler = int(hashlib.md5(str(d).encode()).hexdigest()[:8],
+                         16) % 4 == 0
+            mid = BOILER if boiler else tx[k:2 * k]
+            out.append(tx[:k] + "\n\n" + mid + "\n\n" + tx[2 * k:])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _mk, batch_format="pyarrow")
+    return dedup_paragraphs(docs, num_partitions=16)
+
+
 def q_redirect_resolve(sf_dir: str):
     """Redirect-chain canonicalization (graph.py:resolve_chains):
     every URL in an alias-edge table resolved to its chain end by
@@ -2884,6 +2921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "redirect_resolve": q_redirect_resolve,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "bpe_word_freq": q_bpe_word_freq,
         "bpe_tokenize": q_bpe_tokenize,
         "crawl_rank_seeds": q_crawl_rank_seeds,
@@ -3393,6 +3431,28 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_grams, "
             "CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dup_grams "
             "FROM documents d LEFT JOIN c USING (doc_id)"
+        ),
+        "dedup_paragraphs": (
+            "WITH base AS (SELECT doc_id, text, length(text) // 3 AS k, "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 8)) AS BIGINT) % 4 = 0 AS boiler FROM documents), "
+            "d AS (SELECT doc_id, "
+            "substr(text, 1, k) || chr(10) || chr(10) || "
+            "CASE WHEN boiler "
+            "THEN 'subscribe to our newsletter for daily updates' "
+            "ELSE substr(text, k + 1, k) END || chr(10) || chr(10) || "
+            "substr(text, 2 * k + 1) AS text2 FROM base), "
+            "paras AS (SELECT doc_id, "
+            "generate_subscripts(arr, 1) AS idx, unnest(arr) AS para "
+            "FROM (SELECT doc_id, "
+            "string_split(text2, chr(10) || chr(10)) AS arr FROM d)), "
+            "ranked AS (SELECT doc_id, idx, para, "
+            "row_number() OVER (PARTITION BY para "
+            "ORDER BY doc_id, idx) AS rn FROM paras) "
+            "SELECT doc_id, "
+            "coalesce(string_agg(para, chr(10) || chr(10) "
+            "ORDER BY idx) FILTER (WHERE rn = 1), '') AS text "
+            "FROM ranked GROUP BY doc_id"
         ),
         "redirect_resolve": (
             "WITH RECURSIVE e AS ("

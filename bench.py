@@ -398,6 +398,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "remove_spans",
         "hits",
         "redirect_resolve",
+        "dedup_paragraphs",
         "bpe_word_freq",
         "bpe_tokenize",
     ]

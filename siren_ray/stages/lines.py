@@ -504,3 +504,134 @@ def duplicate_passages(ds, *, id_col: str = "doc_id",
         })
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+_PARA_IDX_BITS = 20  # packed key: doc_id << 20 | paragraph index
+
+
+def dedup_paragraphs(ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", separator: str = "\n\n",
+                     num_partitions: int = 64):
+    """Corpus-wide FIRST-OCCURRENCE paragraph dedup (the RefinedWeb /
+    Dolma recipe): a paragraph appearing in many documents survives
+    only at its globally-first position — ordered by (doc id, index
+    within doc) — and is deleted everywhere else; each document's text
+    is rebuilt from its kept paragraphs. Complements
+    :func:`remove_frequent_lines` (threshold-based, removes ALL
+    occurrences) — first-occurrence keep preserves one copy of
+    boilerplate instead of erasing it from the corpus.
+
+    Scale shape: the winner election ships only (paragraph-hash,
+    packed (doc,idx)) int64 fingerprints through ONE pre-aggregated
+    min-groupby (:func:`..relational.grouped_agg` — at most one
+    partial row per (batch, hash)); winner keys then co-partition with
+    the documents by doc-id hash (the `_hash_key_filter` raw-task
+    template), so document TEXT moves in exactly one exchange and the
+    rebuild is one vectorized Arrow-split + pandas-groupby pass per
+    partition. Paragraph equality is 64-bit SipHash fingerprint
+    equality (same corpus-scale assumption as the MinHash band keys);
+    doc ids must be non-negative < 2^43 with < 2^20 paragraphs per doc
+    (packing bounds — violations raise). A document whose every
+    paragraph loses comes back with text "" (row kept, not dropped).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..util import ensure_arrow, pin_for_multipass
+    from .relational import grouped_agg
+
+    P = max(2, int(num_partitions))
+    bits = _PARA_IDX_BITS
+    ds = pin_for_multipass(ds)  # consumed by the fps AND rebuild passes
+
+    def _pack(ids: np.ndarray, parents: np.ndarray) -> np.ndarray:
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << (63 - bits))):
+            raise ValueError(
+                f"dedup_paragraphs: {id_col} out of packing range")
+        # paragraph index within its doc from the flat parent run
+        first = np.ones(len(parents), dtype=bool)
+        first[1:] = parents[1:] != parents[:-1]
+        starts = np.flatnonzero(first)
+        idx = np.arange(len(parents), dtype=np.int64)
+        idx -= np.repeat(starts, np.diff(np.append(starts, len(parents))))
+        if len(idx) and idx.max() >= (1 << bits):
+            raise ValueError(
+                "dedup_paragraphs: more than 2^20 paragraphs in one doc")
+        return (ids[parents] << bits) | idx
+
+    def _fps(t: pa.Table) -> pa.Table:
+        flat, parents = _split_lines(t, text_col, separator)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        return pa.table({
+            "ph": pa.array(_line_hashes(flat).view(np.int64), pa.int64()),
+            "packed": pa.array(_pack(ids, parents), pa.int64()),
+        })
+
+    winners = grouped_agg(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _fps, batch_format="pyarrow"),
+        "ph", {"packed": ("packed", "min")},
+    ).select_columns(["packed"])
+
+    @ray.remote
+    def _split_docs(tbl):
+        tbl = ensure_arrow(tbl)
+        if tbl.num_rows == 0 or id_col not in tbl.schema.names:
+            return [tbl.slice(0, 0)] * P
+        keys = np.asarray(tbl[id_col], dtype=np.int64) % P
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        bounds = np.searchsorted(ks, np.arange(P + 1))
+        return [tbl.take(pa.array(order[bounds[p]:bounds[p + 1]]))
+                for p in range(P)]
+
+    @ray.remote
+    def _split_winners(tbl):
+        tbl = ensure_arrow(tbl)
+        if tbl.num_rows == 0 or "packed" not in tbl.schema.names:
+            return [np.empty(0, dtype=np.int64)] * P
+        packed = np.asarray(tbl["packed"], dtype=np.int64)
+        pk = (packed >> bits) % P
+        order = np.argsort(pk, kind="stable")
+        ks = pk[order]
+        bounds = np.searchsorted(ks, np.arange(P + 1))
+        return [packed[order[bounds[p]:bounds[p + 1]]] for p in range(P)]
+
+    @ray.remote
+    def _rebuild(n_win, *shards):
+        import pandas as pd
+
+        win_shards = shards[:n_win]
+        doc_shards = shards[n_win:]
+        tbl = pa.concat_tables(
+            [s for s in doc_shards if s.num_rows],
+            promote_options="default",
+        ) if any(s.num_rows for s in doc_shards) else doc_shards[0]
+        if tbl.num_rows == 0:
+            return tbl
+        keys = np.sort(np.concatenate(list(win_shards))) if win_shards \
+            else np.empty(0, dtype=np.int64)
+        flat, parents = _split_lines(tbl, text_col, separator)
+        ids = np.asarray(tbl[id_col], dtype=np.int64)
+        packed = _pack(ids, parents)
+        keep = np.isin(packed, keys)
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        kept = pd.Series(flat_np[keep]).groupby(
+            parents[keep]).agg(separator.join)
+        texts = kept.reindex(range(tbl.num_rows), fill_value="")
+        i = tbl.schema.names.index(text_col)
+        return tbl.set_column(
+            i, text_col, pa.array(texts.to_numpy(), pa.string()))
+
+    doc_sh = [_split_docs.options(num_returns=P).remote(b)
+              for b in ds.to_arrow_refs()]
+    win_sh = [_split_winners.options(num_returns=P).remote(b)
+              for b in winners.to_arrow_refs()]
+    parts = []
+    for p in range(P):
+        parts.append(_rebuild.remote(
+            len(win_sh),
+            *[win_sh[i][p] for i in range(len(win_sh))],
+            *[doc_sh[i][p] for i in range(len(doc_sh))],
+        ))
+    return rd.from_arrow_refs(parts)

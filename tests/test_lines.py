@@ -238,3 +238,60 @@ def test_remove_duplicate_spans_whole_doc(ray_session):
            .to_pandas().set_index("doc_id").sort_index())
     assert (out["text"] == "").all()
     assert (out["n_removed_words"] == 10).all()
+
+
+def test_dedup_paragraphs_first_occurrence(ray_session):
+    """First-occurrence keep ordered by (doc_id, idx): boilerplate
+    survives exactly once at its earliest position, intra-doc repeats
+    collapse, fully-deduped docs come back with text '' (row kept),
+    and non-text columns pass through."""
+    import ray.data as rd
+
+    from siren_ray.stages.lines import dedup_paragraphs
+
+    SEP = "\n\n"
+    docs = [
+        {"doc_id": 0, "lang": "en",
+         "text": SEP.join(["alpha one", "BOILER", "omega zero"])},
+        {"doc_id": 1, "lang": "de",
+         "text": SEP.join(["beta two", "BOILER", "gamma three"])},
+        {"doc_id": 2, "lang": "fr", "text": SEP.join(["BOILER", "x y"])},
+        {"doc_id": 3, "lang": "es", "text": "BOILER"},
+        {"doc_id": 4, "lang": "it",
+         "text": SEP.join(["alpha one", "alpha one"])},
+    ]
+    out = dedup_paragraphs(
+        rd.from_items(docs).repartition(3), num_partitions=4,
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "text"] == SEP.join(
+        ["alpha one", "BOILER", "omega zero"])
+    assert out.loc[1, "text"] == SEP.join(["beta two", "gamma three"])
+    assert out.loc[2, "text"] == "x y"
+    assert out.loc[3, "text"] == ""
+    assert out.loc[4, "text"] == ""
+    assert list(out.lang) == ["en", "de", "fr", "es", "it"]
+
+
+def test_dedup_paragraphs_parallelism_invariance(ray_session):
+    """Same result at different input partitionings and partition
+    counts (winner election is a pure (doc_id, idx) min)."""
+    import ray.data as rd
+
+    from siren_ray.stages.lines import dedup_paragraphs
+
+    SEP = "\n\n"
+    docs = [{"doc_id": i,
+             "text": SEP.join([f"p{i % 7}", f"q{i % 3}", f"u{i}"])}
+            for i in range(40)]
+
+    def run(parts, P):
+        return (dedup_paragraphs(rd.from_items(docs).repartition(parts),
+                                 num_partitions=P)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    a, b = run(2, 4), run(8, 16)
+    assert a.equals(b)
+    # only docs 0..6 keep their p-para, only 0..2 their q-para
+    kept = a.set_index("doc_id").text
+    assert kept[0] == SEP.join(["p0", "q0", "u0"])
+    assert kept[10] == "u10"
