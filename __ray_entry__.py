@@ -2736,6 +2736,43 @@ def q_remove_spans(sf_dir: str):
         _docs(sf_dir).select_columns(["doc_id", "text"]), n=10)
 
 
+def q_url_blocklist(sf_dir: str):
+    """UT1-style URL blocklist filtering
+    (functions/urlnorm.py:blocklist_filter): drop URLs whose
+    registrable domain (PSL eTLD+1 — subdomains of a blocked domain
+    are blocked too) is listed, or whose path contains a blocked term.
+    URLs are synthesized deterministically from doc_id over four fixed
+    hosts covering both PSL depths; the DuckDB oracle replays the
+    construction and states each literal host's registrable domain
+    directly — exact."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.functions.urlnorm import blocklist_filter
+
+    HOSTS = ["news.example.co.uk", "ads.tracker.com",
+             "blog.example.com", "stats.co.uk"]
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        urls = []
+        for d in ids:
+            tail = ("-casino-night"
+                    if int(hashlib.md5(str(d).encode()).hexdigest()[:8],
+                           16) % 7 == 0 else "-news")
+            urls.append(f"https://{HOSTS[d % 4]}/p/{d}{tail}")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string())})
+
+    ds = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+    return blocklist_filter(
+        ds, blocked_domains=("tracker.com", "stats.co.uk"),
+        blocked_terms=("casino",))
+
+
 def q_dedup_paragraphs(sf_dir: str):
     """Corpus-wide first-occurrence paragraph dedup
     (lines.py:dedup_paragraphs, the RefinedWeb/Dolma recipe): a
@@ -2922,6 +2959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "redirect_resolve": q_redirect_resolve,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "url_blocklist": q_url_blocklist,
         "bpe_word_freq": q_bpe_word_freq,
         "bpe_tokenize": q_bpe_tokenize,
         "crawl_rank_seeds": q_crawl_rank_seeds,
@@ -3431,6 +3469,22 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_grams, "
             "CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dup_grams "
             "FROM documents d LEFT JOIN c USING (doc_id)"
+        ),
+        "url_blocklist": (
+            "WITH u AS (SELECT doc_id, "
+            "'https://' || CASE doc_id % 4 "
+            "WHEN 0 THEN 'news.example.co.uk' "
+            "WHEN 1 THEN 'ads.tracker.com' "
+            "WHEN 2 THEN 'blog.example.com' "
+            "ELSE 'stats.co.uk' END "
+            "|| '/p/' || CAST(doc_id AS VARCHAR) || "
+            "CASE WHEN CAST(concat('0x', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+            "% 7 = 0 THEN '-casino-night' ELSE '-news' END AS url "
+            "FROM documents) "
+            "SELECT doc_id, url FROM u "
+            "WHERE doc_id % 4 NOT IN (1, 3) "  # tracker.com, stats.co.uk
+            "AND url NOT LIKE '%casino%'"
         ),
         "dedup_paragraphs": (
             "WITH base AS (SELECT doc_id, text, length(text) // 3 AS k, "

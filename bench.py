@@ -399,6 +399,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "hits",
         "redirect_resolve",
         "dedup_paragraphs",
+        "url_blocklist",
         "bpe_word_freq",
         "bpe_tokenize",
     ]

@@ -284,3 +284,71 @@ def registrable_domain_batch(batch: pa.Table, *, host_col: str = "host"
         "public_suffix", pa.array([p[0] for p in pairs], pa.string())
     ).append_column(
         "registrable_domain", pa.array([p[1] for p in pairs], pa.string()))
+
+
+def blocklist_signals(url_col, *, blocked_domains: frozenset,
+                      blocked_terms: tuple) -> pa.Array:
+    """Per-URL block decision (UT1-style domain/keyword lists): a URL
+    is blocked when its registrable domain — or the full host when the
+    TLD is unlisted — is in ``blocked_domains``, OR when any
+    ``blocked_terms`` entry appears as a substring of the lowercase
+    path+query. Pure per-row function of the URL; vectorized host/path
+    carving, hashed set probes per host, one pandas ``contains`` pass
+    per term."""
+    import pandas as pd
+
+    from ..util import hosts_of, paths_of
+
+    urls = url_col.to_numpy(zero_copy_only=False) \
+        if hasattr(url_col, "to_numpy") else np.asarray(url_col, object)
+    hosts = hosts_of(urls)
+    # probe each DISTINCT host once (crawl batches repeat hosts heavily)
+    uniq, inv = np.unique(hosts.astype(str), return_inverse=True)
+    hit = np.fromiter(
+        (((registrable_domain(h)[1] or h).lower() in blocked_domains)
+         for h in uniq),
+        dtype=bool, count=len(uniq))
+    blocked = hit[inv]
+    if blocked_terms:
+        paths = pd.Series(paths_of(urls), dtype="object").str.lower()
+        for term in blocked_terms:
+            blocked |= paths.str.contains(term, regex=False,
+                                          na=False).to_numpy()
+    return pa.array(blocked, pa.bool_())
+
+
+def blocklist_filter(ds, *, url_col: str = "url",
+                     blocked_domains=(), blocked_terms=(),
+                     invert: bool = False):
+    """Drop rows whose URL the blocklist matches (``invert=True``
+    keeps ONLY matches, for audit samples). The lists are broadcast
+    ONCE via ``ray.put`` and rehydrated per worker in the callable's
+    ``__init__`` (UT1-scale domain lists run to millions of entries —
+    they must never ride along per batch). Map-only; no shuffle.
+
+    (Engine addition — the reference pins exact article URLs from
+    search APIs and never needs corpus-level URL hygiene; standard
+    front-door step for Common-Crawl-style ingest.)
+    """
+    import ray
+
+    bl_ref = ray.put((
+        frozenset(d.lower() for d in blocked_domains),
+        tuple(t.lower() for t in blocked_terms),
+    ))
+
+    class _Blocklist:
+        def __init__(self):
+            self.domains, self.terms = ray.get(bl_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            blocked = blocklist_signals(
+                t[url_col].combine_chunks(),
+                blocked_domains=self.domains, blocked_terms=self.terms)
+            keep = blocked if invert else pa.compute.invert(blocked)
+            return t.filter(keep)
+
+    return ds.map_batches(_Blocklist, batch_format="pyarrow",
+                          concurrency=(1, 8))

@@ -161,3 +161,33 @@ def test_registrable_domain_psl_longest_match():
     assert registrable_domain("") == (None, None)
     # case-insensitive on input
     assert registrable_domain("WWW.Example.COM") == ("com", "example.com")
+
+
+def test_blocklist_filter_domains_terms_invert(ray_session):
+    """Registrable-domain blocks catch subdomains; unlisted TLDs fall
+    back to full-host matching; terms match the lowercase path+query
+    (never the host); invert=True keeps only the blocked audit rows."""
+    import ray.data as rd
+
+    from siren_ray.functions.urlnorm import blocklist_filter
+
+    urls = [
+        "https://ads.tracker.com/x",        # sub of blocked eTLD+1
+        "https://tracker.com/y",            # blocked eTLD+1 itself
+        "https://nottracker.com/z",         # different domain: kept
+        "https://weird.internal/a",         # unlisted TLD -> full host
+        "https://ok.example.com/a?q=CASINO-bonus",  # term, case-folded
+        "https://casino.example.com/clean",  # term in HOST only: kept
+        "https://ok.example.com/fine",
+    ]
+    ds = rd.from_items([{"url": u} for u in urls])
+    kw = dict(blocked_domains=("tracker.com", "weird.internal"),
+              blocked_terms=("casino",))
+    kept = sorted(blocklist_filter(ds, **kw).to_pandas().url)
+    assert kept == sorted([
+        "https://nottracker.com/z",
+        "https://casino.example.com/clean",
+        "https://ok.example.com/fine",
+    ])
+    audit = sorted(blocklist_filter(ds, invert=True, **kw).to_pandas().url)
+    assert len(audit) == 4 and "https://tracker.com/y" in audit
