@@ -917,3 +917,49 @@ def resolve_chains(edges_ds, *, src_col: str = "src",
         [_emit.remote(ids_p[p], url_p[p], hfin_p[p],
                       *[urep[q][p] for q in range(P)])
          for p in range(P)])
+
+
+def canonicalize_seeds(seeds_ds, chains_ds, *,
+                       num_partitions: int = _PR_PARTITIONS):
+    """Rewrite a seed list through a resolved alias map so a crawl
+    never fetches two spellings of one page: each seed URL maps to its
+    chain end from :func:`resolve_chains` output (URLs absent from the
+    map, or unresolved cycle members, pass through unchanged), then
+    alias families collapse first-wins by ``seed_id`` — the engine's
+    dedup discipline (D1/D3), so the surviving row keeps its original
+    priority and seed_id and the result is independent of block
+    layout.
+
+    ``seeds_ds``: (url, priority, seed_id) — the corpus seeds schema.
+    ``chains_ds``: (url, final_url, ..., resolved). One distributed
+    left join + one first-wins dedup; no driver materialization.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import dedup_exact
+    from .relational import hash_join
+
+    j = hash_join(
+        seeds_ds,
+        chains_ds.map_batches(
+            lambda t: pa.table({
+                "url": t["url"],
+                "_canon": pc.if_else(t["resolved"], t["final_url"],
+                                     t["url"]),
+            }),
+            batch_format="pyarrow"),
+        on="url", how="left", num_partitions=num_partitions)
+
+    def _rewrite(t: pa.Table) -> pa.Table:
+        url = pc.coalesce(t["_canon"], t["url"])
+        out = pa.table({"url": url.combine_chunks().cast(pa.string())
+                        if isinstance(url, pa.ChunkedArray)
+                        else url.cast(pa.string())})
+        for c in t.schema.names:
+            if c not in ("url", "_canon"):
+                out = out.append_column(c, t[c])
+        return out
+
+    mapped = j.map_batches(_rewrite, batch_format="pyarrow")
+    return dedup_exact(mapped, "url", "seed_id",
+                       num_partitions=num_partitions)

@@ -321,3 +321,73 @@ def test_resolve_chains_long_chain_logarithmic_rounds(ray_session):
     assert out.loc["u0000", "final_url"] == f"u{n:04d}"
     assert out.loc["u0000", "hops"] == n
     assert sorted(out.hops) == list(range(n + 1))
+
+
+def test_canonicalize_seeds_crawl_conformance(corpus_sf0001, tmp_path,
+                                              ray_session):
+    """An alias-polluted seed list (2-hop redirect chains, two seeds
+    landing on ONE canonical page) canonicalized through
+    resolve_chains + canonicalize_seeds crawls IDENTICALLY to the
+    clean seed list the aliases denote — so alias spellings can never
+    double-fetch a page or perturb crawl order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siren_ray.pipelines.frontier import (
+        CrawlConfig, read_crawl_order, run_crawl,
+    )
+    from siren_ray.stages.graph import canonicalize_seeds, resolve_chains
+
+    seeds = pq.read_table(
+        os.path.join(corpus_sf0001, "seeds.parquet")).to_pandas()
+    seeds = seeds.sort_values("seed_id").reset_index(drop=True)
+    urls = list(seeds.url)
+
+    # pollute: seed 0 -> 2-hop alias chain, seed 1 -> 1-hop alias,
+    # plus an EXTRA duplicate seed whose alias lands on seed 2's url
+    aliased = seeds.copy()
+    aliased.loc[0, "url"] = "https://alias.example/a0"
+    aliased.loc[1, "url"] = "https://alias.example/b0"
+    extra = seeds.iloc[[2]].copy()
+    extra["url"] = ["https://alias.example/c0"]
+    extra["seed_id"] = [int(seeds.seed_id.max()) + 1]
+    aliased = __import__("pandas").concat(
+        [aliased, extra], ignore_index=True)
+    edges = rd.from_items([
+        {"src": "https://alias.example/a0",
+         "dst": "https://alias.example/a1"},
+        {"src": "https://alias.example/a1", "dst": urls[0]},
+        {"src": "https://alias.example/b0", "dst": urls[1]},
+        {"src": "https://alias.example/c0", "dst": urls[2]},
+    ])
+    chains = resolve_chains(edges, num_partitions=4)
+    canon = canonicalize_seeds(
+        rd.from_pandas(aliased), chains, num_partitions=4,
+    ).to_pandas().sort_values("seed_id").reset_index(drop=True)
+
+    # the duplicate alias family collapsed first-wins by seed_id
+    assert list(canon.url) == urls
+    assert list(canon.seed_id) == list(seeds.seed_id)
+
+    params = dict(budget_per_round=50, round_ms=1000, max_rounds=4,
+                  max_depth=6, scheduler="driver")
+    ref_out = str(tmp_path / "ref")
+    run_crawl(CrawlConfig(corpus_dir=corpus_sf0001, out_dir=ref_out,
+                          **params))
+    canon_path = str(tmp_path / "seeds_canon.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(canon[["url", "priority", "seed_id"]],
+                             preserve_index=False), canon_path)
+    got_out = str(tmp_path / "canon")
+    run_crawl(CrawlConfig(corpus_dir=corpus_sf0001, out_dir=got_out,
+                          seeds_path=canon_path, **params))
+
+    def order(d):
+        t = read_crawl_order(d)
+        return list(zip(t["round"].to_pylist(), t["url"].to_pylist(),
+                        t["seq"].to_pylist()))
+
+    assert order(got_out) == order(ref_out)
