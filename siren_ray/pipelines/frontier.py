@@ -45,6 +45,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
@@ -83,6 +84,8 @@ class CrawlConfig:
     http_base: str | None = None   # fetch_mode="http": live server base URL
     http_headers: dict | None = None
     http_timeout_s: float = 5.0
+    robots_mode: str = "corpus"  # "corpus" (robots.parquet) | "http"
+    # (live GET https://host/robots.txt per new host, RFC 9309 subset)
     fetch_concurrency: int = 4
     fetch_batch_size: int = 1024
     cache_buckets: int = 8
@@ -289,7 +292,23 @@ def _round_dir(base: str, r: int) -> str:
 class _Crawl:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
-        self.robots = load_robots(os.path.join(cfg.corpus_dir, "robots.parquet"))
+        if cfg.robots_mode == "http":
+            # live-deployment robots discovery: GET /robots.txt once per
+            # NEW host through the fetch transport (lazily, as hosts
+            # first appear in a round's candidates); a missing file is
+            # the conventional "unrestricted". Robots state is
+            # driver-held either way (same as corpus mode), so live
+            # discovery adds no new scaling term — one GET per distinct
+            # host over the whole crawl.
+            if not cfg.http_base:
+                raise ValueError(
+                    "robots_mode='http' requires http_base")
+            self.robots = {}
+            self._robots_probed: set[str] = set()
+            self._robots_transport = None
+        else:
+            self.robots = load_robots(
+                os.path.join(cfg.corpus_dir, "robots.parquet"))
         self.seen = SeenSet(cfg.num_seen_shards)
         self.frontier_dir = os.path.join(cfg.out_dir, "frontier")
         self.extracted_dir = os.path.join(cfg.out_dir, "extracted")
@@ -421,6 +440,29 @@ class _Crawl:
                 chunks.append((sel.slice(i, min(size, int(e) - i)), actor))
         return chunks
 
+    def _ensure_robots(self, hosts) -> None:
+        """robots_mode='http': GET /robots.txt for hosts not yet
+        probed (batched through one driver-side transport, errors
+        swallowed — a 404/unreachable host gets no entry, i.e.
+        unrestricted). No-op in corpus mode."""
+        if self.cfg.robots_mode != "http":
+            return
+        new = sorted({h for h in hosts if h} - self._robots_probed)
+        if not new:
+            return
+        if self._robots_transport is None:
+            from ..stages.transport import HttpTransport
+
+            self._robots_transport = HttpTransport(
+                self.cfg.http_base, headers=self.cfg.http_headers,
+                timeout_s=self.cfg.http_timeout_s, concurrency=16,
+            )
+        from ..stages.robotstxt import robots_from_http
+
+        self.robots.update(
+            robots_from_http(new, self._robots_transport))
+        self._robots_probed.update(new)
+
     # -- round scheduling, driver mode ------------------------------------
     def _schedule_driver(self, frontier: pa.Table):
         cfg = self.cfg
@@ -432,6 +474,7 @@ class _Crawl:
         unseen = ~self.seen.contains(df["url"].to_numpy())
         df = df[unseen]
         n_cand = len(df)
+        self._ensure_robots(df["host"].unique())
         rob_ok = robots_ok_mask(self.robots, df["host"].to_numpy(),
                                 df["path"].to_numpy())
         robots_bad = df[~rob_ok]
@@ -550,6 +593,18 @@ class _Crawl:
             seen_contains_filter, fn_kwargs=self._seen_kwargs,
             batch_format="pyarrow",
         )
+        if cfg.robots_mode == "http":
+            # live robots need this round's distinct hosts before the
+            # filter can run: pin the candidates (they're consumed
+            # again below) and pull per-block distinct-host partials —
+            # host-cardinality driver traffic, not row-cardinality
+            cand = cand.materialize()
+            host_tbls = cand.map_batches(
+                lambda t: pa.table({"host": pc.unique(
+                    t["host"].combine_chunks())}),
+                batch_format="pyarrow",
+            ).to_pandas()
+            self._ensure_robots(host_tbls["host"].to_numpy())
         cand = cand.map_batches(
             robots_filter_batch, fn_kwargs={"robots": self.robots},
             batch_format="pyarrow",

@@ -89,6 +89,24 @@ def parse_robots_txt(text: str, agent: str = "siren-ray"
     return list(dis), int(round((delay or 0.0) * 1000))
 
 
+def render_robots_txt(disallow_prefixes, crawl_delay_ms: int = 0,
+                      *, agent: str = "*") -> str:
+    """Politeness-model entry -> a robots.txt body that
+    :func:`parse_robots_txt` round-trips exactly (used by the local
+    test server and corpus tooling; render∘parse == identity on the
+    engine's (prefixes, delay_ms) model). An empty prefix list renders
+    the conventional bare ``Disallow:`` (allow all)."""
+    lines = [f"User-agent: {agent}"]
+    prefixes = list(disallow_prefixes or [])
+    for p in prefixes:
+        lines.append(f"Disallow: {p}")
+    if not prefixes:
+        lines.append("Disallow:")
+    if crawl_delay_ms:
+        lines.append(f"Crawl-delay: {crawl_delay_ms / 1000:g}")
+    return "\n".join(lines) + "\n"
+
+
 def robots_from_http(hosts, transport, *, scheme: str = "https",
                      agent: str = "siren-ray"
                      ) -> dict[str, tuple[list[str], int]]:

@@ -240,3 +240,65 @@ def test_redirect_resolution_collapses_aliases(pages, ray_session):
         kept = dedup_exact(resolved, "final_url", "url").to_pandas()
         assert (kept.final_url == canon).sum() == 1
         assert len(kept) == 2  # canon family + direct
+
+
+def test_crawl_live_robots_matches_corpus(corpus_sf0001, pages, tmp_path,
+                                          ray_session):
+    """robots_mode='http': the crawler discovers per-host robots.txt
+    over live sockets (one GET per new host, 404 = unrestricted) and
+    reproduces the corpus-robots crawl exactly — order AND
+    robots-skipped accounting — because render∘parse is identity on
+    the politeness model."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from siren_ray.pipelines.frontier import (
+        CrawlConfig, read_crawl_order, run_crawl,
+    )
+    from siren_ray.stages.robotstxt import render_robots_txt
+
+    rob = pq.read_table(
+        os.path.join(corpus_sf0001, "robots.parquet")).to_pylist()
+    assert rob, "corpus must carry robots entries for this test"
+    pages2 = dict(pages)
+    for row in rob:
+        pages2[f"https://{row['host']}/robots.txt"] = render_robots_txt(
+            row["disallow_prefixes"], row["crawl_delay_ms"]).encode()
+
+    params = dict(budget_per_round=50, round_ms=1000, max_rounds=5,
+                  max_depth=6, scheduler="driver", fetch_mode="http")
+
+    def metrics(out_dir):
+        with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+            return [json.loads(line) for line in f]
+
+    with CorpusHttpServer(pages2) as srv:
+        ref_out = str(tmp_path / "ref")
+        run_crawl(CrawlConfig(
+            corpus_dir=corpus_sf0001, out_dir=ref_out,
+            http_base=srv.base_url, robots_mode="corpus", **params))
+        got_out = str(tmp_path / "live")
+        run_crawl(CrawlConfig(
+            corpus_dir=corpus_sf0001, out_dir=got_out,
+            http_base=srv.base_url, robots_mode="http", **params))
+        # the distributed scheduler takes a different robots path
+        # (host-partial collection off materialized candidates)
+        dist_out = str(tmp_path / "live_dist")
+        dist_params = dict(params, scheduler="distributed")
+        run_crawl(CrawlConfig(
+            corpus_dir=corpus_sf0001, out_dir=dist_out,
+            http_base=srv.base_url, robots_mode="http", **dist_params))
+
+    def order(d):
+        t = read_crawl_order(d)
+        return list(zip(t["round"].to_pylist(), t["url"].to_pylist(),
+                        t["seq"].to_pylist()))
+
+    assert order(got_out) == order(ref_out)
+    assert order(dist_out) == order(ref_out)
+    ref_m, got_m = metrics(ref_out), metrics(got_out)
+    assert [m.get("robots_skipped") for m in got_m] == \
+        [m.get("robots_skipped") for m in ref_m]
+    # robots genuinely bit during the run (not a vacuous pass)
+    assert sum(m.get("robots_skipped") or 0 for m in ref_m) > 0
