@@ -2736,6 +2736,88 @@ def q_remove_spans(sf_dir: str):
         _docs(sf_dir).select_columns(["doc_id", "text"]), n=10)
 
 
+def q_corpus_pipeline(sf_dir: str):
+    """Flagship crawl->training-corpus composite — the engine's whole
+    north-star story as ONE pipeline: frontier crawl (politeness +
+    seen-set) -> extracted text -> language ID gate -> quality gate ->
+    corpus-wide first-occurrence paragraph dedup -> Jaccard-verified
+    MinHash near-dup removal -> whitespace token count -> fixed-length
+    sequence packing. Returns the per-stage lineage table (stage,
+    rows) a production run would emit for run accounting — every stage
+    is individually oracle-/conformance-checked elsewhere; this query
+    evidences the INTEGRATION. Rows-only (the chain embeds the crawl
+    and MinHash, not SQL-expressible)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.functions.packing import pack_sequences
+    from siren_ray.functions.textstats import (
+        lang_id_batch, quality_batch, token_count_ws,
+    )
+    from siren_ray.stages.dedup import remove_near_duplicates
+    from siren_ray.stages.lines import dedup_paragraphs
+    from siren_ray.util import hash_strings
+
+    crawled = q_crawl(sf_dir)
+    lineage = [("crawled", crawled.num_rows)]
+
+    def _docs_of(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        keep = pc.and_(t["found"], t["parse_ok"])
+        kept = t.filter(keep)
+        # 43-bit ids: dedup_paragraphs packs (doc_id << 20 | para_idx)
+        # into an int64, so ids must be non-negative < 2^43. A masked
+        # url-hash is collision-safe to ~millions of docs; a production
+        # run at larger cardinality would assign dense ids instead.
+        ids = hash_strings(
+            kept["url"].to_numpy(zero_copy_only=False)).view("int64") \
+            & ((1 << 43) - 1)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": kept["text"].combine_chunks().cast(pa.string()),
+        })
+
+    docs = rd.from_arrow(_docs_of(crawled)).repartition(8).materialize()
+    lineage.append(("extracted", docs.count()))
+
+    def _lang_gate(t: pa.Table) -> pa.Table:
+        lt = lang_id_batch(t)
+        import pyarrow.compute as pc
+
+        return lt.filter(pc.equal(lt["lang_pred"], "en")).select(
+            ["doc_id", "text"])
+
+    def _quality_gate(t: pa.Table) -> pa.Table:
+        qt = quality_batch(t)
+        return qt.filter(qt["quality_ok"]).select(["doc_id", "text"])
+
+    gated = (docs.map_batches(_lang_gate, batch_format="pyarrow")
+             .map_batches(_quality_gate, batch_format="pyarrow")
+             .materialize())
+    lineage.append(("lang_quality_gated", gated.count()))
+
+    paradeduped = dedup_paragraphs(gated, num_partitions=16).materialize()
+    lineage.append(("paragraph_deduped", paradeduped.count()))
+
+    neardeduped = remove_near_duplicates(
+        paradeduped, "doc_id", num_partitions=16).materialize()
+    lineage.append(("neardup_removed", neardeduped.count()))
+
+    toks = neardeduped.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "n_tokens": token_count_ws(t["text"])}),
+        batch_format="pyarrow")
+    packed = pack_sequences(toks, seq_len=512)
+    lineage.append(("packed_sequences", packed.count()))
+
+    return pa.table({
+        "stage": pa.array([s for s, _ in lineage], pa.string()),
+        "rows": pa.array([int(r) for _, r in lineage], pa.int64()),
+    })
+
+
 def q_url_blocklist(sf_dir: str):
     """UT1-style URL blocklist filtering
     (functions/urlnorm.py:blocklist_filter): drop URLs whose
@@ -2960,6 +3042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": q_redirect_resolve,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_blocklist": q_url_blocklist,
+        "corpus_pipeline": q_corpus_pipeline,
         "bpe_word_freq": q_bpe_word_freq,
         "bpe_tokenize": q_bpe_tokenize,
         "crawl_rank_seeds": q_crawl_rank_seeds,

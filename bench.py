@@ -402,6 +402,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "url_blocklist",
         "bpe_word_freq",
         "bpe_tokenize",
+        "corpus_pipeline",
     ]
     qs = entrymod.queries()
     out = {}

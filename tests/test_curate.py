@@ -105,3 +105,20 @@ def test_semantic_dedup_no_duplicates_is_identity(ray_session):
     }))
     kept = semantic_dedup(emb, n_clusters=4, threshold=0.999)
     assert sorted(kept.to_pandas()["vec_id"]) == list(range(50))
+
+
+def test_corpus_pipeline_lineage_funnel(ray_session):
+    """Flagship crawl->corpus composite: stage order is fixed and the
+    doc funnel is monotone non-increasing until packing (which re-rows
+    into fixed-length sequences)."""
+    import __ray_entry__ as entrymod
+
+    t = entrymod.queries()["corpus_pipeline"]("/root/testdata/sf0.001")
+    stages = t["stage"].to_pylist()
+    rows = t["rows"].to_pylist()
+    assert stages == ["crawled", "extracted", "lang_quality_gated",
+                      "paragraph_deduped", "neardup_removed",
+                      "packed_sequences"]
+    # every doc-level stage only ever removes rows
+    assert rows[0] >= rows[1] >= rows[2] >= rows[3] >= rows[4] > 0
+    assert rows[5] > 0
