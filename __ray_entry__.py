@@ -2855,6 +2855,73 @@ def q_url_blocklist(sf_dir: str):
         blocked_terms=("casino",))
 
 
+def _mk_surt_urls(t):
+    """Deterministic messy-URL synth shared by the SURT/CDX queries:
+    four host classes (www+case, deep subdomain, explicit port,
+    multi-label public suffix), unsorted query + tracking param on
+    every doc_id % 3 == 0 row — each canonicalization rule is hit."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.asarray(t["doc_id"], dtype=np.int64)
+    hosts = ["www.Example.com", "news.site.org", "example.com:8080",
+             "br.example.co.uk"]
+    schemes = ["https", "https", "http", "https"]
+    urls = []
+    for d in ids:
+        h = int(d) % 4
+        q = "?b=9&utm_source=x&a=1" if d % 3 == 0 else ""
+        urls.append(f"{schemes[h]}://{hosts[h]}/p/{d}{q}")
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "url": pa.array(urls, pa.string())})
+
+
+def q_surt_keys(sf_dir: str):
+    """SURT keys (stages/cdxindex.py:surt_keys) — Common Crawl's
+    sort-friendly URL transform: canonicalize (case, default ports,
+    tracking params, query sort), strip one leading www., reverse host
+    labels, re-attach a surviving port, ')' before the path. The
+    DuckDB oracle replays the deterministic URL construction and
+    states each host class's SURT directly — exact. The reference has
+    no index artifact at all; SURT is what makes per-domain lookups a
+    key-range scan at 10^10 URLs."""
+    from siren_ray.stages.cdxindex import surt_keys
+
+    def _key(t):
+        return t.append_column("surt_key", surt_keys(t["url"]))
+
+    return (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(_mk_surt_urls, batch_format="pyarrow")
+            .map_batches(_key, batch_format="pyarrow"))
+
+
+def q_cdx_prefix_scan(sf_dir: str):
+    """CDX-style sorted URL index + range-pruned domain lookup
+    (stages/cdxindex.py:build_cdx_index/cdx_prefix_scan): one global
+    sort by SURT key into Parquet shards, per-file min/max manifest
+    from the footers, then a prefix scan for 'com,example)' that reads
+    only intersecting shards with the filter pushed into the Parquet
+    scan. Note the port class 'com,example:8080)…' sorts OUTSIDE the
+    ')'-terminated prefix — the oracle states the exact surviving
+    class. Oracle = same construction + LIKE prefix."""
+    import shutil
+    import tempfile
+
+    from siren_ray.stages.cdxindex import build_cdx_index, cdx_prefix_scan
+
+    urls = (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(_mk_surt_urls, batch_format="pyarrow"))
+    out = tempfile.mkdtemp(prefix="cdx_idx_")
+    try:
+        manifest = build_cdx_index(urls, out, url_col="url",
+                                   carry_cols=("doc_id",), num_shards=8)
+        hits, _, _ = cdx_prefix_scan(manifest, "com,example)")
+        return hits.select_columns(
+            ["doc_id", "url", "surt_key"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_dedup_paragraphs(sf_dir: str):
     """Corpus-wide first-occurrence paragraph dedup
     (lines.py:dedup_paragraphs, the RefinedWeb/Dolma recipe): a
@@ -3042,6 +3109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": q_redirect_resolve,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_blocklist": q_url_blocklist,
+        "surt_keys": q_surt_keys,
+        "cdx_prefix_scan": q_cdx_prefix_scan,
         "corpus_pipeline": q_corpus_pipeline,
         "bpe_word_freq": q_bpe_word_freq,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3568,6 +3637,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, url FROM u "
             "WHERE doc_id % 4 NOT IN (1, 3) "  # tracker.com, stats.co.uk
             "AND url NOT LIKE '%casino%'"
+        ),
+        "surt_keys": (
+            "WITH u AS (SELECT doc_id, "
+            "CASE doc_id % 4 WHEN 2 THEN 'http' ELSE 'https' END || '://' "
+            "|| CASE doc_id % 4 WHEN 0 THEN 'www.Example.com' "
+            "WHEN 1 THEN 'news.site.org' WHEN 2 THEN 'example.com:8080' "
+            "ELSE 'br.example.co.uk' END "
+            "|| '/p/' || CAST(doc_id AS VARCHAR) || "
+            "CASE WHEN doc_id % 3 = 0 THEN '?b=9&utm_source=x&a=1' "
+            "ELSE '' END AS url, "
+            "CASE doc_id % 4 WHEN 0 THEN 'com,example' "
+            "WHEN 1 THEN 'org,site,news' WHEN 2 THEN 'com,example:8080' "
+            "ELSE 'uk,co,example,br' END "
+            "|| ')/p/' || CAST(doc_id AS VARCHAR) || "
+            "CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=9' ELSE '' END "
+            "AS surt_key FROM documents) "
+            "SELECT doc_id, url, surt_key FROM u"
+        ),
+        "cdx_prefix_scan": (
+            "WITH u AS (SELECT doc_id, "
+            "'https://www.Example.com/p/' || CAST(doc_id AS VARCHAR) || "
+            "CASE WHEN doc_id % 3 = 0 THEN '?b=9&utm_source=x&a=1' "
+            "ELSE '' END AS url, "
+            "'com,example)/p/' || CAST(doc_id AS VARCHAR) || "
+            "CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=9' ELSE '' END "
+            "AS surt_key FROM documents WHERE doc_id % 4 = 0) "
+            "SELECT doc_id, url, surt_key FROM u"
         ),
         "dedup_paragraphs": (
             "WITH base AS (SELECT doc_id, text, length(text) // 3 AS k, "

@@ -402,6 +402,8 @@ def run_query_bench(sf_dir: str) -> dict:
         "url_blocklist",
         "bpe_word_freq",
         "bpe_tokenize",
+        "surt_keys",
+        "cdx_prefix_scan",
         "corpus_pipeline",
     ]
     qs = entrymod.queries()

@@ -72,9 +72,9 @@ def canonicalize_urls(col) -> pa.Array:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if len(arr) == 0:
         return pa.array([], pa.string())
-    ok = pc.match_substring_regex(arr, _CANONICAL_RE).to_numpy(
-        zero_copy_only=False)
-    ok &= ~pc.is_null(arr).to_numpy(zero_copy_only=False)
+    ok = pc.fill_null(
+        pc.match_substring_regex(arr, _CANONICAL_RE), False
+    ).to_numpy(zero_copy_only=False).astype(bool)
     if ok.all():
         return arr
     out = np.asarray(arr.to_pylist(), dtype=object)
