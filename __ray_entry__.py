@@ -1278,6 +1278,25 @@ def q_incremental_ingest(sf_dir: str):
                          num_partitions=16).select_columns(["doc_id"])
 
 
+def q_chunk_dedup(sf_dir: str):
+    """Storage-dedup factor under content-defined vs fixed-size
+    chunking (stages/cdc.py): gear-hash CDC re-aligns shifted
+    redundancy that fixed blocks miss. Two rows (policy, total_chunks,
+    unique_chunks, total_bytes, unique_bytes); only pre-combined
+    (hash, len, count) partials shuffle — rows-only (the gear rolling
+    hash is not SQL-expressible)."""
+    import ray.data as rd
+
+    from siren_ray.stages.cdc import chunk_dedup_stats
+    from siren_ray.util import pin_for_multipass
+
+    docs = pin_for_multipass(
+        _docs(sf_dir).select_columns(["doc_id", "text"]))
+    cdc = chunk_dedup_stats(docs, chunker="cdc", avg_bits=8)
+    fixed = chunk_dedup_stats(docs, chunker="fixed", size=256)
+    return cdc.union(fixed).sort("policy")
+
+
 def q_chunk_documents(sf_dir: str):
     """Context-window chunking: 64-token windows at stride 48 (flat-map
     row explosion inside the batch; functions/textstats.py:
@@ -3055,6 +3074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": q_warc_roundtrip,
         "warc_to_corpus": q_warc_to_corpus,
         "chunk_documents": q_chunk_documents,
+        "chunk_dedup": q_chunk_dedup,
         "incremental_ingest": q_incremental_ingest,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,

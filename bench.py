@@ -404,6 +404,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "bpe_tokenize",
         "surt_keys",
         "cdx_prefix_scan",
+        "chunk_dedup",
         "corpus_pipeline",
     ]
     qs = entrymod.queries()
