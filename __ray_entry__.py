@@ -911,6 +911,29 @@ def q_main_content(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_html_markdown(sf_dir: str):
+    """HTML -> Markdown corpus serialization (`stages/markdown.py`):
+    deterministic CommonMark-flavoured structure preservation (headings,
+    lists, links, tables, code) — the markdownified-text shape public
+    LLM corpora distribute. Map-only per-doc tree serialization over the
+    synthetic pages corpus; returns (url, markdown, n_chars) for pages
+    that produce non-empty markdown. Rows-only (tree serialization is
+    not SQL-expressible; structural goldens in t:test_markdown)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.stages.markdown import markdown_batch
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    pages = rd.read_parquet(os.path.join(corpus, "pages"),
+                            columns=["url", "html"])
+    out = pages.map_batches(markdown_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t["n_chars"], 0)),
+        batch_format="pyarrow")
+
+
 def q_anchor_text(sf_dir: str):
     """Anchor-text link index: extract (src, dst, anchor) edges from the
     corpus HTML (`stages/maincontent.py:anchor_links_batch`, map-only),
@@ -3079,6 +3102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,
         "main_content": q_main_content,
+        "html_markdown": q_html_markdown,
         "anchor_text": q_anchor_text,
         "charset_decode": q_charset_decode,
         "sitemap": q_sitemap,
