@@ -2964,6 +2964,48 @@ def q_cdx_prefix_scan(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_c4_clean(sf_dir: str):
+    """C4-style page cleaning (functions/c4.py — Raffel et al. 2020
+    line/page screens): terminal-punctuation + min-words + javascript
+    line filters, lorem-ipsum / curly-brace / min-sentences page
+    screens, all vectorized Arrow kernels with the RE2 patterns shared
+    VERBATIM with the oracle. The query synthesizes multi-line pages
+    deterministically (text thirds with ./!/? endings, a javascript
+    boilerplate line and a too-short line injected everywhere, a
+    curly-brace line when doc_id%7==0 and a Lorem Ipsum line when
+    doc_id%11==3) so every rule provably fires; DuckDB replays the
+    identical construction — exact oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.functions.c4 import c4_clean_batch
+
+    JS_LINE = ("Please enable javascript to continue reading "
+               "this page now.")
+    BRACE_LINE = "code sample with braces { inside this line."
+    LOREM_LINE = "Filler Lorem Ipsum text appears on this page."
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        texts = t["text"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = []
+        for d, tx in zip(ids, texts):
+            k = len(tx) // 3
+            lines = [tx[:k] + ".", JS_LINE, "tiny line.",
+                     tx[k:2 * k] + "!", tx[2 * k:] + "?"]
+            if d % 7 == 0:
+                lines.append(BRACE_LINE)
+            if d % 11 == 3:
+                lines.append(LOREM_LINE)
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _mk, batch_format="pyarrow")
+    return docs.map_batches(c4_clean_batch, batch_format="pyarrow")
+
+
 def q_dedup_paragraphs(sf_dir: str):
     """Corpus-wide first-occurrence paragraph dedup
     (lines.py:dedup_paragraphs, the RefinedWeb/Dolma recipe): a
@@ -3151,6 +3193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "redirect_resolve": q_redirect_resolve,
+        "c4_clean": q_c4_clean,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_blocklist": q_url_blocklist,
         "surt_keys": q_surt_keys,
@@ -3176,6 +3219,9 @@ def oracle_sql() -> dict[str, str]:
     # RE2 pattern strings shared VERBATIM with the engine kernels
     # (functions/pii.py) — Arrow and DuckDB both compile them with RE2,
     # so redaction parity is by construction, not by reimplementation.
+    from siren_ray.functions.c4 import (C4_JS_SUBSTR, C4_LOREM_SUBSTR,
+                                        C4_SENTENCE_RE, C4_TERMINAL_RE,
+                                        C4_WORD_RE)
     from siren_ray.functions.pii import (EMAIL_RE, IPV4_RE, NORM_STRIP_RE,
                                          PHONE_RE)
 
@@ -3708,6 +3754,33 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=9' ELSE '' END "
             "AS surt_key FROM documents WHERE doc_id % 4 = 0) "
             "SELECT doc_id, url, surt_key FROM u"
+        ),
+        "c4_clean": (
+            "WITH base AS (SELECT doc_id, text, length(text) // 3 AS k "
+            "FROM documents), "
+            "built AS (SELECT doc_id, "
+            "substr(text, 1, k) || '.' || chr(10) || "
+            "'Please enable javascript to continue reading this page "
+            "now.' || chr(10) || "
+            "'tiny line.' || chr(10) || "
+            "substr(text, k + 1, k) || '!' || chr(10) || "
+            "substr(text, 2 * k + 1) || '?' || "
+            "CASE WHEN doc_id % 7 = 0 THEN chr(10) || "
+            "'code sample with braces { inside this line.' ELSE '' END || "
+            "CASE WHEN doc_id % 11 = 3 THEN chr(10) || "
+            "'Filler Lorem Ipsum text appears on this page.' ELSE '' END "
+            "AS text FROM base), "
+            "cleaned AS (SELECT doc_id, "
+            "array_to_string(list_filter(string_split(text, chr(10)), "
+            f"l -> regexp_matches(l, '{C4_TERMINAL_RE}') "
+            f"AND length(regexp_extract_all(l, '{C4_WORD_RE}')) >= 5 "
+            f"AND NOT contains(lower(l), '{C4_JS_SUBSTR}')), chr(10)) "
+            "AS text FROM built "
+            f"WHERE NOT contains(lower(text), '{C4_LOREM_SUBSTR}') "
+            "AND NOT contains(text, chr(123))) "
+            "SELECT doc_id, text FROM cleaned "
+            f"WHERE length(regexp_extract_all(text, '{C4_SENTENCE_RE}')) "
+            ">= 3"
         ),
         "dedup_paragraphs": (
             "WITH base AS (SELECT doc_id, text, length(text) // 3 AS k, "
