@@ -50,7 +50,6 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Adds n_chars_q/n_tokens/punct_ratio/stopword_ratio/quality_ok."""
     col = batch[text_col]
     n_chars = pc.cast(pc.utf8_length(col), pa.int64())
-    n_tokens = token_count_ws(col)
     n_punct = pc.cast(
         pc.count_substring_regex(col, pattern=r"[^\w\s]"), pa.int64()
     )
@@ -69,6 +68,18 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_words = np.bincount(parent, minlength=n_rows)
     n_stop = np.bincount(parent, weights=isstop, minlength=n_rows)
     stop_ratio = np.divide(n_stop, np.maximum(n_words, 1))
+    # token count from the SAME split (Arrow's split keeps empty strings
+    # for leading/trailing/repeated whitespace — dropping them matches
+    # token_count_ws's \S+ regex exactly, verified on edge cases in
+    # t:test_ops), saving the second-costliest regex pass over the text
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    n_tok_np = np.bincount(parent, weights=nonempty,
+                           minlength=n_rows).astype(np.int64)
+    valid = pc.is_valid(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ).to_numpy(zero_copy_only=False)
+    n_tokens = pa.array(n_tok_np, pa.int64(), mask=~valid)
     nc = n_chars.to_numpy(zero_copy_only=False).astype(float)
     punct_ratio = np.divide(
         n_punct.to_numpy(zero_copy_only=False),
@@ -76,7 +87,7 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
     ok = (
         (nc >= 20)
-        & (n_tokens.to_numpy(zero_copy_only=False) >= 5)
+        & (n_tok_np >= 5)
         & (punct_ratio <= 0.3)
     )
     return (
