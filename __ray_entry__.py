@@ -1301,6 +1301,49 @@ def q_incremental_ingest(sf_dir: str):
                          num_partitions=16).select_columns(["doc_id"])
 
 
+def q_compact_shards(sf_dir: str):
+    """Parquet small-file compaction (stages/compact.py): documents are
+    written as many tiny hive-partitioned shards (the shape a long
+    resumable crawl leaves behind), then compacted to target-size files
+    — metadata-only planning, map-only rewrites, deterministic
+    bin-identity names (idempotent under at-least-once retries),
+    partition-layout preserved. Returns the per-bin manifest with
+    relativized paths. Rows-only (filesystem state is not
+    SQL-expressible; idempotence/resume proven in t:test_compact)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.compact import compact_parquet
+
+    root = "/tmp/siren_ray_runs/q_compact_shards"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _shard(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        for part in np.unique(ids % 4):
+            sub = t.filter(pa.array(ids % 4 == part))
+            d = os.path.join(root, f"part={int(part)}")
+            os.makedirs(d, exist_ok=True)
+            # one tiny shard per (batch, partition): the small-file mess
+            name = f"part-{int(ids.min())}-{int(part)}.parquet"
+            pq.write_table(sub, os.path.join(d, name))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    docs.map_batches(_shard, batch_format="pyarrow",
+                     batch_size=256).materialize()
+    manifest = compact_parquet(root, target_mb=64).to_pandas()
+    manifest["out_file"] = [os.path.relpath(p, root)
+                            for p in manifest.out_file]
+    manifest = manifest.sort_values("out_file").reset_index(drop=True)
+    return rd.from_pandas(manifest)
+
+
 def q_chunk_dedup(sf_dir: str):
     """Storage-dedup factor under content-defined vs fixed-size
     chunking (stages/cdc.py): gear-hash CDC re-aligns shifted
@@ -3140,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_to_corpus": q_warc_to_corpus,
         "chunk_documents": q_chunk_documents,
         "chunk_dedup": q_chunk_dedup,
+        "compact_shards": q_compact_shards,
         "incremental_ingest": q_incremental_ingest,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,

@@ -405,6 +405,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "surt_keys",
         "cdx_prefix_scan",
         "chunk_dedup",
+        "compact_shards",
         "c4_clean",
         "html_markdown",
         "corpus_pipeline",
