@@ -105,6 +105,14 @@ class CrawlConfig:
     # N salts; 0 = the legacy unsalted groupby(host) path (conformance
     # reference only — unsafe on a Zipf-skewed frontier)
     salt_hosts: int | str = "auto"
+    # adaptive per-host politeness (live-HTTP mode): effective
+    # crawl-delay(h) = max(robots delay, adaptive_k x EWMA of observed
+    # response latency) — slow hosts self-throttle like Heritrix's
+    # adaptive politeness; corpus modes have no latency signal, so the
+    # flag is a no-op there
+    adaptive_politeness: bool = False
+    adaptive_k: float = 2.0
+    adaptive_alpha: float = 0.5  # EWMA weight of the newest round
 
     @property
     def pages_dir(self) -> str:
@@ -310,6 +318,7 @@ class _Crawl:
             self.robots = load_robots(
                 os.path.join(cfg.corpus_dir, "robots.parquet"))
         self.seen = SeenSet(cfg.num_seen_shards)
+        self.host_lat_ewma: dict[str, float] = {}  # adaptive politeness
         self.frontier_dir = os.path.join(cfg.out_dir, "frontier")
         self.extracted_dir = os.path.join(cfg.out_dir, "extracted")
         self.seen_ckpt_dir = os.path.join(cfg.out_dir, "seen_ckpt")
@@ -507,7 +516,7 @@ class _Crawl:
         robots_bad = df[~rob_ok]
         df = df[rob_ok]
         quotas = {
-            h: host_quota(self.robots, h, cfg.round_ms)
+            h: self._effective_quota(h)
             for h in df["host"].unique()
         }
         host_rank = df.groupby("host", sort=False).cumcount().to_numpy()
@@ -530,6 +539,38 @@ class _Crawl:
         def_tbl = pa.Table.from_pandas(deferred.reset_index(drop=True),
                                        preserve_index=False)
         return n_frontier, n_cand, len(robots_bad), sel_tbl, def_tbl
+
+    def _merge_latency(self, per_actor) -> None:
+        """Fold each actor's drained {host: (n, sum_ms)} into the
+        crawl-lifetime EWMA (newest round weighted ``adaptive_alpha``)."""
+        alpha = self.cfg.adaptive_alpha
+        agg: dict[str, list] = {}
+        for stats in per_actor:
+            if not stats:
+                continue
+            for h, (n, s) in stats.items():
+                cur = agg.setdefault(h, [0, 0.0])
+                cur[0] += n
+                cur[1] += s
+        for h, (n, s) in agg.items():
+            obs = s / max(n, 1)
+            prev = self.host_lat_ewma.get(h)
+            self.host_lat_ewma[h] = (obs if prev is None
+                                     else alpha * obs + (1 - alpha) * prev)
+
+    def _effective_quota(self, host: str) -> int:
+        """Per-round fetch quota for a host: the robots crawl-delay
+        quota, tightened by observed latency when adaptive politeness
+        is on (effective delay = max(robots, k x EWMA ms))."""
+        cfg = self.cfg
+        base = host_quota(self.robots, host, cfg.round_ms)
+        if not cfg.adaptive_politeness:
+            return base
+        ewma = self.host_lat_ewma.get(host)
+        if ewma is None:
+            return base
+        delay_ms = max(1.0, cfg.adaptive_k * ewma)
+        return max(1, min(base, int(cfg.round_ms // delay_ms) or 1))
 
     def _run_round_driver(self, r: int, frontier: pa.Table):
         cfg = self.cfg
@@ -576,6 +617,8 @@ class _Crawl:
             n_links = sum(c["links"] for c in counts)
             self._busy_s = sum(c.get("busy_s", 0.0) for c in counts)
             self._write_s = sum(c.get("write_s", 0.0) for c in counts)
+            if cfg.adaptive_politeness:
+                self._merge_latency(c.get("latency") for c in counts)
         n_next = n_links + def_tbl.num_rows
         t0 = time.perf_counter()
         self._next_frontier = None

@@ -143,6 +143,7 @@ class FetchExtract:
     ):
         _pin_worker_threads()
         self.enrich = enrich
+        self._lat_stats: dict[str, list] = {}
         self.num_buckets = num_buckets
         self.cache_buckets = cache_buckets
         self.pages_dir = pages_dir
@@ -201,9 +202,28 @@ class FetchExtract:
         """Real HTTP GETs through the per-actor transport; failures
         (4xx/5xx/timeout/conn) come back as nulls, which the fetch stage
         records as ``found=false`` rows (F4 semantics, same as a corpus
-        miss)."""
-        bodies, _errs = self._transport.fetch_many(url_arr.to_pylist())
+        miss). Per-URL wall latency accumulates per host for adaptive
+        politeness (drained by the crawl loop each round)."""
+        from ..util import host_of
+
+        urls = url_arr.to_pylist()
+        bodies, _errs, ms = self._transport.fetch_many_timed(urls)
+        stats = self._lat_stats
+        for u, m in zip(urls, ms):
+            h = host_of(u)
+            cur = stats.get(h)
+            if cur is None:
+                stats[h] = [1, m]
+            else:
+                cur[0] += 1
+                cur[1] += m
         return pa.array(bodies, pa.binary())
+
+    def drain_latency(self) -> dict[str, tuple[int, float]]:
+        """{host: (n, sum_ms)} observed since the last drain."""
+        out = {h: (n, s) for h, (n, s) in self._lat_stats.items()}
+        self._lat_stats.clear()
+        return out
 
     def _bucket_table(self, b: int) -> tuple[pa.Array, pa.Array]:
         # PROCESS-global LRU (keyed by pages_dir too): Ray worker
@@ -417,6 +437,10 @@ class FetchExtractActor:
             "write_s": 0.0,
         }
         counts["busy_s"] = time.perf_counter() - t0
+        if self.inner.mode == "http":
+            lat = self.inner.drain_latency()
+            if lat:
+                counts["latency"] = lat
         if out_path is not None:
             tw = time.perf_counter()
             pq.write_table(extracted, out_path)

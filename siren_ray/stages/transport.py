@@ -102,6 +102,23 @@ class HttpTransport:
         results = list(self._pool.map(self._fetch_one, urls))
         return [r[0] for r in results], [r[1] for r in results]
 
+    def fetch_many_timed(
+        self, urls: list[str]
+    ) -> tuple[list[bytes | None], list[str | None], list[float]]:
+        """`fetch_many` + per-URL wall latency in ms (feeds adaptive
+        per-host politeness: delay ~ k x observed response time)."""
+        import time
+
+        def _timed(url):
+            t0 = time.perf_counter()
+            r = self._fetch_one(url)
+            return r, (time.perf_counter() - t0) * 1000.0
+
+        results = list(self._pool.map(_timed, urls))
+        return ([r[0][0] for r in results],
+                [r[0][1] for r in results],
+                [r[1] for r in results])
+
     def fetch_many_conditional(
         self, urls: list[str], etags: list[str | None]
     ) -> tuple[list[bytes | None], list[str | None], list[str | None]]:

@@ -302,3 +302,67 @@ def test_crawl_live_robots_matches_corpus(corpus_sf0001, pages, tmp_path,
         [m.get("robots_skipped") for m in ref_m]
     # robots genuinely bit during the run (not a vacuous pass)
     assert sum(m.get("robots_skipped") or 0 for m in ref_m) > 0
+
+
+def test_adaptive_politeness_throttles_slow_host(corpus_sf0001, pages,
+                                                 tmp_path, ray_session):
+    """Heritrix-style adaptive politeness: with adaptive_politeness=True
+    a host whose responses are slow (40 ms artificial latency) gets its
+    per-round quota tightened to ~round_ms / (k x observed EWMA) after
+    the first round that measures it; the same crawl without the flag
+    fetches the host at full budget."""
+    from siren_ray.pipelines.frontier import (
+        CrawlConfig, read_crawl_order, run_crawl,
+    )
+    from siren_ray.util import host_of
+
+    params = dict(budget_per_round=250, round_ms=1000, max_rounds=4,
+                  max_depth=6, fetch_mode="http", http_headers=UA,
+                  scheduler="driver")
+
+    def per_round_counts(out_dir, host):
+        t = read_crawl_order(out_dir)
+        counts = {}
+        for r, u in zip(t["round"].to_pylist(), t["url"].to_pylist()):
+            if host_of(u) == host:
+                counts[r] = counts.get(r, 0) + 1
+        return counts
+
+    # pick the busiest host of an unthrottled crawl as the slow one
+    with CorpusHttpServer(pages, require_headers=UA) as srv:
+        base_cfg = CrawlConfig(
+            corpus_dir=corpus_sf0001, out_dir=str(tmp_path / "base"),
+            http_base=srv.base_url, **params)
+        run_crawl(base_cfg)
+    t = read_crawl_order(base_cfg.out_dir)
+    by_host = {}
+    for u in t["url"].to_pylist():
+        by_host[host_of(u)] = by_host.get(host_of(u), 0) + 1
+    slow_host = max(by_host, key=by_host.get)
+    base_counts = per_round_counts(base_cfg.out_dir, slow_host)
+    assert max(base_counts.values()) > 15  # meaningful baseline volume
+
+    slow = {u: 0.04 for u in pages if host_of(u) == slow_host}
+    with CorpusHttpServer(pages, require_headers=UA,
+                          slow_urls=slow) as srv:
+        ad_cfg = CrawlConfig(
+            corpus_dir=corpus_sf0001, out_dir=str(tmp_path / "adaptive"),
+            http_base=srv.base_url, adaptive_politeness=True,
+            adaptive_k=2.0, **params)
+        run_crawl(ad_cfg)
+    ad_counts = per_round_counts(ad_cfg.out_dir, slow_host)
+    # rounds AFTER the first latency observation are quota-limited:
+    # quota <= round_ms / (k * 40ms) = 12 (queueing inflates the EWMA,
+    # so the real quota is usually tighter)
+    later = {r: c for r, c in ad_counts.items() if r >= 2}
+    assert later, f"slow host never reappeared: {ad_counts}"
+    assert max(later.values()) <= 12, (ad_counts, base_counts)
+    # and the slow host still makes progress each round it appears
+    assert min(later.values()) >= 1
+    # other hosts are untouched: the adaptive crawl keeps fetching far
+    # beyond the slow host's tightened quota in the same rounds
+    tt = read_crawl_order(ad_cfg.out_dir)
+    rounds = {}
+    for r in tt["round"].to_pylist():
+        rounds[r] = rounds.get(r, 0) + 1
+    assert max(rounds[r] for r in later) > 3 * max(later.values())
