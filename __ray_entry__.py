@@ -1344,6 +1344,18 @@ def q_compact_shards(sf_dir: str):
     return rd.from_pandas(manifest)
 
 
+def q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (functions/textstats.py:
+    compression_ratio_batch) — the whole-document repetition proxy
+    Dolma/Gopher pipelines screen on; map-only. Rows-only (no zlib in
+    SQL; separability + edge cases pinned in t:test_ops)."""
+    from siren_ray.functions.textstats import compression_ratio_batch
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        compression_ratio_batch, batch_format="pyarrow",
+    ).select_columns(["doc_id", "zlib_ratio"])
+
+
 def q_chunk_dedup(sf_dir: str):
     """Storage-dedup factor under content-defined vs fixed-size
     chunking (stages/cdc.py): gear-hash CDC re-aligns shifted
@@ -3184,6 +3196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "chunk_dedup": q_chunk_dedup,
         "compact_shards": q_compact_shards,
+        "compression_ratio": q_compression_ratio,
         "incremental_ingest": q_incremental_ingest,
         # rows-only (non-SQL-expressible)
         "crawl": q_crawl,

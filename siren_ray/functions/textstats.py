@@ -114,6 +114,30 @@ _LANG_PROFILES = {
 }
 
 
+def compression_ratio_batch(batch: pa.Table, *, text_col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """zlib compression ratio per doc (compressed/raw bytes) — the
+    cheap whole-document repetition proxy Dolma/Gopher-family pipelines
+    screen on: templated or looping text compresses far below prose
+    (boilerplate listings ~0.1–0.3, natural text ~0.4–0.7, random
+    ~1.0). Adds ``zlib_ratio`` (float64, NaN for empty/null docs).
+    Per-doc C call into zlib, no Python inner loop; map-only."""
+    import zlib
+
+    arr = batch[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ratios = np.empty(len(arr), dtype=np.float64)
+    for i, t in enumerate(arr.to_pylist()):
+        if not t:
+            ratios[i] = np.nan
+            continue
+        raw = t.encode()
+        ratios[i] = len(zlib.compress(raw, level)) / len(raw)
+    return batch.append_column("zlib_ratio",
+                               pa.array(ratios, pa.float64()))
+
+
 def lang_id(texts: list[str]) -> list[str]:
     """Reference row-at-a-time implementation (kept as the semantics
     spec; tests assert the vectorized batch kernel matches it)."""

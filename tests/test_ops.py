@@ -1580,3 +1580,23 @@ def test_normalize_text_batch():
     ]})
     got = normalize_text_batch(t)["norm_text"].to_pylist()
     assert got == ["é composed", "abcd", "xyz", "a b c d", None, ""]
+
+
+def test_compression_ratio_signal():
+    """zlib ratio separates repetitive boilerplate from varied prose and
+    handles empty/null docs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import compression_ratio_batch
+
+    rng = np.random.default_rng(3)
+    varied = " ".join("w%d" % v for v in rng.integers(0, 10_000, 400))
+    looped = "subscribe now click here " * 100
+    t = pa.table({"text": pa.array([varied, looped, "", None])})
+    out = compression_ratio_batch(t)
+    r = out["zlib_ratio"].to_pylist()
+    assert r[0] > 2 * r[1]  # prose compresses far less than loops
+    assert 0 < r[1] < 0.2 and 0.2 < r[0] <= 1.2
+    assert np.isnan(r[2]) and np.isnan(r[3])
+    assert out.column_names[-1] == "zlib_ratio"
