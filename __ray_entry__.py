@@ -2837,6 +2837,7 @@ def q_corpus_pipeline(sf_dir: str):
     """Flagship crawl->training-corpus composite — the engine's whole
     north-star story as ONE pipeline: frontier crawl (politeness +
     seen-set) -> extracted text -> language ID gate -> quality gate ->
+    C4-style line/page cleaning -> zlib repetition gate ->
     corpus-wide first-occurrence paragraph dedup -> Jaccard-verified
     MinHash near-dup removal -> whitespace token count -> fixed-length
     sequence packing. Returns the per-stage lineage table (stage,
@@ -2895,7 +2896,24 @@ def q_corpus_pipeline(sf_dir: str):
              .materialize())
     lineage.append(("lang_quality_gated", gated.count()))
 
-    paradeduped = dedup_paragraphs(gated, num_partitions=16).materialize()
+    from siren_ray.functions.c4 import c4_clean_batch
+    from siren_ray.functions.textstats import compression_ratio_batch
+
+    def _zlib_gate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        zt = compression_ratio_batch(t)
+        keep = pc.greater(zt["zlib_ratio"], 0.2)  # drop loop-y text
+        return zt.filter(pc.fill_null(keep, False)).select(
+            ["doc_id", "text"])
+
+    cleaned = (gated.map_batches(c4_clean_batch, batch_format="pyarrow")
+               .map_batches(_zlib_gate, batch_format="pyarrow")
+               .materialize())
+    lineage.append(("c4_repetition_gated", cleaned.count()))
+
+    paradeduped = dedup_paragraphs(cleaned,
+                                   num_partitions=16).materialize()
     lineage.append(("paragraph_deduped", paradeduped.count()))
 
     neardeduped = remove_near_duplicates(

@@ -117,8 +117,9 @@ def test_corpus_pipeline_lineage_funnel(ray_session):
     stages = t["stage"].to_pylist()
     rows = t["rows"].to_pylist()
     assert stages == ["crawled", "extracted", "lang_quality_gated",
-                      "paragraph_deduped", "neardup_removed",
-                      "packed_sequences"]
+                      "c4_repetition_gated", "paragraph_deduped",
+                      "neardup_removed", "packed_sequences"]
     # every doc-level stage only ever removes rows
-    assert rows[0] >= rows[1] >= rows[2] >= rows[3] >= rows[4] > 0
-    assert rows[5] > 0
+    assert (rows[0] >= rows[1] >= rows[2] >= rows[3] >= rows[4]
+            >= rows[5] > 0)
+    assert rows[6] > 0
