@@ -1344,6 +1344,46 @@ def q_compact_shards(sf_dir: str):
     return rd.from_pandas(manifest)
 
 
+def q_meta_tags(sf_dir: str):
+    """Page metadata extraction (stages/maincontent.py:meta_tags_batch):
+    title / OpenGraph / description / canonical from synthesized pages
+    that vary attribute order, quote style, tag case and entity
+    escaping by doc_id — the DuckDB oracle states the expected decoded
+    strings directly, so the parse is exact by construction."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import meta_tags_batch
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        urls, htmls = [], []
+        for d in ids:
+            og_t = (f"<meta content='OG {d}' property=og:title>"
+                    if d % 3 == 0 else
+                    f'<meta property="og:title" content="OG {d}">')
+            og_d = ("" if d % 4 == 0 else
+                    f'<META NAME="og:description" CONTENT="OD {d}">')
+            htmls.append(
+                f"<html><head><title>Doc {d} &amp; co</title>{og_t}{og_d}"
+                f'<meta name=description content=plain{d} />'
+                f'<link rel="canonical" href="https://ex.org/c/{d}">'
+                f"</head><body><p>x</p></body></html>".encode())
+            urls.append(f"https://ex.org/p/{d}")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    pages = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+    out = pages.map_batches(
+        lambda t: meta_tags_batch(t).append_column("doc_id", t["doc_id"]),
+        batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "url", "title", "og_title", "og_description",
+         "description", "canonical"])
+
+
 def q_compression_ratio(sf_dir: str):
     """Per-doc zlib compression ratio (functions/textstats.py:
     compression_ratio_batch) — the whole-document repetition proxy
@@ -3269,6 +3309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "redirect_resolve": q_redirect_resolve,
         "c4_clean": q_c4_clean,
+        "meta_tags": q_meta_tags,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_blocklist": q_url_blocklist,
         "surt_keys": q_surt_keys,
@@ -3829,6 +3870,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=9' ELSE '' END "
             "AS surt_key FROM documents WHERE doc_id % 4 = 0) "
             "SELECT doc_id, url, surt_key FROM u"
+        ),
+        "meta_tags": (
+            "SELECT doc_id, "
+            "'https://ex.org/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "'Doc ' || CAST(doc_id AS VARCHAR) || ' & co' AS title, "
+            "'OG ' || CAST(doc_id AS VARCHAR) AS og_title, "
+            "CASE WHEN doc_id % 4 = 0 THEN NULL "
+            "ELSE 'OD ' || CAST(doc_id AS VARCHAR) END AS og_description, "
+            "'plain' || CAST(doc_id AS VARCHAR) AS description, "
+            "'https://ex.org/c/' || CAST(doc_id AS VARCHAR) AS canonical "
+            "FROM documents"
         ),
         "c4_clean": (
             "WITH base AS (SELECT doc_id, text, length(text) // 3 AS k "

@@ -407,6 +407,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "chunk_dedup",
         "compact_shards",
         "c4_clean",
+        "meta_tags",
         "html_markdown",
         "corpus_pipeline",
     ]

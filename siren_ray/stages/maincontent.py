@@ -332,3 +332,73 @@ def soft404_batch(batch: pa.Table, *, text_col: str = "text",
     for name in sig.column_names:
         out = out.append_column(name, sig[name])
     return out
+
+
+# --- page metadata (OpenGraph / meta tags / canonical) ---------------------
+
+_META_TAG_RE = re.compile(r"<meta\b[^>]*>", re.I | re.S)
+_LINK_TAG_RE = re.compile(r"<link\b[^>]*>", re.I | re.S)
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S)
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z:_][\w:.-]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""")
+
+
+def _tag_attrs(tag: str) -> dict[str, str]:
+    import html as _html
+
+    return {m.group(1).lower(): _html.unescape(
+                m.group(2) or m.group(3) or m.group(4) or "")
+            for m in _ATTR_RE.finditer(tag)}
+
+
+def meta_tags_batch(t: pa.Table, *, html_col: str = "html",
+                    url_col: str = "url") -> pa.Table:
+    """Page metadata extraction: ``<title>``, OpenGraph properties
+    (og:title/og:description/og:image), ``<meta name=description>``
+    and the ``<link rel=canonical>`` href — the envelope fields a
+    search/social index keeps per page. Meta/link tags are
+    self-contained void elements, so a compiled tag-regex + attribute
+    parse (order- and quote-style-insensitive, entity-decoded) reads
+    them without a full DOM build; map-only. Missing fields are null.
+    The reference parses equivalent ld+json envelope fields per
+    article (/root/reference/siren/scrapers/online/mirror.py:70-77);
+    this is the page-level generalization."""
+    import html as _html
+
+    htmls = t[html_col].to_pylist()
+    cols: dict[str, list] = {k: [] for k in (
+        "title", "og_title", "og_description", "og_image",
+        "description", "canonical")}
+    for h in htmls:
+        if isinstance(h, (bytes, bytearray, memoryview)):
+            h = bytes(h).decode("utf-8", errors="replace")
+        h = h or ""
+        row = dict.fromkeys(cols)
+        m = _TITLE_RE.search(h)
+        if m:
+            row["title"] = _html.unescape(m.group(1)).strip()
+        for tag in _META_TAG_RE.findall(h):
+            a = _tag_attrs(tag)
+            content = a.get("content")
+            if content is None:
+                continue
+            key = a.get("property") or a.get("name") or ""
+            key = key.lower()
+            if key == "og:title":
+                row["og_title"] = content
+            elif key == "og:description":
+                row["og_description"] = content
+            elif key == "og:image":
+                row["og_image"] = content
+            elif key == "description":
+                row["description"] = content
+        for tag in _LINK_TAG_RE.findall(h):
+            a = _tag_attrs(tag)
+            if a.get("rel", "").lower() == "canonical" and a.get("href"):
+                row["canonical"] = a["href"]
+                break  # first canonical wins
+        for k in cols:
+            cols[k].append(row[k])
+    out = {url_col: t[url_col]}
+    out.update({k: pa.array(v, pa.string()) for k, v in cols.items()})
+    return pa.table(out)

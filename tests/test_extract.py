@@ -272,3 +272,29 @@ def test_soft404_signals():
         True, True, False, False, False]
     assert o["is_soft404"].to_pylist() == [True, True, False, True, True]
     assert o["n_chars"].to_pylist()[4] == 0
+
+
+def test_meta_tags_batch_edges():
+    """Metadata extraction robustness: missing head, malformed tags,
+    unquoted/flipped/cased attributes, entities, first-canonical-wins,
+    meta without content."""
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import meta_tags_batch
+
+    pages = [
+        b"",                                   # empty
+        b"no html at all",                     # no tags
+        b"<meta property='og:title'>",         # no content -> ignored
+        (b"<TITLE>T &lt;1&gt;</TITLE>"
+         b"<meta content=X property=og:title>"
+         b'<link rel=canonical href=/a><link rel=canonical href=/b>'),
+        b"<meta name='description' content='d1'><p>body</p>",
+    ]
+    t = pa.table({"url": pa.array([f"u{i}" for i in range(len(pages))]),
+                  "html": pa.array(pages, pa.binary())})
+    out = meta_tags_batch(t).to_pydict()
+    assert out["title"] == [None, None, None, "T <1>", None]
+    assert out["og_title"] == [None, None, None, "X", None]
+    assert out["canonical"] == [None, None, None, "/a", None]
+    assert out["description"] == [None, None, None, None, "d1"]
