@@ -1384,6 +1384,49 @@ def q_meta_tags(sf_dir: str):
          "description", "canonical"])
 
 
+def q_url_templates(sf_dir: str):
+    """URL template mining (functions/urlnorm.py:url_template_batch):
+    query-strip + long-hex + digit-run generalization exposes the URL
+    families a site generates — vectorized RE2 shared VERBATIM with
+    DuckDB, grouped family counts. URLs synthesized from doc_id across
+    four families (query param, md5-hex tile path, calendar, slug);
+    the oracle replays the construction and the same regexp_replace
+    chain — exact."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.functions.urlnorm import url_template_batch
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        urls = []
+        for d in ids:
+            f = d % 4
+            if f == 0:
+                urls.append(f"https://ex{d % 2}.org/story/{d}?utm=x")
+            elif f == 1:
+                hx = hashlib.md5(str(d).encode()).hexdigest()[:16]
+                urls.append(f"https://ex{d % 2}.org/tile/{hx}/{d % 5}")
+            elif f == 2:
+                urls.append(
+                    f"https://cal.ex.org/{2000 + d % 30}/{1 + d % 12}"
+                    "/page")
+            else:
+                urls.append(f"https://ex.org/p/{d}-slug")
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    ds = (_docs(sf_dir).select_columns(["doc_id"])
+          .map_batches(_mk, batch_format="pyarrow")
+          .map_batches(url_template_batch, batch_format="pyarrow"))
+    counts = ds.groupby("template").count()
+    return counts.map_batches(
+        lambda t: pa.table({"template": t["template"],
+                            "n_urls": t["count()"]}),
+        batch_format="pyarrow")
+
+
 def q_compression_ratio(sf_dir: str):
     """Per-doc zlib compression ratio (functions/textstats.py:
     compression_ratio_batch) — the whole-document repetition proxy
@@ -3310,6 +3353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": q_redirect_resolve,
         "c4_clean": q_c4_clean,
         "meta_tags": q_meta_tags,
+        "url_templates": q_url_templates,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_blocklist": q_url_blocklist,
         "surt_keys": q_surt_keys,
@@ -3340,6 +3384,9 @@ def oracle_sql() -> dict[str, str]:
                                         C4_WORD_RE)
     from siren_ray.functions.pii import (EMAIL_RE, IPV4_RE, NORM_STRIP_RE,
                                          PHONE_RE)
+    from siren_ray.functions.urlnorm import (TEMPLATE_HEX_RE,
+                                             TEMPLATE_NUM_RE,
+                                             TEMPLATE_QUERY_RE)
 
     return {
         "date_window": (
@@ -3870,6 +3917,24 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=9' ELSE '' END "
             "AS surt_key FROM documents WHERE doc_id % 4 = 0) "
             "SELECT doc_id, url, surt_key FROM u"
+        ),
+        "url_templates": (
+            "WITH u AS (SELECT CASE doc_id % 4 "
+            "WHEN 0 THEN 'https://ex' || CAST(doc_id % 2 AS VARCHAR) || "
+            "'.org/story/' || CAST(doc_id AS VARCHAR) || '?utm=x' "
+            "WHEN 1 THEN 'https://ex' || CAST(doc_id % 2 AS VARCHAR) || "
+            "'.org/tile/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) "
+            "|| '/' || CAST(doc_id % 5 AS VARCHAR) "
+            "WHEN 2 THEN 'https://cal.ex.org/' || "
+            "CAST(2000 + doc_id % 30 AS VARCHAR) || '/' || "
+            "CAST(1 + doc_id % 12 AS VARCHAR) || '/page' "
+            "ELSE 'https://ex.org/p/' || CAST(doc_id AS VARCHAR) || "
+            "'-slug' END AS url FROM documents), "
+            "t AS (SELECT regexp_replace(regexp_replace(regexp_replace("
+            f"url, '{TEMPLATE_QUERY_RE}', '', 'g'), "
+            f"'{TEMPLATE_HEX_RE}', '<H>', 'g'), "
+            f"'{TEMPLATE_NUM_RE}', '<N>', 'g') AS template FROM u) "
+            "SELECT template, count(*) AS n_urls FROM t GROUP BY template"
         ),
         "meta_tags": (
             "SELECT doc_id, "

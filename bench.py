@@ -408,6 +408,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "compact_shards",
         "c4_clean",
         "meta_tags",
+        "url_templates",
         "html_markdown",
         "corpus_pipeline",
     ]

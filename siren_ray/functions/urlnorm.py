@@ -352,3 +352,32 @@ def blocklist_filter(ds, *, url_col: str = "url",
 
     return ds.map_batches(_Blocklist, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+# --- URL template mining ----------------------------------------------------
+
+# shared VERBATIM with the DuckDB oracle (both engines compile RE2)
+TEMPLATE_QUERY_RE = r"\?.*$"          # strip the query string
+TEMPLATE_HEX_RE = r"\b[0-9a-f]{16,}\b"  # long hex ids (hashes, uuids)
+TEMPLATE_NUM_RE = r"\d+"              # any digit run
+
+
+def url_template_batch(batch: pa.Table, *, url_col: str = "url"
+                       ) -> pa.Table:
+    """Generalize each URL into its generator template: query string
+    stripped, long hex ids -> ``<H>``, digit runs -> ``<N>``. Grouping
+    on the template exposes the URL *families* a site generates
+    (article ids, pagination, tile grids, calendar traps) — the
+    crawl-ops complement to `url_trap_signals`: a family whose count
+    explodes is a generator, not content. Three vectorized RE2 passes,
+    map-only; patterns shared verbatim with the oracle."""
+    import pyarrow.compute as pc
+
+    u = batch[url_col]
+    t = pc.replace_substring_regex(u, pattern=TEMPLATE_QUERY_RE,
+                                   replacement="")
+    t = pc.replace_substring_regex(t, pattern=TEMPLATE_HEX_RE,
+                                   replacement="<H>")
+    t = pc.replace_substring_regex(t, pattern=TEMPLATE_NUM_RE,
+                                   replacement="<N>")
+    return batch.append_column("template", pc.cast(t, pa.string()))

@@ -191,3 +191,27 @@ def test_blocklist_filter_domains_terms_invert(ray_session):
     ])
     audit = sorted(blocklist_filter(ds, invert=True, **kw).to_pandas().url)
     assert len(audit) == 4 and "https://tracker.com/y" in audit
+
+
+def test_url_template_batch_rules():
+    """Template generalization: query stripped, >=16-char lowercase hex
+    -> <H>, digit runs -> <N>; uppercase hex and short hex stay."""
+    import pyarrow as pa
+
+    from siren_ray.functions.urlnorm import url_template_batch
+
+    t = pa.table({"url": pa.array([
+        "https://a.org/x?q=1&r=2",
+        "https://a.org/h/0123456789abcdef",
+        "https://a.org/h/0123456789ABCDEF",   # uppercase: not hex rule
+        "https://a.org/h/abc123",             # short: digit rule only
+        "https://a.org/plain/slug",
+    ])})
+    got = url_template_batch(t)["template"].to_pylist()
+    assert got == [
+        "https://a.org/x",
+        "https://a.org/h/<H>",
+        "https://a.org/h/<N>ABCDEF",
+        "https://a.org/h/abc<N>",
+        "https://a.org/plain/slug",
+    ]
