@@ -3120,6 +3120,60 @@ def q_cdx_prefix_scan(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_cdx_merge(sf_dir: str):
+    """Incremental CDX maintenance (stages/cdxindex.py:merge_cdx_index
+    — the LSM-style loop a continuously-crawling index needs): build on
+    the even doc_ids, merge the odd ones as a delta (only the delta
+    shuffles; base shards rewrite in place, untouched shards carry
+    over), then prefix-scan the merged index. The scan result is
+    asserted equal to a from-scratch full build before returning —
+    rows-only for the driver, exact-equality inside."""
+    import shutil
+    import tempfile
+
+    from siren_ray.stages.cdxindex import (build_cdx_index,
+                                           cdx_prefix_scan,
+                                           merge_cdx_index)
+
+    urls = (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(_mk_surt_urls, batch_format="pyarrow")
+            .materialize())  # consumed by three builds
+
+    def _half(parity):
+        import pyarrow as pa
+
+        def f(t: pa.Table, p=parity) -> pa.Table:
+            import numpy as np
+
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            return t.filter(pa.array(ids % 2 == p))
+
+        return urls.map_batches(f, batch_format="pyarrow")
+
+    dirs = [tempfile.mkdtemp(prefix=f"cdx_m_{i}_") for i in range(3)]
+    try:
+        full = build_cdx_index(urls, dirs[0], url_col="url",
+                               carry_cols=("doc_id",), num_shards=8)
+        base = build_cdx_index(_half(0), dirs[1], url_col="url",
+                               carry_cols=("doc_id",), num_shards=8)
+        merged = merge_cdx_index(base, _half(1), dirs[2],
+                                 url_col="url", carry_cols=("doc_id",))
+        prefix = "com,example)"
+        a, _, _ = cdx_prefix_scan(merged, prefix)
+        b, _, _ = cdx_prefix_scan(full, prefix)
+        cols = ["doc_id", "url", "surt_key"]
+        pa_ = a.select_columns(cols).to_pandas().sort_values(
+            cols).reset_index(drop=True)
+        pb = b.select_columns(cols).to_pandas().sort_values(
+            cols).reset_index(drop=True)
+        if not pa_.equals(pb):
+            raise AssertionError("merged index scan != full rebuild")
+        return pa_
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def q_c4_clean(sf_dir: str):
     """C4-style page cleaning (functions/c4.py — Raffel et al. 2020
     line/page screens): terminal-punctuation + min-words + javascript
@@ -3354,6 +3408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": q_c4_clean,
         "meta_tags": q_meta_tags,
         "url_templates": q_url_templates,
+        "cdx_merge": q_cdx_merge,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_blocklist": q_url_blocklist,
         "surt_keys": q_surt_keys,

@@ -168,3 +168,94 @@ def cdx_prefix_scan(manifest: list[dict], prefix: str):
     )
     ds = rd.read_parquet([m["path"] for m in hit], filter=expr)
     return ds, len(hit), len(manifest)
+
+
+def merge_cdx_index(manifest: list[dict], new_ds, out_dir: str, *,
+                    url_col: str = "url",
+                    carry_cols: tuple[str, ...] = ()) -> list[dict]:
+    """Incrementally merge new records into an existing CDX index
+    WITHOUT re-sorting the base: the base shards are already sorted and
+    define the key ranges, so only the DELTA shuffles — new rows are
+    keyed, routed to their covering shard by binary search on the
+    manifest boundaries, and each shard is rewritten by one task as
+    (base shard ++ its delta rows) locally re-sorted. Base bytes move
+    disk->task->disk within one partition; nothing crosses an
+    all-to-all exchange. This is the LSM-style maintenance loop a
+    continuously-crawling 10^10-URL index needs (delta cost ~O(delta +
+    touched shards), not O(index)).
+
+    Shards untouched by the delta are carried into the new manifest
+    as-is (their files are not rewritten). Returns the updated
+    manifest sorted by min_key.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if not manifest:
+        return build_cdx_index(new_ds, out_dir, url_col=url_col,
+                               carry_cols=carry_cols)
+    base = sorted(manifest, key=lambda m: m["min_key"])
+    # route each new row to the shard whose range covers its key:
+    # boundaries are the shards' min_keys; keys below the first min go
+    # to shard 0, above the last max to the last shard
+    bounds = [m["min_key"] for m in base[1:]]
+
+    def _route(t: pa.Table) -> pa.Table:
+        keyed = t.append_column("surt_key", surt_keys(t[url_col]))
+        keys = np.asarray(keyed["surt_key"].to_pandas(), dtype=object)
+        shard = np.searchsorted(np.array(bounds, dtype=object), keys,
+                                side="right")
+        return keyed.append_column("shard",
+                                   pa.array(shard, pa.int32()))
+
+    routed = (new_ds.select_columns([url_col, *carry_cols])
+              .map_batches(_route, batch_format="pyarrow"))
+    import shutil
+
+    import ray
+
+    # spill the routed delta hive-partitioned by shard: delta rows flow
+    # task->disk->merge-task, never through the driver (the driver only
+    # learns WHICH shards have deltas from the directory names)
+    delta_dir = os.path.join(out_dir, "_delta_tmp")
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    routed.write_parquet(delta_dir, partition_cols=["shard"])
+    touched = set()
+    for name in os.listdir(delta_dir):
+        if name.startswith("shard="):
+            touched.add(int(name.split("=", 1)[1]))
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def _merge_shard(base_path: str, delta_path: str,
+                     out_path: str) -> dict:
+        import pyarrow.dataset as pads
+
+        base_t = pq.read_table(base_path)
+        delta_t = pads.dataset(delta_path).to_table(
+            columns=base_t.column_names)
+        merged = pa.concat_tables([base_t, delta_t],
+                                  promote_options="default")
+        merged = merged.sort_by("surt_key")
+        pq.write_table(merged, out_path)
+        keys = merged["surt_key"]
+        return {"path": out_path,
+                "min_key": keys[0].as_py() if merged.num_rows else "",
+                "max_key": (keys[-1].as_py() if merged.num_rows
+                            else "\U0010ffff"),
+                "rows": merged.num_rows}
+
+    new_manifest: list[dict] = []
+    refs = []
+    for i, m in enumerate(base):
+        if i not in touched:
+            new_manifest.append(dict(m))  # untouched shard: no rewrite
+            continue
+        out_path = os.path.join(
+            out_dir, f"merged-{i:05d}-{os.path.basename(m['path'])}")
+        refs.append(_merge_shard.remote(
+            m["path"], os.path.join(delta_dir, f"shard={i}"), out_path))
+    new_manifest.extend(ray.get(refs))
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    return sorted(new_manifest, key=lambda m: m["min_key"])

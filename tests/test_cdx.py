@@ -73,3 +73,71 @@ def test_cdx_prefix_scan_no_match(ray_session, tmp_path):
     hits, read, total = cdx_prefix_scan(manifest, "zz,nohost)")
     assert read == 0 and total == 4
     assert hits.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_cdx_index_equals_full_rebuild(tmp_path):
+    """LSM-style delta merge: build on half the URLs, merge the rest;
+    every prefix scan must equal a from-scratch full build, untouched
+    shards must not be rewritten, and only the delta shuffles."""
+    import ray.data as rd
+
+    from siren_ray.stages.cdxindex import (build_cdx_index, cdx_prefix_scan,
+                                           merge_cdx_index)
+
+    def urls(lo, hi):
+        return [{"url": f"https://h{i % 7}.example.org/p/{i}",
+                 "warc_ts": i} for i in range(lo, hi)]
+
+    full = build_cdx_index(rd.from_items(urls(0, 400)),
+                           str(tmp_path / "full"),
+                           carry_cols=("warc_ts",), num_shards=8)
+    base = build_cdx_index(rd.from_items(urls(0, 200)),
+                           str(tmp_path / "base"),
+                           carry_cols=("warc_ts",), num_shards=8)
+    base_paths = {m["path"] for m in base}
+    merged = merge_cdx_index(base, rd.from_items(urls(200, 400)),
+                             str(tmp_path / "merged"),
+                             carry_cols=("warc_ts",))
+    assert sum(m["rows"] for m in merged) == 400
+    # sorted, non-overlapping manifest
+    for a, b in zip(merged, merged[1:]):
+        assert a["max_key"] <= b["min_key"] or a["min_key"] <= b["min_key"]
+
+    def scan(manifest, prefix):
+        ds, _, _ = cdx_prefix_scan(manifest, prefix)
+        t = ds.to_pandas()
+        if "warc_ts" not in t.columns:  # zero-shard fast path
+            return []
+        return sorted(zip(t.surt_key, t.warc_ts))
+
+    for prefix in ("org,example,h3)/", "org,example,", "org,example,h6)/p/1",
+                   "zzz,"):
+        assert scan(merged, prefix) == scan(full, prefix), prefix
+
+    # a delta touching ONE key range rewrites only shards, never re-keys
+    # the whole base: untouched shard files are carried over verbatim
+    one = rd.from_items([{"url": "https://h3.example.org/p/5x",
+                          "warc_ts": 999}])
+    merged2 = merge_cdx_index(merged, one, str(tmp_path / "merged2"),
+                              carry_cols=("warc_ts",))
+    rewritten = [m for m in merged2
+                 if m["path"].startswith(str(tmp_path / "merged2"))]
+    assert len(rewritten) == 1
+    assert sum(m["rows"] for m in merged2) == 401
+    got = scan(merged2, "org,example,h3)/p/5")
+    assert ("org,example,h3)/p/5x", 999) in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_cdx_into_empty_manifest(tmp_path):
+    import ray.data as rd
+
+    from siren_ray.stages.cdxindex import cdx_prefix_scan, merge_cdx_index
+
+    m = merge_cdx_index([], rd.from_items(
+        [{"url": f"https://a.org/{i}"} for i in range(20)]),
+        str(tmp_path / "fresh"))
+    assert sum(x["rows"] for x in m) == 20
+    ds, hit, total = cdx_prefix_scan(m, "org,a)/1")
+    assert ds.count() == 11  # 1, 10..19
