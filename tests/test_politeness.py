@@ -158,3 +158,43 @@ def test_host_quota_partitioned_skew_stress(ray_session):
     hot_in = got[(got["host"] == "hot.example.org")
                  & got["in_quota"].astype(bool)]
     assert len(hot_in) == 10
+
+
+def test_adaptive_quota_math():
+    """_effective_quota / _merge_latency: EWMA folding and the
+    max(robots, k x latency) delay rule, without sockets."""
+    from siren_ray.pipelines.frontier import CrawlConfig, _Crawl
+
+    cfg = CrawlConfig(corpus_dir="/nonexistent", out_dir="/tmp/x",
+                      round_ms=1000, adaptive_politeness=True,
+                      adaptive_k=2.0, adaptive_alpha=0.5)
+    c = object.__new__(_Crawl)  # skip __init__ (needs a corpus)
+    c.cfg = cfg
+    c.robots = {"slow.org": ([], 100)}  # robots delay 100ms -> quota 10
+    c.host_lat_ewma = {}
+
+    # no observations: robots quota only; unknown host unlimited
+    assert c._effective_quota("slow.org") == 10
+    assert c._effective_quota("fast.org") > 1 << 40
+
+    # one round of observations: 200ms avg on fast.org
+    c._merge_latency([{"fast.org": (4, 800.0)}, {"fast.org": (4, 800.0)}])
+    assert c.host_lat_ewma["fast.org"] == 200.0
+    # k=2 -> effective delay 400ms -> 2 fetches/round
+    assert c._effective_quota("fast.org") == 2
+
+    # latency can only TIGHTEN a robots quota, never widen it
+    c._merge_latency([{"slow.org": (10, 10.0)}])  # 1ms avg
+    assert c._effective_quota("slow.org") == 10
+    c._merge_latency([{"slow.org": (1, 10_000.0)}])  # spike to ~5s EWMA
+    assert c._effective_quota("slow.org") == 1
+
+    # EWMA folds: fast.org improves to 0ms-ish -> quota relaxes
+    for _ in range(6):
+        c._merge_latency([{"fast.org": (10, 10.0)}])
+    assert c._effective_quota("fast.org") >= 100
+
+    # adaptive off: latency ignored entirely
+    c.cfg = CrawlConfig(corpus_dir="/n", out_dir="/tmp/x",
+                        round_ms=1000, adaptive_politeness=False)
+    assert c._effective_quota("fast.org") > 1 << 40
