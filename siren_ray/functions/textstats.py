@@ -71,15 +71,20 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     # token count from the SAME split (Arrow's split keeps empty strings
     # for leading/trailing/repeated whitespace — dropping them matches
     # token_count_ws's \S+ regex exactly, verified on edge cases in
-    # t:test_ops), saving the second-costliest regex pass over the text
-    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
-        zero_copy_only=False).astype(np.float64)
-    n_tok_np = np.bincount(parent, weights=nonempty,
-                           minlength=n_rows).astype(np.int64)
+    # t:test_ops), saving the second-costliest regex pass over the text.
+    # Empties are rare in prose, so subtract a bincount of ONLY the
+    # empty positions instead of a float64-weighted count of every word
+    # (the weighted variant's big temporaries cost more memory bandwidth
+    # at actor-pool width than the regex they replaced — A/B-measured)
+    empty_pos = parent[
+        pc.equal(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+    ]
+    n_tok_np = n_words - np.bincount(empty_pos, minlength=n_rows)
     valid = pc.is_valid(
         col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     ).to_numpy(zero_copy_only=False)
-    n_tokens = pa.array(n_tok_np, pa.int64(), mask=~valid)
+    n_tokens = pa.array(n_tok_np.astype(np.int64), pa.int64(),
+                        mask=~valid)
     nc = n_chars.to_numpy(zero_copy_only=False).astype(float)
     punct_ratio = np.divide(
         n_punct.to_numpy(zero_copy_only=False),
