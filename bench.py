@@ -576,9 +576,26 @@ if __name__ == "__main__":
     p.add_argument("--levels", default="2,8")
     p.add_argument("--trials", type=int, default=2)
     p.add_argument("--crawl-only", action="store_true")
+    p.add_argument("--stats", metavar="QUERY",
+                   help="run ONE queries() entry and print its Ray Data "
+                        "stage stats (ds.stats()) instead of JSON — the "
+                        "per-stage wall-time feedback loop")
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     p.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     args = p.parse_args()
+    if args.stats:
+        _init_ray(args.num_cpus)
+        import __ray_entry__ as entrymod
+        import ray.data
+
+        res = entrymod.queries()[args.stats](args.sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res = res.materialize()
+            print(res.stats())
+        else:
+            print(f"(query returned {type(res).__name__}; it "
+                  "materializes internally — no top-level Dataset stats)")
+        sys.exit(0)
     if args.scaling:
         levels = tuple(int(x) for x in args.levels.split(","))
         print(json.dumps(main_scaling(levels, args.trials)))
