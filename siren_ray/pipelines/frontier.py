@@ -318,7 +318,12 @@ class _Crawl:
             self.robots = load_robots(
                 os.path.join(cfg.corpus_dir, "robots.parquet"))
         self.seen = SeenSet(cfg.num_seen_shards)
-        self.host_lat_ewma: dict[str, float] = {}  # adaptive politeness
+        # adaptive politeness EWMA: one float per OBSERVED host,
+        # driver-held like the robots table (politeness state shares
+        # that scale assumption: rules/latency are per-host, orders of
+        # magnitude smaller than the frontier; shard with the robots
+        # state if host cardinality ever outgrows the driver)
+        self.host_lat_ewma: dict[str, float] = {}
         self.frontier_dir = os.path.join(cfg.out_dir, "frontier")
         self.extracted_dir = os.path.join(cfg.out_dir, "extracted")
         self.seen_ckpt_dir = os.path.join(cfg.out_dir, "seen_ckpt")
