@@ -934,6 +934,43 @@ def q_html_markdown(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_markdown_golden(sf_dir: str):
+    """Byte-exact markdown serialization oracle: pages synthesized from
+    doc_id (heading with an entity, emphasis paragraph, link, 2-item
+    list — doc_id%2 flips ul/ol) run through the real serializer
+    (stages/markdown.py); DuckDB states the expected markdown string
+    directly. Complements the rows-only corpus run (q:html_markdown)
+    with exact value parity."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.markdown import markdown_batch
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        urls, htmls = [], []
+        for d in ids:
+            tag = "ol" if d % 2 else "ul"
+            htmls.append(
+                f"<html><head><title>skip</title></head><body>"
+                f"<h1>Doc &amp; {d}</h1>"
+                f"<p>Para <b>bold{d}</b> and <i>it</i>.</p>"
+                f'<p>See <a href="https://ex.org/{d}">link {d}</a>.</p>'
+                f"<{tag}><li>first {d}</li><li>second</li></{tag}>"
+                f"</body></html>".encode())
+            urls.append(f"https://ex.org/p/{d}")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    pages = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+    out = pages.map_batches(
+        lambda t: markdown_batch(t).append_column("doc_id", t["doc_id"]),
+        batch_format="pyarrow")
+    return out.select_columns(["doc_id", "url", "markdown", "n_chars"])
+
+
 def q_anchor_text(sf_dir: str):
     """Anchor-text link index: extract (src, dst, anchor) edges from the
     corpus HTML (`stages/maincontent.py:anchor_links_batch`, map-only),
@@ -3408,6 +3445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": q_c4_clean,
         "meta_tags": q_meta_tags,
         "url_templates": q_url_templates,
+        "markdown_golden": q_markdown_golden,
         "cdx_merge": q_cdx_merge,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_blocklist": q_url_blocklist,
@@ -3990,6 +4028,24 @@ def oracle_sql() -> dict[str, str]:
             f"'{TEMPLATE_HEX_RE}', '<H>', 'g'), "
             f"'{TEMPLATE_NUM_RE}', '<N>', 'g') AS template FROM u) "
             "SELECT template, count(*) AS n_urls FROM t GROUP BY template"
+        ),
+        "markdown_golden": (
+            "WITH m AS (SELECT doc_id, "
+            "'https://ex.org/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "'# Doc & ' || CAST(doc_id AS VARCHAR) || "
+            "chr(10) || chr(10) || "
+            "'Para **bold' || CAST(doc_id AS VARCHAR) || '** and *it*.'"
+            " || chr(10) || chr(10) || "
+            "'See [link ' || CAST(doc_id AS VARCHAR) || "
+            "'](https://ex.org/' || CAST(doc_id AS VARCHAR) || ').'"
+            " || chr(10) || chr(10) || "
+            "CASE WHEN doc_id % 2 = 1 THEN "
+            "'1. first ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+            "'2. second' ELSE "
+            "'- first ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+            "'- second' END AS markdown FROM documents) "
+            "SELECT doc_id, url, markdown, "
+            "CAST(length(markdown) AS BIGINT) AS n_chars FROM m"
         ),
         "meta_tags": (
             "SELECT doc_id, "
