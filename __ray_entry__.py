@@ -934,6 +934,41 @@ def q_html_markdown(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_anchor_golden(sf_dir: str):
+    """Byte-exact anchor-extraction oracle: each synthesized page
+    carries one absolute link, one relative path (RFC 3986-resolved
+    against a subdirectory base), one ../ hop, and one skipped
+    javascript: href; DuckDB states the expected (src, dst, anchor)
+    edges directly. Complements the rows-only corpus run
+    (q:anchor_text) with exact resolution parity."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import anchor_links_batch
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        urls, htmls = [], []
+        for d in ids:
+            urls.append(f"https://h{d % 3}.ex.org/sec/{d}/page.html")
+            htmls.append(
+                f'<html><body>'
+                f'<a href="https://abs.ex.org/x/{d}">Abs {d}</a>'
+                f'<a href="rel{d}.html">Rel</a>'
+                f'<a href="../up/{d}#frag">Up {d}</a>'
+                f'<a href="javascript:void(0)">JS</a>'
+                f"</body></html>".encode())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    pages = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+    return pages.map_batches(
+        lambda t: anchor_links_batch(t, drop_noise=False),
+        batch_format="pyarrow")
+
+
 def q_markdown_golden(sf_dir: str):
     """Byte-exact markdown serialization oracle: pages synthesized from
     doc_id (heading with an entity, emphasis paragraph, link, 2-item
@@ -3446,6 +3481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_tags": q_meta_tags,
         "url_templates": q_url_templates,
         "markdown_golden": q_markdown_golden,
+        "anchor_golden": q_anchor_golden,
         "cdx_merge": q_cdx_merge,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_blocklist": q_url_blocklist,
@@ -4028,6 +4064,20 @@ def oracle_sql() -> dict[str, str]:
             f"'{TEMPLATE_HEX_RE}', '<H>', 'g'), "
             f"'{TEMPLATE_NUM_RE}', '<N>', 'g') AS template FROM u) "
             "SELECT template, count(*) AS n_urls FROM t GROUP BY template"
+        ),
+        "anchor_golden": (
+            "WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s, "
+            "'https://h' || CAST(doc_id % 3 AS VARCHAR) || '.ex.org/sec/'"
+            " || CAST(doc_id AS VARCHAR) || '/page.html' AS src "
+            "FROM documents) "
+            "SELECT src, 'https://abs.ex.org/x/' || s AS dst, "
+            "'Abs ' || s AS anchor FROM d "
+            "UNION ALL SELECT src, "
+            "'https://h' || CAST(doc_id % 3 AS VARCHAR) || '.ex.org/sec/'"
+            " || s || '/rel' || s || '.html', 'Rel' FROM d "
+            "UNION ALL SELECT src, "
+            "'https://h' || CAST(doc_id % 3 AS VARCHAR) || "
+            "'.ex.org/sec/up/' || s, 'Up ' || s FROM d"
         ),
         "markdown_golden": (
             "WITH m AS (SELECT doc_id, "
