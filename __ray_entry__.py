@@ -969,6 +969,76 @@ def q_anchor_golden(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_mimetype_golden(sf_dir: str):
+    """Byte-exact mimetype-inference oracle (W7): bodies synthesized
+    with known magic bytes (pdf/png/jpeg/gzip), tag-soup html, an
+    extension-fallback case (.css, no magic) and a default case, keyed
+    by doc_id%6; DuckDB states the expected mimetype per row directly.
+    Complements the rows-only corpus counts (q:mimetype_counts)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.functions.urlnorm import infer_mimetypes
+
+    BODIES = [b"%PDF-1.7 x", b"\x89PNG\r\n\x1a\n body",
+              b"\xff\xd8\xff\xe0jfif", b"\x1f\x8b\x08 gz",
+              b"<html><body>x</body></html>", None]
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        urls = [(f"https://ex.org/f/{d}.css" if d % 6 == 5
+                 else f"https://ex.org/f/{d}.bin") for d in ids]
+        bodies = [BODIES[d % 6] for d in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "html": pa.array(bodies, pa.binary())})
+
+    pages = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+    return pages.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "mimetype": infer_mimetypes(t["url"], t["html"])}),
+        batch_format="pyarrow")
+
+
+def q_canonical_golden(sf_dir: str):
+    """Byte-exact URL-canonicalization oracle: messy variants
+    (uppercase scheme+host, default :443 port + fragment, non-default
+    port kept, utm/tracking param drop + query-key sort) keyed by
+    doc_id%4; DuckDB states the expected canonical string directly.
+    Complements the rows-only collapse-count run (q:url_canonicalize)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.functions.urlnorm import canonicalize_urls
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        urls = []
+        for d in ids:
+            f = d % 4
+            if f == 0:
+                urls.append(f"HTTPS://WWW.Ex.ORG/a/{d}")
+            elif f == 1:
+                urls.append(f"https://ex.org:443/b/{d}#frag")
+            elif f == 2:
+                urls.append(f"https://ex.org:8080/c/{d}")
+            else:
+                urls.append(
+                    f"https://ex.org/d/{d}?z=2&utm_source=x&a=1&gclid=g")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string())})
+
+    pages = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+    return pages.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "canonical": canonicalize_urls(t["url"])}),
+        batch_format="pyarrow")
+
+
 def q_markdown_golden(sf_dir: str):
     """Byte-exact markdown serialization oracle: pages synthesized from
     doc_id (heading with an entity, emphasis paragraph, link, 2-item
@@ -3482,6 +3552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": q_url_templates,
         "markdown_golden": q_markdown_golden,
         "anchor_golden": q_anchor_golden,
+        "mimetype_golden": q_mimetype_golden,
+        "canonical_golden": q_canonical_golden,
         "cdx_merge": q_cdx_merge,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_blocklist": q_url_blocklist,
@@ -4064,6 +4136,25 @@ def oracle_sql() -> dict[str, str]:
             f"'{TEMPLATE_HEX_RE}', '<H>', 'g'), "
             f"'{TEMPLATE_NUM_RE}', '<N>', 'g') AS template FROM u) "
             "SELECT template, count(*) AS n_urls FROM t GROUP BY template"
+        ),
+        "canonical_golden": (
+            "SELECT doc_id, CASE doc_id % 4 "
+            "WHEN 0 THEN 'https://www.ex.org/a/' || "
+            "CAST(doc_id AS VARCHAR) "
+            "WHEN 1 THEN 'https://ex.org/b/' || CAST(doc_id AS VARCHAR) "
+            "WHEN 2 THEN 'https://ex.org:8080/c/' || "
+            "CAST(doc_id AS VARCHAR) "
+            "ELSE 'https://ex.org/d/' || CAST(doc_id AS VARCHAR) || "
+            "'?a=1&z=2' END AS canonical FROM documents"
+        ),
+        "mimetype_golden": (
+            "SELECT doc_id, CASE doc_id % 6 "
+            "WHEN 0 THEN 'application/pdf' "
+            "WHEN 1 THEN 'image/png' "
+            "WHEN 2 THEN 'image/jpeg' "
+            "WHEN 3 THEN 'application/gzip' "
+            "WHEN 4 THEN 'text/html' "
+            "ELSE 'text/css' END AS mimetype FROM documents"
         ),
         "anchor_golden": (
             "WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s, "
