@@ -1002,6 +1002,43 @@ def q_mimetype_golden(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_langid_golden(sf_dir: str):
+    """Language-ID oracle on canonical per-language texts: four
+    signature-trigram-rich sentences (en/es/fr/de) assigned by doc_id%4
+    run through the real n-gram classifier; DuckDB states the expected
+    label. Proves the kernel classifies canonically (the corpus run
+    q:lang_id stays rows-only — real text has no ground truth)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.functions.textstats import lang_id_batch
+
+    TEXTS = [
+        "the company and the union said that the decision of the "
+        "board " * 5,
+        "la empresa de la ciudad que el gobierno de la region dijo "
+        "que " * 5,
+        "le gouvernement de la ville et le ministre de la region ont "
+        "dit que " * 5,
+        "die regierung und der minister der stadt haben gesagt dass "
+        "ein ich " * 5,
+    ]
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([TEXTS[d % 4] for d in ids], pa.string()),
+        })
+
+    docs = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+    return docs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "lang_pred": lang_id_batch(t)["lang_pred"]}),
+        batch_format="pyarrow")
+
+
 def q_canonical_golden(sf_dir: str):
     """Byte-exact URL-canonicalization oracle: messy variants
     (uppercase scheme+host, default :443 port + fragment, non-default
@@ -3554,6 +3591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_golden": q_anchor_golden,
         "mimetype_golden": q_mimetype_golden,
         "canonical_golden": q_canonical_golden,
+        "langid_golden": q_langid_golden,
         "cdx_merge": q_cdx_merge,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_blocklist": q_url_blocklist,
@@ -4136,6 +4174,11 @@ def oracle_sql() -> dict[str, str]:
             f"'{TEMPLATE_HEX_RE}', '<H>', 'g'), "
             f"'{TEMPLATE_NUM_RE}', '<N>', 'g') AS template FROM u) "
             "SELECT template, count(*) AS n_urls FROM t GROUP BY template"
+        ),
+        "langid_golden": (
+            "SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'en' "
+            "WHEN 1 THEN 'es' WHEN 2 THEN 'fr' ELSE 'de' END "
+            "AS lang_pred FROM documents"
         ),
         "canonical_golden": (
             "SELECT doc_id, CASE doc_id % 4 "
