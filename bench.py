@@ -404,6 +404,8 @@ def run_query_bench(sf_dir: str) -> dict:
         "bpe_tokenize",
         "surt_keys",
         "cdx_prefix_scan",
+        "cdx_merge",
+        "compression_ratio",
         "chunk_dedup",
         "compact_shards",
         "c4_clean",
