@@ -84,6 +84,7 @@ class CrawlConfig:
     http_base: str | None = None   # fetch_mode="http": live server base URL
     http_headers: dict | None = None
     http_timeout_s: float = 5.0
+    http_max_per_host: int | None = None  # socket-level politeness cap
     robots_mode: str = "corpus"  # "corpus" (robots.parquet) | "http"
     # (live GET https://host/robots.txt per new host, RFC 9309 subset)
     fetch_concurrency: int = 4
@@ -338,6 +339,7 @@ class _Crawl:
                 "http_base": cfg.http_base,
                 "http_headers": cfg.http_headers,
                 "http_timeout_s": cfg.http_timeout_s,
+                "http_max_per_host": cfg.http_max_per_host,
             }
         else:
             # bucket-aligned routing -> each actor owns ~num_buckets/pool

@@ -65,6 +65,11 @@ class CorpusHttpServer:
         self.n_200 = 0
         self.n_304 = 0
         self.body_bytes = 0
+        # per-host concurrency observation: {host: max simultaneous
+        # in-flight requests seen} — lets tests assert a client's
+        # per-host connection cap over real sockets
+        self.max_inflight: dict[str, int] = {}
+        self._inflight: dict[str, int] = {}
         self._counter_lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -97,6 +102,21 @@ class CorpusHttpServer:
                 if url is None:
                     self.send_error(400)
                     return
+                from urllib.parse import urlparse as _up
+
+                page_host = _up(url).netloc or "?"
+                with outer._counter_lock:
+                    cur = outer._inflight.get(page_host, 0) + 1
+                    outer._inflight[page_host] = cur
+                    if cur > outer.max_inflight.get(page_host, 0):
+                        outer.max_inflight[page_host] = cur
+                try:
+                    self._serve_page(outer, url)
+                finally:
+                    with outer._counter_lock:
+                        outer._inflight[page_host] -= 1
+
+            def _serve_page(self, outer, url):
                 delay = outer.slow_urls.get(url)
                 if delay:
                     time.sleep(delay)

@@ -140,6 +140,7 @@ class FetchExtract:
         http_timeout_s: float = 5.0,
         http_concurrency: int = 16,
         http_retries: int = 1,
+        http_max_per_host: int | None = None,
     ):
         _pin_worker_threads()
         self.enrich = enrich
@@ -154,6 +155,7 @@ class FetchExtract:
             self._transport = HttpTransport(
                 http_base, headers=http_headers, timeout_s=http_timeout_s,
                 concurrency=http_concurrency, retries=http_retries,
+                max_per_host=http_max_per_host,
             )
             self._urls = None
             self._html = None

@@ -28,7 +28,8 @@ class HttpTransport:
     def __init__(self, base_url: str | None = None, *,
                  headers: dict[str, str] | None = None,
                  timeout_s: float = 5.0, retries: int = 1,
-                 concurrency: int = 16, page_param: str = "url"):
+                 concurrency: int = 16, page_param: str = "url",
+                 max_per_host: int | None = None):
         self.base_url = base_url.rstrip("/") if base_url else None
         self.headers = dict(headers or {})
         self.headers.setdefault("User-Agent", "siren-ray/0.3")
@@ -37,6 +38,32 @@ class HttpTransport:
         self.page_param = page_param
         self._opener = urllib.request.build_opener()
         self._pool = ThreadPoolExecutor(max_workers=max(1, concurrency))
+        # socket-level politeness: at most max_per_host GETs in flight
+        # against one origin regardless of pool width (round quotas
+        # bound fetches per ROUND; this bounds simultaneous connections
+        # — the Heritrix one-connection-per-queue discipline, relaxed
+        # to N). None = uncapped.
+        self._max_per_host = (int(max_per_host)
+                              if max_per_host is not None else None)
+        self._host_sems: dict[str, object] = {}
+        self._sems_lock = None
+        if self._max_per_host is not None:
+            import threading
+
+            self._sems_lock = threading.Lock()
+
+    def _host_sem(self, url: str):
+        import threading
+
+        from ..util import host_of
+
+        h = host_of(url)
+        with self._sems_lock:
+            sem = self._host_sems.get(h)
+            if sem is None:
+                sem = threading.Semaphore(self._max_per_host)
+                self._host_sems[h] = sem
+            return sem
 
     def _request_url(self, url: str) -> str:
         if self.base_url is None or self.page_param is None:
@@ -56,6 +83,14 @@ class HttpTransport:
         return vals[0] if vals else request_url
 
     def _fetch_one(
+        self, url: str, etag: str | None = None
+    ) -> tuple[bytes | None, str | None, str | None, str | None]:
+        if self._max_per_host is None:
+            return self._fetch_one_raw(url, etag)
+        with self._host_sem(url):
+            return self._fetch_one_raw(url, etag)
+
+    def _fetch_one_raw(
         self, url: str, etag: str | None = None
     ) -> tuple[bytes | None, str | None, str | None, str | None]:
         """One GET -> (body, err, etag, final_url). With ``etag`` the

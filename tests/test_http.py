@@ -342,7 +342,7 @@ def test_adaptive_politeness_throttles_slow_host(corpus_sf0001, pages,
     base_counts = per_round_counts(base_cfg.out_dir, slow_host)
     assert max(base_counts.values()) > 15  # meaningful baseline volume
 
-    slow = {u: 0.04 for u in pages if host_of(u) == slow_host}
+    slow = {u: 0.06 for u in pages if host_of(u) == slow_host}
     with CorpusHttpServer(pages, require_headers=UA,
                           slow_urls=slow) as srv:
         ad_cfg = CrawlConfig(
@@ -352,11 +352,11 @@ def test_adaptive_politeness_throttles_slow_host(corpus_sf0001, pages,
         run_crawl(ad_cfg)
     ad_counts = per_round_counts(ad_cfg.out_dir, slow_host)
     # rounds AFTER the first latency observation are quota-limited:
-    # quota <= round_ms / (k * 40ms) = 12 (queueing inflates the EWMA,
-    # so the real quota is usually tighter)
+    # quota <= round_ms / (k * 60ms) = 8; allow headroom to 11 so an
+    # unusually fast window (EWMA ~ the raw sleep) cannot flake the test
     later = {r: c for r, c in ad_counts.items() if r >= 2}
     assert later, f"slow host never reappeared: {ad_counts}"
-    assert max(later.values()) <= 12, (ad_counts, base_counts)
+    assert max(later.values()) <= 11, (ad_counts, base_counts)
     # and the slow host still makes progress each round it appears
     assert min(later.values()) >= 1
     # other hosts are untouched: the adaptive crawl keeps fetching far
@@ -366,3 +366,60 @@ def test_adaptive_politeness_throttles_slow_host(corpus_sf0001, pages,
     for r in tt["round"].to_pylist():
         rounds[r] = rounds.get(r, 0) + 1
     assert max(rounds[r] for r in later) > 3 * max(later.values())
+
+
+def test_per_host_connection_cap(pages):
+    """Socket-level politeness: with max_per_host=2 the server never
+    observes more than 2 simultaneous in-flight requests for one host,
+    even though the transport pool is 16 wide — and an uncapped
+    transport on the same workload does exceed 2 (the cap, not the
+    pool, is what binds)."""
+    from siren_ray.util import host_of
+
+    by_host = {}
+    for u in pages:
+        by_host.setdefault(host_of(u), []).append(u)
+    host, urls = max(by_host.items(), key=lambda kv: len(kv[1]))
+    urls = sorted(urls)[:24]
+    slow = {u: 0.05 for u in urls}  # hold sockets open long enough
+
+    with CorpusHttpServer(pages, slow_urls=slow) as srv:
+        un = HttpTransport(srv.base_url, concurrency=16)
+        bodies, errs = un.fetch_many(urls)
+        assert all(e is None for e in errs)
+        uncapped_peak = srv.max_inflight[host]
+
+    with CorpusHttpServer(pages, slow_urls=slow) as srv:
+        capped = HttpTransport(srv.base_url, concurrency=16,
+                               max_per_host=2)
+        bodies, errs = capped.fetch_many(urls)
+        assert all(e is None for e in errs)
+        assert bodies == [pages[u] for u in urls]
+        assert srv.max_inflight[host] <= 2
+    assert uncapped_peak > 2
+
+
+def test_per_host_cap_does_not_serialize_across_hosts(pages):
+    """The cap is per host: two hosts fetch concurrently even at
+    max_per_host=1 (total wall ~max of the two hosts, not the sum)."""
+    import time as _t
+
+    from siren_ray.util import host_of
+
+    by_host = {}
+    for u in pages:
+        by_host.setdefault(host_of(u), []).append(u)
+    picks = sorted(by_host, key=lambda h: -len(by_host[h]))[:2]
+    urls = sorted(by_host[picks[0]])[:4] + sorted(by_host[picks[1]])[:4]
+    slow = {u: 0.1 for u in urls}
+    with CorpusHttpServer(pages, slow_urls=slow) as srv:
+        tr = HttpTransport(srv.base_url, concurrency=16, max_per_host=1)
+        t0 = _t.perf_counter()
+        _, errs = tr.fetch_many(urls)
+        wall = _t.perf_counter() - t0
+        assert all(e is None for e in errs)
+        assert srv.max_inflight[picks[0]] <= 1
+        assert srv.max_inflight[picks[1]] <= 1
+    # serialized-per-host lower bound is 4*0.1 per host; fully serial
+    # across BOTH hosts would be >=0.8 — concurrent hosts stay under
+    assert 0.4 <= wall < 0.75
