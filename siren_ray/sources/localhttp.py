@@ -53,7 +53,8 @@ class CorpusHttpServer:
                  require_headers: dict[str, str] | None = None,
                  slow_urls: dict[str, float] | None = None,
                  etags: bool = False,
-                 redirects: dict[str, str] | None = None):
+                 redirects: dict[str, str] | None = None,
+                 error_urls: dict[str, int] | None = None):
         self.pages = pages
         self.require_headers = dict(require_headers or {})
         self.slow_urls = dict(slow_urls or {})
@@ -61,6 +62,9 @@ class CorpusHttpServer:
         # url -> target url; served as 301 + relative Location so the
         # client's own opener follows the hop (chains compose)
         self.redirects = dict(redirects or {})
+        # url -> HTTP status to fail with (e.g. 500/503 for RFC 9309
+        # unreachable-robots tests)
+        self.error_urls = dict(error_urls or {})
         self.n_301 = 0
         self.n_200 = 0
         self.n_304 = 0
@@ -120,6 +124,10 @@ class CorpusHttpServer:
                 delay = outer.slow_urls.get(url)
                 if delay:
                     time.sleep(delay)
+                code = outer.error_urls.get(url)
+                if code is not None:
+                    self.send_error(code)
+                    return
                 target = outer.redirects.get(url)
                 if target is not None:
                     from urllib.parse import quote

@@ -108,19 +108,31 @@ def render_robots_txt(disallow_prefixes, crawl_delay_ms: int = 0,
 
 
 def robots_from_http(hosts, transport, *, scheme: str = "https",
-                     agent: str = "siren-ray"
+                     agent: str = "siren-ray",
+                     unreachable: str = "disallow"
                      ) -> dict[str, tuple[list[str], int]]:
     """Fetch + parse robots.txt for each host through the fetch
-    transport (batched, error-swallowing: a host whose robots.txt is
-    missing or unreachable gets NO entry = unrestricted, the
-    conventional interpretation of 404). Returns the politeness dict
-    consumed by ``load_robots`` users."""
+    transport (batched, error-swallowing). Status handling follows
+    RFC 9309 §2.3.1:
+
+    - 2xx body -> parsed rules.
+    - "Unavailable" (4xx incl. 404) -> NO entry = unrestricted.
+    - "Unreachable" (5xx, timeout, connection failure) -> complete
+      disallow (``(["/"], 0)``) per §2.3.1.4 — a host whose policy
+      cannot be read MUST NOT be crawled. Pass ``unreachable="allow"``
+      for the legacy lenient behavior.
+
+    Returns the politeness dict consumed by ``load_robots`` users."""
     hosts = list(hosts)
     urls = [f"{scheme}://{h}/robots.txt" for h in hosts]
-    bodies, _errs = transport.fetch_many(urls)
+    bodies, errs = transport.fetch_many(urls)
     out: dict[str, tuple[list[str], int]] = {}
-    for h, body in zip(hosts, bodies):
+    for h, body, err in zip(hosts, bodies, errs):
         if body is None:
+            if (unreachable == "disallow" and err is not None
+                    and not err.startswith("http_4")):
+                # 5xx / timeout / conn error: policy unreadable
+                out[h] = (["/"], 0)
             continue
         try:
             text = body.decode("utf-8", errors="replace")

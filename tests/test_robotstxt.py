@@ -155,3 +155,48 @@ def test_robots_matcher_rfc9309_semantics():
     # empty rule set: everything allowed
     assert list(RobotsMatcher([]).allowed(["/x"])) == [True]
     assert RobotsMatcher([]).allowed([]).dtype == np.bool_
+
+
+def test_robots_unreachable_semantics_rfc9309(ray_session):
+    """RFC 9309 §2.3.1: 404 robots -> unrestricted; 5xx robots ->
+    complete disallow; a served body -> parsed rules — over live
+    sockets through the real transport."""
+    from siren_ray.sources.localhttp import CorpusHttpServer
+    from siren_ray.stages.robotstxt import robots_from_http
+    from siren_ray.stages.transport import HttpTransport
+
+    body = b"User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+    pages = {"https://served.org/robots.txt": body}
+    errors = {"https://broken.org/robots.txt": 503}
+    with CorpusHttpServer(pages, error_urls=errors) as srv:
+        tr = HttpTransport(srv.base_url, timeout_s=1.0, retries=0)
+        got = robots_from_http(
+            ["served.org", "broken.org", "missing.org"], tr)
+    # served: parsed rules
+    assert got["served.org"] == (["/private/"], 2000)
+    # 5xx: complete disallow
+    assert got["broken.org"] == (["/"], 0)
+    # 404: unrestricted (no entry)
+    assert "missing.org" not in got
+
+    # legacy lenient mode: 5xx also unrestricted
+    with CorpusHttpServer(pages, error_urls=errors) as srv:
+        tr = HttpTransport(srv.base_url, timeout_s=1.0, retries=0)
+        lenient = robots_from_http(["broken.org"], tr,
+                                   unreachable="allow")
+    assert "broken.org" not in lenient
+
+
+def test_robots_timeout_is_unreachable(ray_session):
+    """A robots.txt that times out counts as unreachable (disallow),
+    not as missing (allow)."""
+    from siren_ray.sources.localhttp import CorpusHttpServer
+    from siren_ray.stages.robotstxt import robots_from_http
+    from siren_ray.stages.transport import HttpTransport
+
+    url = "https://slow.org/robots.txt"
+    with CorpusHttpServer({url: b"User-agent: *\n"},
+                          slow_urls={url: 2.0}) as srv:
+        tr = HttpTransport(srv.base_url, timeout_s=0.3, retries=0)
+        got = robots_from_http(["slow.org"], tr)
+    assert got["slow.org"] == (["/"], 0)
