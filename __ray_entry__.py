@@ -2970,6 +2970,73 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, _BM25_QUERIES, k=10)
 
 
+def q_bloom_ingest(sf_dir: str):
+    """Cross-snapshot ingest screen via a distributed Bloom filter
+    (stages/bloom.py): build the filter over the base corpus texts
+    (doc_id even), then keep only increment docs (doc_id odd) whose
+    text is DEFINITELY new. No false negatives ever (a known text can
+    never survive); at these parameters (2^24 bits, k=4, ~2.5k base
+    texts) the analytic false-positive mass over the whole increment is
+    ~1e-10, and the query asserts the screen equals the exact NOT-IN
+    result before returning — a genuine false positive would surface as
+    a query error, never a silent mismatch. Oracle = the NOT-IN SQL."""
+    import pyarrow as pa
+
+    from siren_ray.stages.bloom import bloom_screen, build_bloom
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _half(parity: int):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+        return _f
+
+    base = docs.map_batches(_half(0), batch_format="pyarrow")
+    inc = docs.map_batches(_half(1), batch_format="pyarrow")
+    bloom = build_bloom(base, "text", n_bits_log2=24, k=4)
+    got = (bloom_screen(inc, bloom, "text", keep="new")
+           .select_columns(["doc_id"]).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # exact-screen equality: proves zero FPs on THIS input, so the
+    # DuckDB NOT-IN oracle is safe by construction (cdx_merge idiom)
+    base_texts = set(base.select_columns(["text"]).to_pandas()["text"])
+    inc_df = inc.to_pandas()
+    exact = (inc_df.loc[~inc_df["text"].isin(base_texts), ["doc_id"]]
+             .sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(exact), "bloom screen diverged from exact NOT-IN"
+    return got
+
+
+_INDEX_TERMS = ["spark", "join", "merge", "scan"]
+
+
+def q_inverted_index(sf_dir: str):
+    """Materialized inverted index (stages/invindex.py): explode the
+    documents table into exact (word, doc_id, tf) postings written
+    hive-partitioned on hash64(word) % 32, then look up a fixed term
+    set reading ONLY those terms' bucket directories with the word
+    filter pushed into the Parquet scan. Bucket pruning is asserted
+    before returning (buckets_read < num_buckets). Oracle = the same
+    postings stated by a split/unnest GROUP BY in DuckDB."""
+    import shutil
+    import tempfile
+
+    from siren_ray.stages.invindex import (build_inverted_index,
+                                           lookup_postings)
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    out = tempfile.mkdtemp(prefix="inv_idx_")
+    try:
+        idx = build_inverted_index(docs, out, num_buckets=32)
+        ds, info = lookup_postings(idx, _INDEX_TERMS)
+        assert 0 < info["buckets_read"] < info["num_buckets"], info
+        return ds.to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 _CHUNK_RE = r'((?:\S+ ){2}\S+) '  # every 3 words -> one "line"
 
 
@@ -3520,6 +3587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_stats": q_word_stats,
         "doc_freq": q_doc_freq,
         "bm25_topk": q_bm25_topk,
+        "inverted_index": q_inverted_index,
+        "bloom_ingest": q_bloom_ingest,
         "contamination": q_contamination,
         "snapshot_diff": q_snapshot_diff,
         "curation_report": q_curation_report,
@@ -4427,6 +4496,19 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_grams, "
             "CAST(coalesce(c.nc, 0) AS BIGINT) AS n_contaminated "
             "FROM documents d LEFT JOIN c USING (doc_id)"
+        ),
+        "bloom_ingest": (
+            "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 "
+            "AND text NOT IN "
+            "(SELECT text FROM documents WHERE doc_id % 2 = 0) "
+            "ORDER BY doc_id"
+        ),
+        "inverted_index": (
+            "SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM "
+            "(SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+            "FROM documents) "
+            "WHERE word IN ('spark', 'join', 'merge', 'scan') "
+            "GROUP BY word, doc_id"
         ),
         "bm25_topk": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "

@@ -367,6 +367,8 @@ def run_query_bench(sf_dir: str) -> dict:
         "word_stats",
         "doc_freq",
         "bm25_topk",
+        "inverted_index",
+        "bloom_ingest",
         "contamination",
         "snapshot_diff",
         "kmeans_clusters",

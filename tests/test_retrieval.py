@@ -59,3 +59,55 @@ def test_bm25_no_match_and_duplicate_terms(ray_session):
     want = _naive_bm25(docs["text"].tolist(), ["x"], k=10)
     assert got_x == [d for _q, d in want]
     assert (got["query_id"] == 1).sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# Materialized inverted index (stages/invindex.py)
+
+
+def _naive_postings(texts, terms):
+    want = set()
+    for di, t in enumerate(texts):
+        words = t.split(" ")
+        for w in set(words) & set(terms):
+            want.add((w, di, words.count(w)))
+    return want
+
+
+def test_inverted_index_build_and_pruned_lookup(ray_session, tmp_path):
+    from siren_ray.stages.invindex import (build_inverted_index,
+                                           lookup_postings)
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(30)] + ["apple", "banana"]
+    texts = [" ".join(vocab[rng.randint(len(vocab))]
+                      for _ in range(rng.randint(3, 40)))
+             for _ in range(90)]
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                         "text": texts})
+    idx = build_inverted_index(rd.from_pandas(docs).repartition(4),
+                               str(tmp_path / "idx"), num_buckets=16)
+
+    terms = ["apple", "w3", "w17"]
+    ds, info = lookup_postings(idx, terms)
+    df = ds.to_pandas()  # ONE execution: per-column to_pandas() calls
+    # would re-run the read with unstable row order and misalign tuples
+    got = set(zip(df["word"], df["doc_id"], df["tf"]))
+    assert got == _naive_postings(texts, terms)
+    # pruning proof: only the probe terms' hash buckets are opened
+    assert 0 < info["buckets_read"] <= len(terms) < info["num_buckets"]
+
+
+def test_inverted_index_absent_term_and_empty_text(ray_session, tmp_path):
+    from siren_ray.stages.invindex import (build_inverted_index,
+                                           lookup_postings)
+
+    docs = pd.DataFrame({"doc_id": np.arange(3, dtype="int64"),
+                         "text": ["a b a", "", "b"]})
+    idx = build_inverted_index(rd.from_pandas(docs),
+                               str(tmp_path / "idx"), num_buckets=8)
+    ds, _ = lookup_postings(idx, ["a"])
+    df = ds.to_pandas()
+    assert set(zip(df["doc_id"], df["tf"])) == {(0, 2)}
+    ds2, _ = lookup_postings(idx, ["nosuchword"])
+    assert ds2.count() == 0
