@@ -2970,6 +2970,67 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, _BM25_QUERIES, k=10)
 
 
+def q_warc_wet(sf_dir: str):
+    """WARC -> WET extraction composite (the Common Crawl wet-file
+    shape): serialize the synthetic pages corpus into per-record-gzip
+    WARC shards, read them back, charset-decode (stages/maincontent.py
+    WHATWG chain), and main-content-extract into WET-style records
+    (url, title, text, n_chars). Before returning, the WARC-ingested
+    extraction is asserted byte-identical to extracting the same pages
+    directly — the archive hop neither loses nor alters training text.
+    Rows-only: HTML heuristics are not SQL-expressible; the component
+    stages carry their own oracles/goldens (q:warc_roundtrip,
+    q:charset_decode, t:test_extract main-content goldens)."""
+    import shutil
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.sources.warc import read_warc, write_warc_shards
+    from siren_ray.stages.maincontent import (decode_html_batch,
+                                              main_content_batch)
+
+    corpus = ensure_corpus(min(_sf_of(sf_dir), 0.01))
+    pages = rd.read_parquet(os.path.join(corpus, "pages"),
+                            columns=["url", "html"])
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        ts = pa.array([datetime(2024, 1, 1, tzinfo=timezone.utc)]
+                      * t.num_rows).cast(pa.timestamp("us"))
+        return t.append_column("warc_ts", ts)
+
+    out_dir = "/tmp/siren_ray_runs/warc_wet_q"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    write_warc_shards(pages.map_batches(_stamp, batch_format="pyarrow"),
+                      out_dir)
+
+    def _decode(t: pa.Table) -> pa.Table:
+        d = decode_html_batch(t, payload_col="html", out_col="html_text")
+        return pa.table({"url": d["url"], "html": d["html_text"]})
+
+    def _wet(t: pa.Table) -> pa.Table:
+        m = main_content_batch(t)
+        return m.append_column(
+            "n_chars", pc.utf8_length(m["main_text"]).cast(pa.int64()))
+
+    got = (read_warc(out_dir).map_batches(_decode, batch_format="pyarrow")
+           .map_batches(_wet, batch_format="pyarrow")
+           .select_columns(["url", "title", "main_text", "n_chars"])
+           .to_pandas().sort_values("url").reset_index(drop=True))
+
+    # archive-hop identity: direct extraction of the same pages
+    direct = (pages.map_batches(_wet, batch_format="pyarrow")
+              .select_columns(["url", "title", "main_text", "n_chars"])
+              .to_pandas().sort_values("url").reset_index(drop=True))
+    assert got.equals(direct), "WARC hop altered extracted text"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return got
+
+
 def q_bloom_ingest(sf_dir: str):
     """Cross-snapshot ingest screen via a distributed Bloom filter
     (stages/bloom.py): build the filter over the base corpus texts
@@ -3589,6 +3650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         "bloom_ingest": q_bloom_ingest,
+        "warc_wet": q_warc_wet,
         "contamination": q_contamination,
         "snapshot_diff": q_snapshot_diff,
         "curation_report": q_curation_report,

@@ -383,6 +383,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "dup_ngrams",
         "warc_roundtrip",
         "warc_to_corpus",
+        "warc_wet",
         "pack_sequences",
         "full_outer_join",
         "grouped_agg",
