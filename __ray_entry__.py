@@ -1446,6 +1446,52 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (stages/ann.py pq_train/pq_encode/
+    pq_topk): train per-subspace codebooks on a sample, encode every
+    embedding to m uint8 codes (64-dim float32 256 B -> 8 B, 32x — the
+    compression that lets a 100 TB embedding corpus live in cluster RAM),
+    then ADC top-10 for 5 query vectors via per-query lookup tables (one
+    gather+sum per batch, no vector decode). Rows-only: the quantizer is
+    not SQL-expressible; before returning, recall@10 against the
+    oracle-checked exact path (q:knn_brute's brute_force_topk) is
+    asserted >= 0.6 in-query, and t:test_ops pins encode determinism and
+    recall on clustered data."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siren_ray.stages.ann import (brute_force_topk, pq_encode,
+                                      pq_topk, pq_train)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)[:5]
+    queries = np.array(
+        [qt["embedding"][int(i)].as_py() for i in order], dtype=np.float32
+    )
+    ds = rd.read_parquet(emb_path)
+    # sample-trained codebooks (driver-side, like the IVF coarse quantizer)
+    n = ds.count()
+    sample_ds = ds.random_sample(min(1.0, 4096 / n), seed=11) \
+        if n > 4096 else ds
+    sample = np.array(sample_ds.to_pandas()["embedding"].tolist(),
+                      dtype=np.float32)
+    books = pq_train(sample, m=8, nbits=8)
+    codes = pq_encode(ds, books)
+    approx = pq_topk(codes, queries, books, k=10).to_pandas()
+    exact = brute_force_topk(ds, queries, k=10).to_pandas()
+    hits = 0
+    for qi in range(len(queries)):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        hits += len(e & set(approx[approx["query_id"] == qi]["vec_id"]))
+    recall = hits / (10 * len(queries))
+    assert recall >= 0.6, f"PQ recall@10 {recall} below floor"
+    return approx[["query_id", "vec_id"]].sort_values(
+        ["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def q_incremental_ingest(sf_dir: str):
     """Incremental corpus ingest: keep only increment docs (doc_id odd)
     whose text does not already exist in the base corpus (doc_id even) —
@@ -3684,6 +3730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_removed": q_simhash_neardup_removed,
         "embedding_neardup": q_embedding_neardup,
         "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "kmeans_clusters": q_kmeans_clusters,
         "lang_id": q_lang_id,
         "ocr_tiles": q_ocr_tiles,

@@ -338,6 +338,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "quality_filter",
         "minhash_pairs",
         "knn_brute",
+        "knn_pq",
         "broadcast_join",
         "hash_join",
         "count_by_group",

@@ -508,3 +508,157 @@ def cosine_pairs_exact(ds, id_col: str = "vec_id", emb_col: str = "embedding",
         for j in range(i, len(preps))
     ]
     return rd.from_arrow_refs(parts)
+
+
+# --- Product quantization (memory-compression scale path) ------------------
+
+_PQ_CACHE: dict = {}
+
+
+def _pq_cached(ref):
+    """Process-global cache for broadcast PQ state (task pool, not actor
+    pool — the codebooks/LUTs are tiny; per CLAUDE.md tiny-state stages
+    stay task pools with per-worker caches)."""
+    if isinstance(ref, ray.ObjectRef):
+        key = ref.hex()
+        val = _PQ_CACHE.get(key)
+        if val is None:
+            if len(_PQ_CACHE) > 8:
+                _PQ_CACHE.clear()
+            val = _PQ_CACHE[key] = ray.get(ref)
+        return val
+    return ref
+
+
+def _kmeans_l2(sub: np.ndarray, k: int, iters: int,
+               rng: np.random.RandomState) -> np.ndarray:
+    """Plain L2 Lloyd's on one subspace sample (driver-side, tiny —
+    PQ codebook training is sample-based in any production system).
+    Empty cells keep their previous centroid (deterministic)."""
+    k = min(k, len(sub))
+    cents = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+    for _ in range(iters):
+        # ||x-c||^2 argmin == argmin(-2 x.c + ||c||^2); skip ||x||^2
+        d = -2.0 * (sub @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        for c in range(k):
+            members = sub[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_train(sample: np.ndarray, *, m: int = 8, nbits: int = 8,
+             iters: int = 12, seed: int = 5) -> np.ndarray:
+    """Train product-quantization codebooks (Jegou et al. 2011,
+    "Product quantization for nearest neighbor search") on a sample:
+    the vector is split into ``m`` subspaces and each gets an
+    independent L2 k-means codebook of ``2**nbits`` (or fewer, when the
+    sample is smaller) centroids. Samples are L2-normalized first so
+    asymmetric-distance inner product == cosine at query time.
+
+    Returns ``(m, k, dim/m)`` float32 codebooks — the only state the
+    encode/search stages need (a few hundred KB; broadcast once).
+    """
+    if nbits > 8:
+        raise ValueError("nbits > 8 does not fit uint8 codes")
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    k = min(2 ** nbits, n)
+    books = np.empty((m, k, dsub), dtype=np.float32)
+    for j in range(m):
+        books[j] = _kmeans_l2(
+            np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub]),
+            k, iters, rng)
+    return books
+
+
+def _pq_assign(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) normalized -> (n, m) uint8 nearest-centroid codes."""
+    n = len(mat)
+    m, _, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        d = (-2.0 * (sub @ books[j].T)
+             + (books[j] * books[j]).sum(axis=1)[None, :])
+        codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+    return codes
+
+
+def _codes_matrix(col, m: int) -> np.ndarray:
+    """fixed_size_list<uint8, m> column -> (n, m) ndarray (buffer view,
+    offset-safe via flatten)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten()
+    return np.asarray(flat, dtype=np.uint8).reshape(-1, m)
+
+
+def pq_encode(ds, books, *, id_col: str = "vec_id",
+              emb_col: str = "embedding", keep_cols: tuple = ()):
+    """Map-only PQ encode: each ``d``-dim float32 vector becomes ``m``
+    uint8 codes — e.g. 64-dim x 4 B = 256 B down to 8 B (32x), which is
+    what lets a 100 TB embedding corpus live in cluster RAM for search.
+    Output schema: (id_col, pq_code fixed_size_list<uint8, m>, *keep_cols).
+    Task pool with a process-global codebook cache."""
+    books_ref = books if isinstance(books, ray.ObjectRef) else ray.put(
+        np.asarray(books, dtype=np.float32))
+    m = int(_pq_cached(books_ref).shape[0])
+
+    def _enc(t: pa.Table) -> pa.Table:
+        cols = {id_col: t[id_col] if t.num_rows else pa.array([], pa.int64())}
+        if t.num_rows == 0:
+            cols["pq_code"] = pa.array(
+                [], pa.list_(pa.uint8(), m))
+            for c in keep_cols:
+                cols[c] = t[c]
+            return pa.table(cols)
+        b = _pq_cached(books_ref)
+        mat = _normalize(embedding_matrix(t[emb_col], dtype=np.float32))
+        codes = _pq_assign(mat, b)
+        cols["pq_code"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), pa.uint8()), m)
+        for c in keep_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    return ds.map_batches(_enc, batch_format="pyarrow")
+
+
+def pq_topk(codes_ds, queries: np.ndarray, books, k: int = 10, *,
+            id_col: str = "vec_id"):
+    """Asymmetric-distance (ADC) approximate cosine top-k over PQ codes:
+    each query precomputes an (m, k_codebook) lookup table of subspace
+    inner products against the codebooks; scoring a batch is ONE fancy
+    -index gather + sum over the uint8 codes — no vector decode, no
+    float matrix in flight. Broadcast state is the LUT (m*k*nq floats).
+    Returns (query_id, id_col, cosine) with the same merge/tie-break
+    contract as :func:`brute_force_topk`."""
+    books = (_pq_cached(books) if isinstance(books, ray.ObjectRef)
+             else np.asarray(books, dtype=np.float32))
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    m, kc, dsub = books.shape
+    nq = len(qn)
+    # lut[j, c, q] = books[j, c] . q[j-th subspace]
+    lut = np.einsum("mkd,qmd->mkq", books,
+                    qn.reshape(nq, m, dsub)).astype(np.float32)
+    lut_ref = ray.put(lut)
+    jj = np.arange(m, dtype=np.int64)[None, :]
+
+    def _score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_scores(id_col)
+        L = _pq_cached(lut_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        codes = _codes_matrix(t["pq_code"], m).astype(np.int64)
+        sims = L[jj, codes, :].sum(axis=1).astype(np.float64)  # (n, nq)
+        return _topk_partial(sims, ids, k, id_col)
+
+    partials = codes_ds.map_batches(_score, batch_format="pyarrow",
+                                    batch_size=4096)
+    return _merge_topk(partials, k, id_col)

@@ -612,6 +612,64 @@ def test_ivf_topk_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.5  # probing half the lists
 
 
+def test_pq_encode_codes_shape_and_determinism(ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.ann import pq_encode, pq_train
+
+    rng = np.random.RandomState(2)
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(120)]
+    )
+    books = pq_train(vecs, m=4, nbits=6)
+    assert books.shape == (4, 64, 4) and books.dtype == np.float32
+    out = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    assert len(out) == 120
+    codes = np.stack(out["pq_code"].to_numpy())
+    assert codes.shape == (120, 4) and codes.dtype == np.uint8
+    # 4 uint8 codes replace 16 float32 = 64 B -> 4 B (16x)
+    # deterministic and partitioning-invariant
+    out2 = (pq_encode(ds.repartition(7), books)
+            .to_pandas().sort_values("vec_id"))
+    assert np.array_equal(codes, np.stack(out2["pq_code"].to_numpy()))
+
+
+def test_pq_topk_recall_vs_brute(ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.ann import (brute_force_topk, pq_encode,
+                                      pq_topk, pq_train)
+
+    rng = np.random.RandomState(3)
+    # clustered corpus: PQ codebooks should capture the cluster structure
+    centers = rng.standard_normal((10, 16)).astype(np.float32) * 4
+    vecs = (centers[rng.randint(0, 10, 300)]
+            + rng.standard_normal((300, 16)).astype(np.float32))
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    )
+    q = vecs[:4]
+    books = pq_train(vecs, m=4, nbits=8)
+    codes = pq_encode(ds, books)
+    exact = brute_force_topk(ds, q, k=5).to_pandas()
+    approx = pq_topk(codes, q, books, k=5).to_pandas()
+    assert (approx.groupby("query_id").size() == 5).all()
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    # ADC scores approximate true cosine: top-1 of each query (itself)
+    # must survive quantization on clustered data
+    for qi in range(4):
+        top = (approx[approx["query_id"] == qi]
+               .sort_values(["cosine", "vec_id"],
+                            ascending=[False, True]).iloc[0])
+        assert top["vec_id"] == qi
+
+
 def test_chunk_documents_boundaries():
     from siren_ray.functions.textstats import chunk_documents
 
