@@ -54,11 +54,20 @@ class CorpusHttpServer:
                  slow_urls: dict[str, float] | None = None,
                  etags: bool = False,
                  redirects: dict[str, str] | None = None,
-                 error_urls: dict[str, int] | None = None):
+                 error_urls: dict[str, int] | None = None,
+                 gzip: bool = False):
         self.pages = pages
         self.require_headers = dict(require_headers or {})
         self.slow_urls = dict(slow_urls or {})
         self.etags = bool(etags)
+        # gzip=True: a request advertising ``Accept-Encoding: gzip``
+        # gets the body compressed (Content-Encoding: gzip, mtime
+        # pinned for byte-stable responses); others get identity.
+        # ``n_gzip`` counts compressed responses; ``body_bytes`` counts
+        # bytes actually sent on the wire either way, so tests can
+        # assert the bandwidth saved.
+        self.gzip = bool(gzip)
+        self.n_gzip = 0
         # url -> target url; served as 301 + relative Location so the
         # client's own opener follows the hop (chains compose)
         self.redirects = dict(redirects or {})
@@ -152,16 +161,27 @@ class CorpusHttpServer:
                         self.send_header("ETag", tag)
                         self.end_headers()
                         return
+                wire = body
+                use_gzip = (outer.gzip and "gzip" in
+                            (self.headers.get("Accept-Encoding") or ""))
+                if use_gzip:
+                    import gzip as _gz
+
+                    wire = _gz.compress(body, mtime=0)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
-                self.send_header("Content-Length", str(len(body)))
+                if use_gzip:
+                    self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(wire)))
                 if outer.etags:
                     self.send_header("ETag", outer.etag_of(body))
                 self.end_headers()
-                self.wfile.write(body)
+                self.wfile.write(wire)
                 with outer._counter_lock:
                     outer.n_200 += 1
-                    outer.body_bytes += len(body)
+                    outer.body_bytes += len(wire)
+                    if use_gzip:
+                        outer.n_gzip += 1
 
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self._thread = threading.Thread(

@@ -138,6 +138,130 @@ def bigram_lm_train(ds, *, text_col: str = "text", uni_bits: int = 20,
                     total_tokens=int(uni.sum()))
 
 
+def importance_weights(ds, target_lm: BigramLM, raw_lm: BigramLM, *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       alpha: float = 0.1, per_token: bool = True,
+                       max_words: int | None = None):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-doc
+    ``log p_target(features) - log p_raw(features)`` over hashed
+    unigram+bigram occurrences, with add-alpha smoothing inside each
+    hash space. Map-only: both count models ride once per worker via
+    ``ray.put``; the per-occurrence log-ratios reduce per doc in one
+    ``reduceat`` (deterministic across batching, like
+    :func:`perplexity_score`).
+
+    ``per_token=True`` divides by the doc's feature count (tokens +
+    bigrams) — the paper's raw sum makes long documents dominate, so
+    the normalized form is the default; pass ``False`` for the paper's
+    exact sum. Docs with zero features get weight 0.0 (empty feature
+    product). Both models must share hash spaces.
+
+    No reference counterpart (engine addition: the data-selection step
+    a training-corpus pipeline runs between quality gates and mixture
+    construction).
+    """
+    import ray
+
+    if (target_lm.uni_bits, target_lm.big_bits) != \
+            (raw_lm.uni_bits, raw_lm.big_bits):
+        raise ValueError("importance_weights: models must share hash spaces")
+    uni_bits, big_bits = raw_lm.uni_bits, raw_lm.big_bits
+    # per-occurrence constant terms (denominators) fold into scalars:
+    # lr(s) = log(t[s]+a) - log(r[s]+a) + [log(R_tot+aV) - log(T_tot+aV)]
+    c_uni = (np.log(raw_lm.uni.sum() + alpha * (1 << uni_bits))
+             - np.log(target_lm.uni.sum() + alpha * (1 << uni_bits)))
+    c_big = (np.log(raw_lm.big.sum() + alpha * (1 << big_bits))
+             - np.log(target_lm.big.sum() + alpha * (1 << big_bits)))
+    model_ref = ray.put((target_lm.uni, target_lm.big,
+                         raw_lm.uni, raw_lm.big))
+
+    def _doc_sums(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """reduceat per doc over a flat per-occurrence array; docs with
+        zero occurrences contribute 0."""
+        out = np.zeros(len(counts))
+        has = counts > 0
+        if has.any():
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            out[has] = np.add.reduceat(vals, starts[has])
+        return out
+
+    def _weigh(t: pa.Table) -> pa.Table:
+        t_uni, t_big, r_uni, r_big = ray.get(model_ref)
+        wh, lens = _doc_token_hashes(t[text_col].to_pylist(), max_words)
+        uni, big, nbig = _slots(wh, lens, uni_bits, big_bits)
+        lr_uni = (np.log(t_uni[uni] + alpha) - np.log(r_uni[uni] + alpha)
+                  + c_uni) if len(uni) else np.empty(0)
+        lr_big = (np.log(t_big[big] + alpha) - np.log(r_big[big] + alpha)
+                  + c_big) if len(big) else np.empty(0)
+        logw = _doc_sums(lr_uni, lens) + _doc_sums(lr_big, nbig)
+        nfeat = lens + nbig
+        if per_token:
+            logw = np.where(nfeat > 0, logw / np.maximum(nfeat, 1), 0.0)
+        return pa.table({
+            id_col: t[id_col],
+            "n_features": pa.array(nfeat, pa.int64()),
+            "log_weight": pa.array(logw, pa.float64()),
+        })
+
+    return ds.map_batches(_weigh, batch_format="pyarrow")
+
+
+def dsir_select(ds, target_ds, k: int, *, text_col: str = "text",
+                id_col: str = "doc_id", uni_bits: int = 18,
+                big_bits: int = 20, alpha: float = 0.1,
+                temperature: float = 1.0, seed_salt: str = "",
+                per_token: bool = True,
+                max_words: int | None = None) -> pa.Table:
+    """DSIR data selection end-to-end: train hashed bigram models on
+    the raw corpus and the (small) target corpus, score every raw doc
+    with :func:`importance_weights`, and draw ``k`` docs WITHOUT
+    replacement with probability proportional to
+    ``exp(log_weight / temperature)`` via the Gumbel-top-k trick —
+    the Gumbel noise comes from md5(id) (engine-independent, the
+    weighted_sample convention), so the draw is deterministic and
+    reproducible across engines and parallelism.
+
+    Scale shape: two streaming train passes (bounded models), one
+    map-only weigh pass, and the sort-free mergeable
+    :func:`~siren_ray.stages.relational.topk_global` selection — no
+    all-to-all shuffle anywhere; the raw corpus is pinned for its two
+    passes (:func:`~siren_ray.util.pin_for_multipass`). Returns an
+    Arrow table (id, n_features, log_weight) of the selected rows —
+    a result of size k, not a dataset.
+    """
+    import hashlib
+
+    from siren_ray.stages.relational import topk_global
+    from siren_ray.util import pin_for_multipass
+
+    ds = pin_for_multipass(ds.select_columns([id_col, text_col]))
+    raw_lm = bigram_lm_train(ds, text_col=text_col, uni_bits=uni_bits,
+                             big_bits=big_bits, max_words=max_words)
+    target_lm = bigram_lm_train(target_ds, text_col=text_col,
+                                uni_bits=uni_bits, big_bits=big_bits,
+                                max_words=max_words)
+    weights = importance_weights(ds, target_lm, raw_lm, text_col=text_col,
+                                 id_col=id_col, alpha=alpha,
+                                 per_token=per_token, max_words=max_words)
+
+    def _gumbel_key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        logw = np.asarray(t["log_weight"], dtype=np.float64)
+        h = np.array(
+            [int(hashlib.md5(f"{seed_salt}{x}".encode()
+                             ).hexdigest()[:15], 16) + 1 for x in ids],
+            dtype=np.int64,
+        )
+        u = np.minimum(h.astype(np.float64) / float(1 << 60), 1.0 - 1e-16)
+        key = logw / float(temperature) - np.log(-np.log(u))
+        return t.append_column("_gkey", pa.array(key, pa.float64()))
+
+    keyed = weights.map_batches(_gumbel_key, batch_format="pyarrow")
+    out = topk_global(keyed, "_gkey", k, ascending=False, tie_col=id_col)
+    return out.drop_columns(["_gkey"]) if out.num_rows else out
+
+
 def perplexity_score(ds, lm: BigramLM, *, text_col: str = "text",
                      id_col: str = "doc_id", alpha: float = 0.1,
                      max_words: int | None = None):

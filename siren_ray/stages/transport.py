@@ -29,10 +29,19 @@ class HttpTransport:
                  headers: dict[str, str] | None = None,
                  timeout_s: float = 5.0, retries: int = 1,
                  concurrency: int = 16, page_param: str = "url",
-                 max_per_host: int | None = None):
+                 max_per_host: int | None = None,
+                 accept_gzip: bool = True):
         self.base_url = base_url.rstrip("/") if base_url else None
         self.headers = dict(headers or {})
         self.headers.setdefault("User-Agent", "siren-ray/0.3")
+        # bandwidth: advertise gzip and transparently decode it — HTML
+        # compresses 3-10x, so at crawl scale the wire bytes matter
+        # more than the decode CPU. urllib does NOT auto-decompress, so
+        # _fetch_one_raw inflates Content-Encoding: gzip bodies itself;
+        # a body the server claims is gzip but isn't -> "bad_gzip"
+        # error row (F4 discipline), never an exception.
+        if accept_gzip:
+            self.headers.setdefault("Accept-Encoding", "gzip")
         self.timeout_s = float(timeout_s)
         self.retries = max(0, int(retries))
         self.page_param = page_param
@@ -110,7 +119,16 @@ class HttpTransport:
         for _ in range(self.retries + 1):
             try:
                 with self._opener.open(req, timeout=self.timeout_s) as resp:
-                    return (resp.read(), None, resp.headers.get("ETag"),
+                    body = resp.read()
+                    enc = (resp.headers.get("Content-Encoding") or "").lower()
+                    if enc in ("gzip", "x-gzip"):
+                        import gzip as _gz
+
+                        try:
+                            body = _gz.decompress(body)
+                        except OSError:
+                            return None, "bad_gzip", None, None
+                    return (body, None, resp.headers.get("ETag"),
                             self._page_url_of(resp.geturl()))
             except urllib.error.HTTPError as e:
                 if e.code == 304:

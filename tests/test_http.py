@@ -53,6 +53,59 @@ def test_transport_miss_and_timeout(pages):
         assert bodies[1] is None and errs[1] == "timeout"
 
 
+def test_transport_gzip_negotiation(pages):
+    """Content-Encoding: gzip over live sockets — bodies come back
+    byte-identical while the wire carries the compressed size; a
+    client that opts out gets identity and pays full bytes."""
+    import gzip as _gz
+
+    urls = sorted(pages)[:8]
+    raw_total = sum(len(pages[u]) for u in urls)
+    with CorpusHttpServer(pages, gzip=True) as srv:
+        tr = HttpTransport(srv.base_url)  # accept_gzip default on
+        bodies, errs = tr.fetch_many(urls)
+        assert errs == [None] * len(urls)
+        assert bodies == [pages[u] for u in urls]  # transparent decode
+        assert srv.n_gzip == len(urls)
+        assert srv.body_bytes < raw_total  # bandwidth actually saved
+        gz_bytes = srv.body_bytes
+
+        plain = HttpTransport(srv.base_url, accept_gzip=False)
+        bodies2, errs2 = plain.fetch_many(urls)
+        assert errs2 == [None] * len(urls)
+        assert bodies2 == [pages[u] for u in urls]
+        assert srv.n_gzip == len(urls)  # no new gzip responses
+        assert srv.body_bytes == gz_bytes + raw_total
+    # a server that claims gzip but sends garbage -> bad_gzip error
+    # row, never an exception (F4 discipline)
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class _Lying(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            payload = b"not actually gzip"
+            self.send_response(200)
+            self.send_header("Content-Encoding", "gzip")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _Lying)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        host, port = httpd.server_address[:2]
+        tr = HttpTransport(f"http://{host}:{port}", retries=0)
+        bodies, errs = tr.fetch_many(["https://x.example.org/a"])
+        assert bodies == [None] and errs == ["bad_gzip"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    assert _gz.decompress(_gz.compress(b"p", mtime=0)) == b"p"
+
+
 def test_http_fetch_extract_matches_corpus_join(pages, ray_session):
     """FetchExtract(mode=http) == FetchExtract(mode=broadcast) on a
     mixed hit/miss batch: byte-identical extracted rows, identical
