@@ -1952,6 +1952,29 @@ def q_lm_perplexity(sf_dir: str):
     return perplexity_score(ds, lm)
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR data selection (stages/lm.py:dsir_select — Xie et al. 2023
+    importance resampling): the 'en' documents are the in-domain
+    target, the whole table is the raw pool; hashed bigram models
+    train in two streaming passes, every raw doc gets a map-only
+    log importance weight, and 100 docs are drawn without replacement
+    by deterministic md5-Gumbel-top-k. Rows-only: the weight is a
+    model score with no SQL equivalent; parity against a naive
+    reference implementation is unit-tested (t:test_lm)."""
+    import pyarrow.compute as pc
+
+    from siren_ray.stages.lm import dsir_select
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).drop_columns(["lang"]),
+        batch_format="pyarrow")
+    raw = docs.map_batches(lambda t: t.drop_columns(["lang"]),
+                           batch_format="pyarrow")
+    return dsir_select(raw, target, 100, uni_bits=16, big_bits=18,
+                       temperature=0.25)
+
+
 def q_incremental_neardup(sf_dir: str):
     """NEAR-duplicate-aware incremental ingest
     (dedup.py:incremental_ingest_neardup): even-id docs are the base
@@ -3738,6 +3761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_removed": q_embedding_neardup_removed,
         "approx_distinct": q_approx_distinct,
         "lm_perplexity": q_lm_perplexity,
+        "dsir_select": q_dsir_select,
         "quality_classifier": q_quality_classifier,
         "repetition_stats": q_repetition_stats,
         "gopher_rules": q_gopher_rules,

@@ -378,6 +378,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "pii_redact",
         "normalized_dedup",
         "lm_perplexity",
+        "dsir_select",
         "quality_classifier",
         "repetition_stats",
         "gopher_rules",
