@@ -106,6 +106,42 @@ def word_hashes(text: str, max_words: int | None = None) -> np.ndarray:
     return hash_strings(words).astype(np.uint64)
 
 
+def word_hashes_batch(texts, max_words: int | None = None) -> list:
+    """Batch variant of :func:`word_hashes`: ONE ``hash_strings`` call
+    over every doc's (prefix-capped) tokens, sliced back per doc. SipHash
+    is per-string, so each slice is bit-identical to the per-doc path;
+    what the batching buys is ``categorize=True``: the whole batch's
+    token stream factorizes once and each DISTINCT word hashes once —
+    word streams are Zipfian, so this is ~2-4x on the SipHash pass for
+    SHORT docs (web pages average ~56 words in the test corpus). The
+    advantage inverts past ~128 words/doc (hash-call setup amortizes
+    away while the batch-wide factorize table blows the cache —
+    A/B-measured at 30/80/200/450 words), so long-doc batches fall back
+    to the per-doc path. Both paths are bit-identical."""
+    word_lists = []
+    lengths = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = (t or "").split()
+        if max_words is not None and len(words) > max_words:
+            words = words[:max_words]
+        word_lists.append(words)
+        lengths[i] = len(words)
+    total = int(lengths.sum()) if len(texts) else 0
+    if total == 0:
+        empty = np.empty(0, dtype=np.uint64)
+        return [empty] * len(texts)
+    if total > 128 * len(texts):  # long docs: one-call path loses
+        return [hash_strings(w).astype(np.uint64) if w
+                else np.empty(0, dtype=np.uint64) for w in word_lists]
+    flat: list = []
+    for words in word_lists:
+        flat.extend(words)
+    hashed = hash_strings(flat, categorize=True).astype(np.uint64)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return [hashed[offsets[i]:offsets[i + 1]] for i in range(len(texts))]
+
+
 def shingle_hashes(text: str, k: int = 5,
                    max_shingles: int | None = None,
                    wh: np.ndarray | None = None) -> np.ndarray:
@@ -175,7 +211,9 @@ class MinHasher:
                 "minhash_bands", empty
             ).append_column("minhash_bands2", empty)
         if wh_list is None:
-            wh_list = [None] * len(texts)
+            cap = (None if self.max_shingles is None
+                   else self.max_shingles + self.k - 1)
+            wh_list = word_hashes_batch(texts, cap)
         sigs = np.stack(
             [minhash_signature(t or "", self.a, self.b, self.k,
                                self.max_shingles, wh=w)
@@ -773,7 +811,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
                   wh_list: list | None = None) -> pa.Table:
     texts = batch[text_col].to_pylist()
     if wh_list is None:
-        wh_list = [None] * len(texts)
+        wh_list = word_hashes_batch(texts, _SIMHASH_MAX_TOKENS)
     vals = np.array([simhash64(t or "", wh=w)
                      for t, w in zip(texts, wh_list)],
                     dtype=np.uint64)

@@ -357,7 +357,7 @@ def _enrich_text(extracted: pa.Table) -> pa.Table:
         lang_id_batch,
         quality_batch,
     )
-    from ..stages.dedup import MinHasher, simhash_batch, word_hashes
+    from ..stages.dedup import MinHasher, simhash_batch, word_hashes_batch
 
     out = fingerprint_batch(lang_id_batch(quality_batch(extracted)))
     global _MINHASHER, _SCORER
@@ -370,7 +370,7 @@ def _enrich_text(extracted: pa.Table) -> pa.Table:
     # the 512-word prefix, minhash the 260-word shingle prefix — outputs
     # are bit-identical to the per-kernel paths)
     texts = out["text"].to_pylist()
-    wh = [word_hashes(t or "", 512) for t in texts]
+    wh = word_hashes_batch(texts, 512)
     out = simhash_batch(out, wh_list=wh)
     out = _MINHASHER(out, wh_list=wh)
     scores = _SCORER.score_batch(texts)

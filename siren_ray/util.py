@@ -15,14 +15,20 @@ import pandas as pd
 _HASH_KEY = "0123456789123456"
 
 
-def hash_strings(values) -> np.ndarray:
+def hash_strings(values, categorize: bool = False) -> np.ndarray:
     """Vectorized, deterministic 64-bit hash of a string array-like.
 
     Returns uint64 ndarray. Used for URL-seen fingerprints and hash
     partitioning (host buckets, url buckets).
+
+    ``categorize=True`` factorizes first and hashes each DISTINCT value
+    once — bit-identical output (asserted in tests), ~3-4x faster on
+    repeat-heavy inputs like word token streams; leave False for
+    mostly-unique inputs (URLs), where factorizing only adds a
+    hashtable build.
     """
     arr = np.asarray(values, dtype=object)
-    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=categorize)
 
 
 def hash_string(value: str) -> int:

@@ -4,6 +4,7 @@ inputs — parsers in the fetch hot path see the whole web."""
 
 import string
 
+import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -62,6 +63,44 @@ def test_hashing_deterministic_and_order_free(strings):
     # per-element: hash depends only on the element
     for i, s in enumerate(strings):
         assert a[i] == hash_strings([s])[0]
+
+
+@given(st.lists(st.text(min_size=0, max_size=50), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_hash_strings_categorize_bit_identical(strings):
+    a = hash_strings(strings)
+    b = hash_strings(strings, categorize=True)
+    assert (a == b).all()
+
+
+@given(
+    st.lists(
+        st.text(alphabet=string.ascii_lowercase + " ", max_size=400),
+        min_size=0,
+        max_size=8,
+    ),
+    st.sampled_from([None, 3, 512]),
+)
+@settings(max_examples=100, deadline=None)
+def test_word_hashes_batch_matches_per_doc(texts, cap):
+    from siren_ray.stages.dedup import word_hashes, word_hashes_batch
+
+    batched = word_hashes_batch(texts, cap)
+    assert len(batched) == len(texts)
+    for t, got in zip(texts, batched):
+        want = word_hashes(t, cap)
+        assert got.dtype == np.uint64
+        assert (got == want).all()
+
+
+def test_word_hashes_batch_long_doc_path():
+    # force the >128 words/doc fallback branch and the empty-doc edge
+    from siren_ray.stages.dedup import word_hashes, word_hashes_batch
+
+    texts = ["w%d x" % i + " y" * 300 for i in range(3)] + ["", "solo"]
+    batched = word_hashes_batch(texts, None)
+    for t, got in zip(texts, batched):
+        assert (got == word_hashes(t, None)).all()
 
 
 @given(st.text(alphabet=string.ascii_lowercase + "./:", max_size=60))
