@@ -1740,6 +1740,31 @@ def q_normalized_dedup(sf_dir: str):
     return dedup_exact(ds, "norm", "doc_id")
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """Corpus-interchange edge (sources/jsonl.py): serialize the
+    documents table into gzipped JSONL shards (Dolma/C4/Pile layout:
+    one JSON object per line, one shard per block, written by the
+    owning task), read them back through read_binary_files + per-file
+    line split, and recover (doc_id, text). Oracle = the original
+    table: proves str/int values survive the JSON round-trip exactly
+    (escaped newlines, unicode, sorted-key canonical lines)."""
+    import shutil
+
+    import pyarrow as pa
+
+    from siren_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    out_dir = "/tmp/siren_ray_runs/jsonl_rt_q"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    write_jsonl_shards(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                       out_dir)
+    return read_jsonl(out_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                            "text": t["text"].cast(pa.string())}),
+        batch_format="pyarrow")
+
+
 def q_warc_roundtrip(sf_dir: str):
     """Common-Crawl-shaped ingest edge (sources/warc.py): serialize the
     documents table into per-record-gzip WARC shards (one shard per
@@ -3726,6 +3751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "normalized_dedup": q_normalized_dedup,
         "warc_roundtrip": q_warc_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "warc_to_corpus": q_warc_to_corpus,
         "chunk_documents": q_chunk_documents,
         "chunk_dedup": q_chunk_dedup,
@@ -4260,6 +4286,7 @@ def oracle_sql() -> dict[str, str]:
             " SELECT min(doc_id) AS doc_id, norm FROM norm GROUP BY norm"
         ),
         "warc_roundtrip": "SELECT doc_id, text FROM documents",
+        "jsonl_roundtrip": "SELECT doc_id, text FROM documents",
         "gopher_rules": """
             WITH L AS (
                 SELECT doc_id,

@@ -384,6 +384,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "gopher_rules",
         "dup_ngrams",
         "warc_roundtrip",
+        "jsonl_roundtrip",
         "warc_to_corpus",
         "warc_wet",
         "pack_sequences",

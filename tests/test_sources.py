@@ -165,3 +165,69 @@ def test_feed_batch_stage(ray_session):
     assert list(out.columns) == ["src", "link", "title",
                                  "published_ts", "kind"]
     assert len(out) == 1 and out.loc[0, "link"] == "https://h/p1"
+
+
+def test_jsonl_roundtrip_unicode(ray_session, tmp_path):
+    # unicode, embedded newlines/quotes, null field, int/float/bool
+    # values: one record must stay one line and round-trip exactly
+    import ray.data as rd
+
+    from siren_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    rows = [
+        {"doc_id": 1, "text": 'line1\nline2 "quoted" é中\U0001f600',
+         "score": 0.5, "ok": True, "extra": None},
+        {"doc_id": 2, "text": "", "score": -3.25, "ok": False,
+         "extra": "x"},
+        {"doc_id": 3, "text": "plain", "score": 7.0, "ok": True,
+         "extra": None},
+    ]
+    out = tmp_path / "shards"
+    n = write_jsonl_shards(rd.from_items(rows), str(out))
+    assert n >= 1
+    names = [f for f in out.iterdir() if f.name.endswith(".jsonl.gz")]
+    assert names and not [f for f in out.iterdir()
+                          if f.name.startswith(".tmp-")]
+    got = (read_jsonl(str(out),
+                      columns=["doc_id", "text", "score", "ok", "extra"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, want in enumerate(rows):
+        for k, v in want.items():
+            g = got[k][i]
+            assert (g is None or g != g) if v is None else g == v, (k, i)
+    assert got["shard"].str.endswith(".jsonl.gz").all()
+
+
+def test_jsonl_malformed_lines_skipped(ray_session, tmp_path):
+    from siren_ray.sources.jsonl import parse_jsonl_bytes, read_jsonl
+
+    shard = tmp_path / "a.jsonl"
+    shard.write_bytes(
+        b'{"doc_id":1,"text":"ok"}\n'
+        b'not json at all\n'
+        b'[1,2,3]\n'          # valid JSON, not an object -> skipped
+        b'\n'                  # blank line -> ignored, not malformed
+        b'{"doc_id":2,"text":"also ok"}\n')
+    recs, bad = parse_jsonl_bytes(shard.read_bytes())
+    assert [r["doc_id"] for r in recs] == [1, 2] and bad == 2
+    df = read_jsonl(str(tmp_path), columns=["doc_id", "text"]).to_pandas()
+    assert sorted(df["doc_id"]) == [1, 2]
+
+    # corrupt gzip blob: counted, never raised
+    recs, bad = parse_jsonl_bytes(b"\x1f\x8b" + b"\x00" * 16)
+    assert recs == [] and bad == 1
+
+
+def test_jsonl_shard_name_deterministic():
+    from siren_ray.sources.jsonl import _shard_name, encode_jsonl
+    import gzip
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": [1, 2], "text": ["a", "b"]})
+    blob1 = gzip.compress(encode_jsonl(t), mtime=0)
+    blob2 = gzip.compress(encode_jsonl(t), mtime=0)
+    assert blob1 == blob2  # byte-deterministic stream (mtime=0)
+    assert (_shard_name(blob1, "tid", 0, ".jsonl.gz")
+            == _shard_name(blob2, "tid", 0, ".jsonl.gz"))
+    assert (_shard_name(blob1, "tid", 0, ".jsonl.gz")
+            != _shard_name(blob1, "tid", 1, ".jsonl.gz"))
