@@ -662,3 +662,51 @@ def pq_topk(codes_ds, queries: np.ndarray, books, k: int = 10, *,
     partials = codes_ds.map_batches(_score, batch_format="pyarrow",
                                     batch_size=4096)
     return _merge_topk(partials, k, id_col)
+
+
+def pq_topk_rerank(vectors_ds, codes_ds, queries: np.ndarray, books,
+                   k: int = 10, *, shortlist: int = 64,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """ADC shortlist -> exact re-rank, the production PQ recipe (Jégou
+    et al. 2011's IVFADC + re-ranking): :func:`pq_topk` fetches each
+    query's ``shortlist`` candidates from the 8-byte codes (quantized,
+    cheap), then ONE map-only pass over the original vectors computes
+    exact cosine for shortlisted (vector, query) pairs only. Recall is
+    now set by shortlist depth, not quantization distortion — ADC-alone
+    recall@10 decays as the corpus grows (true neighbors bunch tighter
+    than the quantization error) while the re-ranked path holds, at
+    exact-scoring cost O(nq * shortlist) instead of O(n).
+
+    Broadcast state: sorted candidate ids + an (n_cand, nq) allowed
+    mask — nq * shortlist entries, tiny at any corpus size. No shuffle
+    beyond the two _merge_topk exchanges; the vector pass is map-only."""
+    short = pq_topk(codes_ds, queries, books, k=shortlist,
+                    id_col=id_col).to_pandas()
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    nq = len(qn)
+    cand_ids = np.unique(short[id_col].to_numpy())
+    allowed = np.zeros((len(cand_ids), nq), dtype=bool)
+    pos = np.searchsorted(cand_ids, short[id_col].to_numpy())
+    allowed[pos, short["query_id"].to_numpy()] = True
+    state_ref = ray.put((cand_ids, allowed, qn.T))  # (dim, nq)
+
+    def _exact(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_scores(id_col)
+        cids, mask, qt = _pq_cached(state_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        p = np.searchsorted(cids, ids)
+        ok = p < len(cids)
+        pc = np.where(ok, p, 0)
+        hit = ok & (cids[pc] == ids)
+        if not hit.any():
+            return _empty_scores(id_col)
+        sub = t.filter(pa.array(hit))
+        mat = _normalize(embedding_matrix(sub[emb_col], dtype=np.float32))
+        sims = (mat @ qt).astype(np.float64)  # (n_hit, nq)
+        sims[~mask[pc[hit]]] = -np.inf  # not this query's candidate
+        return _topk_partial(sims, ids[hit], k, id_col)
+
+    partials = vectors_ds.map_batches(_exact, batch_format="pyarrow",
+                                      batch_size=4096)
+    return _merge_topk(partials, k, id_col)

@@ -670,6 +670,43 @@ def test_pq_topk_recall_vs_brute(ray_session):
         assert top["vec_id"] == qi
 
 
+def test_pq_topk_rerank_exact_scores(ray_session):
+    import ray.data as rd
+
+    from siren_ray.stages.ann import (brute_force_topk, pq_encode,
+                                      pq_topk_rerank, pq_train)
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((10, 16)).astype(np.float32) * 4
+    vecs = (centers[rng.randint(0, 10, 300)]
+            + rng.standard_normal((300, 16)).astype(np.float32))
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    )
+    q = vecs[:4]
+    books = pq_train(vecs, m=4, nbits=8)
+    codes = pq_encode(ds, books)
+    exact = brute_force_topk(ds, q, k=5).to_pandas()
+    got = pq_topk_rerank(ds, codes, q, books, k=5,
+                         shortlist=60).to_pandas()
+    assert (got.groupby("query_id").size() == 5).all()
+    # re-ranked cosines are EXACT: every returned (query, vec) score
+    # equals the brute-force cosine for that pair (quantization only
+    # picks candidates, never scores them)
+    emb = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    for _, row in got.iterrows():
+        want = float(emb[int(row["vec_id"])] @ qn[int(row["query_id"])])
+        assert abs(row["cosine"] - want) < 1e-6
+    # and recall beats ADC-alone: shortlist 60/300 captures the top-5
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & set(
+            got[got["query_id"] == qi]["vec_id"])) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_chunk_documents_boundaries():
     from siren_ray.functions.textstats import chunk_documents
 
