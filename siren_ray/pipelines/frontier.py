@@ -100,6 +100,15 @@ class CrawlConfig:
     # pagerank-reprioritized seeds from stages.graph.reprioritize_seeds)
     enrich_text: bool = False  # inline quality/lang-id/fingerprint stage
     ckpt_every: int = 1  # seen-set checkpoint cadence (0 = final only)
+    work_stealing: bool = False  # driver-mode fetch: idle actors steal
+    # queued chunks from the longest queue (affinity-first). Default
+    # OFF: interleaved A/B at sf0.1/8cpus showed stealing converts
+    # fetch-stage idle into cold-bucket-read busy (util 0.69 -> 0.83
+    # but busy core-s +12-38%, wall within position noise both ways) —
+    # the thief re-reads partitions the victim had cached, costing what
+    # the idle was worth. Kept as a flag: on a cluster where bucket
+    # reads are cheap relative to compute (small pages, hot page cache)
+    # the trade can flip; measure with metrics' n_chunks/busy_max_chunk.
     # distributed host-quota stage: "auto" (default) = the skew-safe
     # vectorized salted two-phase shuffle with unlimited-host bypass
     # (politeness.host_quota_partitioned, num_salts=8); an int N>0 uses
@@ -608,6 +617,7 @@ class _Crawl:
         n_sel = sel_tbl.num_rows
         n_err = n_parse_ok = n_links = 0
         t_fetch = t_write = 0.0
+        self._n_chunks, self._busy_max = 0, 0.0
         next_dir = _round_dir(self.frontier_dir, r + 1)
         # clear any parts left by an interrupted attempt at this round
         # (a prior distributed attempt writes UUID-named parts that the
@@ -621,23 +631,75 @@ class _Crawl:
             shutil.rmtree(ext_dir, ignore_errors=True)
             os.makedirs(ext_dir, exist_ok=True)
             t0 = time.perf_counter()
-            lrefs, crefs = [], []
-            for j, (chunk, actor_id) in enumerate(
-                self._make_chunks(sel, len(pool))
-            ):
-                _, l, c = pool[actor_id].process.options(
+            # Dynamic dispatch with affinity-first work stealing: static
+            # per-actor queues left 15-27% of fetch-stage core-time idle
+            # at 8 CPUs (chunk cost varies with content, and a slow /
+            # page-faulting worker can't shed load). Each actor keeps at
+            # most 2 chunks in flight (its own queue first — the bucket
+            # LRU affinity from _make_chunks); an idle actor steals from
+            # the LONGEST remaining queue, taking that queue's TAIL so
+            # the victim keeps its own cache-local prefix. Results stay
+            # indexed by chunk j (part-{j} names, lrefs order), so crawl
+            # order and the extracted layout are byte-identical to the
+            # static dispatch (conformance suites prove it).
+            chunks = self._make_chunks(sel, len(pool))
+            queues: list[list[int]] = [[] for _ in pool]
+            for j, (_, actor_id) in enumerate(chunks):
+                queues[actor_id].append(j)
+            lrefs = [None] * len(chunks)
+            crefs = [None] * len(chunks)
+            pending: dict = {}  # count ref -> actor
+
+            def _submit(actor: int, j: int) -> None:
+                _, l, c = pool[actor].process.options(
                     num_returns=3
                 ).remote(
-                    chunk, r, cfg.priority_decay, cfg.max_depth,
+                    chunks[j][0], r, cfg.priority_decay, cfg.max_depth,
                     os.path.join(ext_dir, f"part-{j:05d}.parquet"),
                     canonicalize=cfg.canonicalize,
                     trap_filter=cfg.trap_filter,
                 )
-                lrefs.append(l)
-                crefs.append(c)
+                lrefs[j] = l
+                crefs[j] = c
+                pending[c] = actor
+
+            def _next_chunk(actor: int) -> int | None:
+                if queues[actor]:
+                    return queues[actor].pop(0)
+                if not cfg.work_stealing:
+                    return None
+                victim = max(range(len(queues)),
+                             key=lambda a: len(queues[a]))
+                if queues[victim]:
+                    return queues[victim].pop()
+                return None
+
+            # seed own queues first (affinity), THEN let spare slots
+            # steal — so no actor loses its cache-local chunks to a
+            # neighbor's warm-up
+            for a in range(len(pool)):
+                for _ in range(2):
+                    if queues[a]:
+                        _submit(a, queues[a].pop(0))
+            for a in range(len(pool)):
+                while sum(1 for act in pending.values() if act == a) < 2:
+                    j = _next_chunk(a)
+                    if j is None:
+                        break
+                    _submit(a, j)
+            while pending:
+                done, _ = ray.wait(list(pending), num_returns=1)
+                actor = pending.pop(done[0])
+                j = _next_chunk(actor)
+                if j is not None:
+                    _submit(actor, j)
             counts = ray.get(crefs)
             link_tbls = [t for t in ray.get(lrefs) if t.num_rows]
             t_fetch = time.perf_counter() - t0
+            # straggler visibility: wall lower bound is the max chunk
+            self._n_chunks = len(counts)
+            self._busy_max = max(
+                (c.get("busy_s", 0.0) for c in counts), default=0.0)
             n_err = sum(c["errors"] for c in counts)
             n_parse_ok = sum(c["parse_ok"] for c in counts)
             n_links = sum(c["links"] for c in counts)
@@ -666,6 +728,8 @@ class _Crawl:
             "t_frontier": round(t_frontier, 3),
             "busy_s": round(getattr(self, "_busy_s", 0.0), 3),
             "io_s": round(getattr(self, "_write_s", 0.0), 3),
+            "n_chunks": getattr(self, "_n_chunks", 0),
+            "busy_max_chunk": round(getattr(self, "_busy_max", 0.0), 3),
             "frontier": n_frontier,
             "candidates": n_cand,
             "robots_skipped": n_robots,

@@ -98,6 +98,26 @@ def test_metrics_lineage_complete(engine):
         assert m["seen_size"] >= m["selected"]
 
 
+def test_work_stealing_order_invariant(corpus_sf0001, tmp_path_factory,
+                                       sim):
+    """Chunk-to-actor reassignment (work_stealing=True) must not change
+    crawl order or the fetched set: order is (priority, seq)-derived,
+    results are indexed by chunk, never by actor."""
+    out = str(tmp_path_factory.mktemp("crawl_steal"))
+    cfg = CrawlConfig(
+        corpus_dir=corpus_sf0001, out_dir=out, fetch_mode="bucketed",
+        budget_per_round=50, round_ms=1000, max_rounds=12, max_depth=6,
+        fetch_concurrency=4, fetch_batch_size=16, work_stealing=True,
+    )
+    run_crawl(cfg)
+    t = read_crawl_order(out)
+    got = list(
+        zip(t["round"].to_pylist(), t["url"].to_pylist(), t["seq"].to_pylist())
+    )
+    sim_order = [(r, url, seq) for (r, _rank, url, _p, seq, _f) in sim.crawl_order]
+    assert got == sim_order
+
+
 def test_resume_from_checkpoint(corpus_sf0001, tmp_path_factory, sim):
     """Run 3 rounds, then resume to completion -> same crawl order."""
     out = str(tmp_path_factory.mktemp("crawl_resume"))
