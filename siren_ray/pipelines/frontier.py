@@ -102,13 +102,18 @@ class CrawlConfig:
     ckpt_every: int = 1  # seen-set checkpoint cadence (0 = final only)
     work_stealing: bool = False  # driver-mode fetch: idle actors steal
     # queued chunks from the longest queue (affinity-first). Default
-    # OFF: interleaved A/B at sf0.1/8cpus showed stealing converts
-    # fetch-stage idle into cold-bucket-read busy (util 0.69 -> 0.83
-    # but busy core-s +12-38%, wall within position noise both ways) —
-    # the thief re-reads partitions the victim had cached, costing what
-    # the idle was worth. Kept as a flag: on a cluster where bucket
-    # reads are cheap relative to compute (small pages, hot page cache)
-    # the trade can flip; measure with metrics' n_chunks/busy_max_chunk.
+    # OFF, for two measured reasons. (1) Stealing converts fetch-stage
+    # idle into cold-bucket-read busy (interleaved A/B at sf0.1/8cpus:
+    # util 0.69 -> 0.83 but busy core-s +12-38%, wall within position
+    # noise both ways) — the thief re-reads partitions the victim had
+    # cached. (2) Stealing requires throttled feeding (2 chunks in
+    # flight per actor, driver refeeds on completion), and actors that
+    # idle in sub-chunk gaps get their pages reclaimed on this host —
+    # each refeed re-faults the working set (busy 208 -> 516 core-s at
+    # 30 actors). The default path submits every queue upfront, so
+    # actors run back-to-back. Flag kept for clusters where bucket
+    # reads are cheap and memory is stable; measure with metrics'
+    # n_chunks/busy_max_chunk.
     # distributed host-quota stage: "auto" (default) = the skew-safe
     # vectorized salted two-phase shuffle with unlimited-host bypass
     # (politeness.host_quota_partitioned, num_salts=8); an int N>0 uses
@@ -674,25 +679,39 @@ class _Crawl:
                     return queues[victim].pop()
                 return None
 
-            # seed own queues first (affinity), THEN let spare slots
-            # steal — so no actor loses its cache-local chunks to a
-            # neighbor's warm-up
-            for a in range(len(pool)):
-                for _ in range(2):
-                    if queues[a]:
-                        _submit(a, queues[a].pop(0))
-            for a in range(len(pool)):
-                while sum(1 for act in pending.values() if act == a) < 2:
-                    j = _next_chunk(a)
-                    if j is None:
-                        break
-                    _submit(a, j)
-            while pending:
-                done, _ = ray.wait(list(pending), num_returns=1)
-                actor = pending.pop(done[0])
-                j = _next_chunk(actor)
-                if j is not None:
-                    _submit(actor, j)
+            if not cfg.work_stealing:
+                # static affinity: submit every queue upfront so actors
+                # run chunks back-to-back with no driver round-trip
+                # between them. Throttled feeding (2 in flight) left
+                # actors idle in sub-chunk gaps, and on this host an
+                # idle actor's pages get reclaimed — each refeed then
+                # re-faults the working set (busy core-s 208 -> 516 at
+                # 30 actors when the 2-in-flight loop ran unstealing).
+                for a in range(len(pool)):
+                    for j in queues[a]:
+                        _submit(a, j)
+            else:
+                # stealing needs slack to re-route: seed own queues
+                # first (affinity), THEN let spare slots steal — so no
+                # actor loses its cache-local chunks to a neighbor's
+                # warm-up
+                for a in range(len(pool)):
+                    for _ in range(2):
+                        if queues[a]:
+                            _submit(a, queues[a].pop(0))
+                for a in range(len(pool)):
+                    while sum(1 for act in pending.values()
+                              if act == a) < 2:
+                        j = _next_chunk(a)
+                        if j is None:
+                            break
+                        _submit(a, j)
+                while pending:
+                    done, _ = ray.wait(list(pending), num_returns=1)
+                    actor = pending.pop(done[0])
+                    j = _next_chunk(actor)
+                    if j is not None:
+                        _submit(actor, j)
             counts = ray.get(crefs)
             link_tbls = [t for t in ray.get(lrefs) if t.num_rows]
             t_fetch = time.perf_counter() - t0
