@@ -26,9 +26,34 @@ def hash_strings(values, categorize: bool = False) -> np.ndarray:
     repeat-heavy inputs like word token streams; leave False for
     mostly-unique inputs (URLs), where factorizing only adds a
     hashtable build.
+
+    The factorize step deliberately goes through Arrow's
+    ``dictionary_encode`` rather than ``pd.util.hash_array``'s own
+    ``categorize=True``: pandas (observed on 2.2.2) factorizes object
+    strings through a C-string hashtable that stops comparing at an
+    embedded NUL, so ``''`` and ``'\\x00'`` collapse to ONE category and
+    get the same hash — wrong for crawled bytes, where whitespace-split
+    tokens can carry NULs. Arrow compares by (length, bytes), the
+    uniques then hash through the exact same per-element SipHash as the
+    direct path, and a gather maps them back — bit-identical on every
+    input (hypothesis-asserted), same repeat-heavy speedup.
     """
     arr = np.asarray(values, dtype=object)
-    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=categorize)
+    if categorize and len(arr):
+        import pyarrow as pa
+
+        try:
+            enc = pa.array(arr, type=pa.large_string()).dictionary_encode()
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            enc = None  # non-string objects: direct path handles them
+        if enc is not None and enc.null_count == 0:
+            uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            uh = pd.util.hash_array(uniq, hash_key=_HASH_KEY,
+                                    categorize=False)
+            return uh[enc.indices.to_numpy(zero_copy_only=False)]
+    # NOTE: pandas' own default is categorize=True — always pass False
+    # here (the NUL-collapsing path this function exists to avoid).
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
 
 
 def hash_string(value: str) -> int:

@@ -73,6 +73,31 @@ def test_hash_strings_categorize_bit_identical(strings):
     assert (a == b).all()
 
 
+def test_hash_strings_categorize_embedded_nul():
+    """Regression (hypothesis-found): pandas' own ``categorize=True``
+    factorizes object strings through a C-string hashtable that stops
+    at an embedded NUL, collapsing ``''`` and ``'\\x00'`` (and any
+    ``u`` / ``u + '\\x00' + junk`` pair) into ONE category -> same
+    hash for distinct strings. The Arrow-factorize path must not."""
+    for strings in (
+        ["", "\x00"],
+        ["\x00", ""],
+        ["a\x00b", "a", "a\x00", "a\x00b", "a\x00c"],
+        ["tok", "tok\x00", "tok\x00\x00"],
+    ):
+        a = hash_strings(strings)
+        b = hash_strings(strings, categorize=True)
+        assert (a == b).all(), strings
+    # distinct strings must get distinct hashes here (SipHash collision
+    # odds are negligible at this size)
+    h = hash_strings(["", "\x00", "\x00\x00"], categorize=True)
+    assert len(set(h.tolist())) == 3
+    # non-string / None inputs still match the direct path via fallback
+    for mixed in (["a", None, "b"], [1, "a", 2.5]):
+        assert (hash_strings(mixed)
+                == hash_strings(mixed, categorize=True)).all()
+
+
 @given(
     st.lists(
         st.text(alphabet=string.ascii_lowercase + " ", max_size=400),
