@@ -359,10 +359,11 @@ class _Crawl:
             # bucket-aligned routing -> each actor owns ~num_buckets/pool
             # buckets; size the LRU cache to hold them all
             owned = -(-cfg.num_buckets // max(1, cfg.fetch_concurrency)) + 1
+            self._cache_cap = max(cfg.cache_buckets, owned)
             self.fetch_kwargs = {
                 "pages_dir": cfg.pages_dir,
                 "num_buckets": cfg.num_buckets,
-                "cache_buckets": max(cfg.cache_buckets, owned),
+                "cache_buckets": self._cache_cap,
             }
         self.fetch_kwargs["enrich"] = cfg.enrich_text
         self._seen_kwargs = {
@@ -483,14 +484,43 @@ class _Crawl:
         loads = np.zeros(pool_size, dtype=np.int64)
         assign = np.empty(len(bids), dtype=np.int64)
         slack = max(int(size), n // (pool_size * 8))
+        # A move evicts the bucket from its owner's warm LRU: the new
+        # owner pays a ~0.1s cold Parquet read (measured; read_s /
+        # read_misses in metrics.jsonl), while the balance gain is at
+        # most counts[k] rows x ~1 ms. Only rebalance buckets carrying
+        # at least a full chunk of THIS round's rows — tail rounds
+        # (tiny per-bucket counts) freeze ownership entirely, which
+        # cut their cold re-reads from ~26-28/round to ~0.
+        move_min = int(size)
+        self._owner_moves = 0
+        # CAPACITY CAP: an actor reading more distinct buckets in one
+        # round than its LRU holds thrashes — the in-bucket-order scan
+        # evicts exactly what the next segment needs, so EVERY access
+        # cold-misses, every round, forever (measured: one actor at 19
+        # buckets vs a 17-entry cache re-read ~26 buckets/round). Total
+        # capacity pool*cache_cap > num_buckets by construction
+        # (cache_cap >= ceil(num_buckets/pool)+1), so an eligible actor
+        # always exists; a forced move costs ONE cold read and is warm
+        # thereafter.
+        cap = getattr(self, "_cache_cap", len(bids) + 1)
+        nown = np.zeros(pool_size, dtype=np.int64)
         for k in order2:
             b = int(bids[k])
-            a = int(np.argmin(loads))
+            elig = np.flatnonzero(nown < cap)
+            if not len(elig):
+                elig = np.arange(pool_size)
+            a = int(elig[np.argmin(loads[elig])])
             prev = self._bucket_owner.get(b)
-            if prev is not None and loads[prev] <= loads[a] + slack:
+            if prev is not None and nown[prev] < cap and (
+                loads[prev] <= loads[a] + slack
+                or int(counts[k]) < move_min
+            ):
                 a = prev
+            if prev is not None and a != prev:
+                self._owner_moves += 1
             assign[k] = a
             loads[a] += int(counts[k])
+            nown[a] += 1
             self._bucket_owner[b] = a
         # COALESCE each actor's bucket segments into full chunks.
         # Bucket-boundary chunks paid a fixed task cost (dispatch,
@@ -623,6 +653,8 @@ class _Crawl:
         n_err = n_parse_ok = n_links = 0
         t_fetch = t_write = 0.0
         self._n_chunks, self._busy_max = 0, 0.0
+        self._read_s, self._read_misses = 0.0, 0
+        self._busy_s = self._write_s = 0.0
         next_dir = _round_dir(self.frontier_dir, r + 1)
         # clear any parts left by an interrupted attempt at this round
         # (a prior distributed attempt writes UUID-named parts that the
@@ -724,6 +756,9 @@ class _Crawl:
             n_links = sum(c["links"] for c in counts)
             self._busy_s = sum(c.get("busy_s", 0.0) for c in counts)
             self._write_s = sum(c.get("write_s", 0.0) for c in counts)
+            self._read_s = sum(c.get("read_s", 0.0) for c in counts)
+            self._read_misses = sum(
+                c.get("read_misses", 0) for c in counts)
             if cfg.adaptive_politeness:
                 self._merge_latency(c.get("latency") for c in counts)
         n_next = n_links + def_tbl.num_rows
@@ -747,6 +782,9 @@ class _Crawl:
             "t_frontier": round(t_frontier, 3),
             "busy_s": round(getattr(self, "_busy_s", 0.0), 3),
             "io_s": round(getattr(self, "_write_s", 0.0), 3),
+            "read_s": round(getattr(self, "_read_s", 0.0), 3),
+            "read_misses": getattr(self, "_read_misses", 0),
+            "owner_moves": getattr(self, "_owner_moves", 0),
             "n_chunks": getattr(self, "_n_chunks", 0),
             "busy_max_chunk": round(getattr(self, "_busy_max", 0.0), 3),
             "frontier": n_frontier,

@@ -145,6 +145,10 @@ class FetchExtract:
         _pin_worker_threads()
         self.enrich = enrich
         self._lat_stats: dict[str, list] = {}
+        # bucket-read forensics: cumulative cold-read time and count,
+        # drained per chunk into the round metrics (read_s / read_misses)
+        self.read_s = 0.0
+        self.read_misses = 0
         self.num_buckets = num_buckets
         self.cache_buckets = cache_buckets
         self.pages_dir = pages_dir
@@ -237,8 +241,13 @@ class FetchExtract:
         if cached is not None:
             _BUCKET_CACHE.move_to_end(key)
             return cached
+        import time as _time
+
+        t0 = _time.perf_counter()
         dset = pads.dataset(self.pages_dir, partitioning="hive")
         t = dset.to_table(columns=["url", "html"], filter=pads.field("bucket") == b)
+        self.read_misses += 1
+        self.read_s += _time.perf_counter() - t0
         entry = (t["url"].combine_chunks(), t["html"].combine_chunks())
         _BUCKET_CACHE[key] = entry
         while len(_BUCKET_CACHE) > self.cache_buckets:
@@ -437,7 +446,11 @@ class FetchExtractActor:
             "links": links.num_rows,
             "busy_s": 0.0,
             "write_s": 0.0,
+            "read_s": round(self.inner.read_s, 4),
+            "read_misses": self.inner.read_misses,
         }
+        self.inner.read_s = 0.0
+        self.inner.read_misses = 0
         counts["busy_s"] = time.perf_counter() - t0
         if self.inner.mode == "http":
             lat = self.inner.drain_latency()
