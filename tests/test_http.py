@@ -62,7 +62,11 @@ def test_transport_gzip_negotiation(pages):
     urls = sorted(pages)[:8]
     raw_total = sum(len(pages[u]) for u in urls)
     with CorpusHttpServer(pages, gzip=True) as srv:
-        tr = HttpTransport(srv.base_url)  # accept_gzip default on
+        # generous timeout + retries=0: a retry after a under-load
+        # timeout would double-count server body_bytes/n_gzip and break
+        # the exact byte-ledger asserts below (seen flaky at 5s/1retry
+        # during a full parallel suite run)
+        tr = HttpTransport(srv.base_url, timeout_s=60, retries=0)
         bodies, errs = tr.fetch_many(urls)
         assert errs == [None] * len(urls)
         assert bodies == [pages[u] for u in urls]  # transparent decode
@@ -70,7 +74,8 @@ def test_transport_gzip_negotiation(pages):
         assert srv.body_bytes < raw_total  # bandwidth actually saved
         gz_bytes = srv.body_bytes
 
-        plain = HttpTransport(srv.base_url, accept_gzip=False)
+        plain = HttpTransport(srv.base_url, accept_gzip=False,
+                              timeout_s=60, retries=0)
         bodies2, errs2 = plain.fetch_many(urls)
         assert errs2 == [None] * len(urls)
         assert bodies2 == [pages[u] for u in urls]
