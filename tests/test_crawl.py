@@ -307,3 +307,67 @@ def test_crawl_trap_filter_invariant_on_clean_corpus(
     sim_order = [(r, url, seq) for (r, _rk, url, _p, seq, _f)
                  in sim.crawl_order]
     assert eng == sim_order
+
+
+def test_bucket_assignment_cache_discipline():
+    """_make_chunks invariants that keep per-actor LRU bucket caches
+    warm (the cold-re-read forensics fix): (1) no actor is handed more
+    distinct buckets in one round than its cache capacity — an
+    over-capacity round thrashes 100% every later round; (2) buckets
+    whose round carries less than one full chunk of rows never change
+    owner — a move costs the new owner a cold bucket read the tiny
+    balance gain can't repay; (3) the assignment is deterministic."""
+    import pyarrow as pa
+    from types import SimpleNamespace
+
+    from siren_ray.pipelines.frontier import CrawlConfig, _Crawl
+
+    cfg = CrawlConfig(
+        corpus_dir="/nonexistent", out_dir="/nonexistent",
+        fetch_mode="bucketed", fetch_batch_size=64, num_buckets=32,
+        cache_buckets=3,
+    )
+    pool = 4
+    owned = -(-cfg.num_buckets // pool) + 1  # engine's sizing rule
+    cap = max(cfg.cache_buckets, owned)
+
+    def fake():
+        return SimpleNamespace(
+            cfg=cfg, _bucket_owner={}, _cache_cap=cap)
+
+    def actor_buckets(chunks):
+        per = {}
+        for tbl, a in chunks:
+            bs = (hash_strings(tbl["url"].to_pylist())
+                  % cfg.num_buckets).astype(int)
+            per.setdefault(a, set()).update(bs.tolist())
+        return per
+
+    # bulk round: skewed row counts (one hot bucket) over many urls
+    urls = [f"http://h{i % cfg.num_buckets}.ex/p{i}" for i in range(4000)]
+    sel = pa.table({"url": urls})
+    st = fake()
+    chunks = _Crawl._make_chunks(st, sel, pool)
+    # exactly-once coverage
+    got = sorted(u for tbl, _ in chunks for u in tbl["url"].to_pylist())
+    assert got == sorted(urls)
+    per = actor_buckets(chunks)
+    assert all(len(bs) <= cap for bs in per.values()), per
+    owners_bulk = dict(st._bucket_owner)
+
+    # tail round: a handful of rows per bucket -> ownership frozen
+    tail = pa.table({"url": urls[:: 97]})  # ~41 rows spread over buckets
+    chunks2 = _Crawl._make_chunks(st, tail, pool)
+    assert st._owner_moves == 0
+    for b, a in st._bucket_owner.items():
+        if b in owners_bulk:
+            assert a == owners_bulk[b], (b, a, owners_bulk[b])
+    per2 = actor_buckets(chunks2)
+    assert all(len(bs) <= cap for bs in per2.values())
+
+    # determinism: a fresh state reproduces the bulk assignment exactly
+    st3 = fake()
+    chunks3 = _Crawl._make_chunks(st3, sel, pool)
+    assert st3._bucket_owner == owners_bulk
+    assert [(a, t["url"].to_pylist()) for t, a in chunks3] == [
+        (a, t["url"].to_pylist()) for t, a in chunks]
