@@ -1617,6 +1617,85 @@ def q_meta_tags(sf_dir: str):
          "description", "canonical"])
 
 
+def q_robots_meta(sf_dir: str):
+    """Robots-meta directive extraction
+    (stages/maincontent.py:robots_meta_batch): page-level REP controls
+    (noindex/nofollow/noarchive/nosnippet, `none` expansion, `all`
+    no-op, multi-tag most-restrictive union) from synthesized pages
+    varying tag case, quote style, attribute order and whitespace by
+    doc_id%6 — the DuckDB oracle states the expected booleans directly,
+    so the parse is exact by construction."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import robots_meta_batch
+
+    CASES = [
+        "",                                                   # no tag
+        '<META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW">',   # case
+        "<meta content='none' name='robots'>",                # order/quote
+        '<meta name="robots" content="all">',                 # no-op
+        '<meta name="robots" content="noarchive">'
+        '<meta name="robots" content=" NOFOLLOW ">',          # union+ws
+        "<meta name=robots content=nosnippet>",               # unquoted
+    ]
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        urls = [f"https://ex.org/p/{d}" for d in ids]
+        htmls = [(f"<html><head>{CASES[d % 6]}</head>"
+                  f"<body><p>x</p></body></html>").encode()
+                 for d in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    pages = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+    return pages.map_batches(
+        lambda t: robots_meta_batch(t).append_column("doc_id",
+                                                     t["doc_id"]),
+        batch_format="pyarrow")
+
+
+def q_follow_edges(sf_dir: str):
+    """Frontier link hygiene
+    (stages/maincontent.py:follow_edges_batch): anchor edges minus
+    rel=nofollow/ugc/sponsored links and minus ALL links from pages
+    whose robots meta says nofollow. Each synthesized page carries one
+    plain link, one rel="nofollow" link and one rel="UGC sponsored"
+    link; every third page adds a page-level meta nofollow — the
+    DuckDB oracle states the surviving (src, dst, anchor) edges
+    directly (only the plain link, only on non-meta-nofollow pages)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import follow_edges_batch
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        urls, htmls = [], []
+        for d in ids:
+            meta = ('<meta name="robots" content="nofollow">'
+                    if d % 3 == 0 else "")
+            urls.append(f"https://ex.org/p/{d}")
+            htmls.append(
+                f"<html><head>{meta}</head><body>"
+                f'<a href="/keep{d}.html">K {d}</a>'
+                f'<a href="/nf{d}" rel="nofollow">N</a>'
+                f'<a href="/ugc{d}" rel="UGC sponsored">U</a>'
+                f"</body></html>".encode())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    pages = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+    return pages.map_batches(
+        lambda t: follow_edges_batch(t, drop_noise=False),
+        batch_format="pyarrow")
+
+
 def q_url_templates(sf_dir: str):
     """URL template mining (functions/urlnorm.py:url_template_batch):
     query-strip + long-hex + digit-run generalization exposes the URL
@@ -3822,6 +3901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": q_redirect_resolve,
         "c4_clean": q_c4_clean,
         "meta_tags": q_meta_tags,
+        "robots_meta": q_robots_meta,
+        "follow_edges": q_follow_edges,
         "url_templates": q_url_templates,
         "markdown_golden": q_markdown_golden,
         "anchor_golden": q_anchor_golden,
@@ -4467,6 +4548,23 @@ def oracle_sql() -> dict[str, str]:
             "'- second' END AS markdown FROM documents) "
             "SELECT doc_id, url, markdown, "
             "CAST(length(markdown) AS BIGINT) AS n_chars FROM m"
+        ),
+        "robots_meta": (
+            "SELECT doc_id, "
+            "'https://ex.org/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "doc_id % 6 IN (1, 2) AS noindex, "
+            "doc_id % 6 IN (1, 2, 4) AS nofollow, "
+            "doc_id % 6 = 4 AS noarchive, "
+            "doc_id % 6 = 5 AS nosnippet "
+            "FROM documents"
+        ),
+        "follow_edges": (
+            "SELECT 'https://ex.org/p/' || CAST(doc_id AS VARCHAR) "
+            "AS src, "
+            "'https://ex.org/keep' || CAST(doc_id AS VARCHAR) || "
+            "'.html' AS dst, "
+            "'K ' || CAST(doc_id AS VARCHAR) AS anchor "
+            "FROM documents WHERE doc_id % 3 <> 0"
         ),
         "meta_tags": (
             "SELECT doc_id, "

@@ -416,6 +416,8 @@ def run_query_bench(sf_dir: str) -> dict:
         "compact_shards",
         "c4_clean",
         "meta_tags",
+        "robots_meta",
+        "follow_edges",
         "url_templates",
         "html_markdown",
         "corpus_pipeline",

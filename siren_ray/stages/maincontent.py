@@ -171,7 +171,10 @@ def anchor_links(url: str, html: bytes | str | None,
     fragment-only, empty and non-fetchable (javascript:/mailto:/tel:/
     data:) hrefs are skipped; ``drop_noise`` removes nav/footer/aside
     subtrees first so boilerplate chrome links don't dominate the edge
-    list (set False for a complete graph)."""
+    list (set False for a complete graph). Each edge carries
+    ``nofollow``: True when the anchor's ``rel`` attribute holds a
+    nofollow-family token (nofollow/ugc/sponsored, space-separated,
+    case-insensitive) — the REP link-level control."""
     from urllib.parse import urljoin
 
     if not html:
@@ -197,30 +200,133 @@ def anchor_links(url: str, html: bytes | str | None,
             dst = dst[:frag]
         if not dst:
             continue
-        out.append({"src": url, "dst": dst,
-                    "anchor": _norm(a.text)})
+        rel = (a.get("rel") or "").lower().split()
+        out.append({"src": url, "dst": dst, "anchor": _norm(a.text),
+                    "nofollow": bool(_NOFOLLOW_RELS.intersection(rel))})
     return out
 
 
 def anchor_links_batch(batch: pa.Table, *, html_col: str = "html",
-                       url_col: str = "url",
-                       drop_noise: bool = True) -> pa.Table:
+                       url_col: str = "url", drop_noise: bool = True,
+                       emit_rel: bool = False) -> pa.Table:
     """Batched flat-map: one (src, dst, anchor) row per extracted link.
     Stateless map-only stage; the edge list is the shuffle-ready input
-    for dst-grouped anchor aggregation or the graph operators."""
+    for dst-grouped anchor aggregation or the graph operators.
+    ``emit_rel=True`` appends the per-edge ``nofollow`` bool (REP rel
+    tokens) consumed by ``follow_edges_batch``."""
     urls = batch[url_col].to_pylist()
     htmls = batch[html_col].to_pylist()
-    src, dst, anc = [], [], []
+    src, dst, anc, nf = [], [], [], []
     for u, h in zip(urls, htmls):
         for e in anchor_links(u, h, drop_noise=drop_noise):
             src.append(e["src"])
             dst.append(e["dst"])
             anc.append(e["anchor"])
-    return pa.table({
+            nf.append(e["nofollow"])
+    out = {
         "src": pa.array(src, pa.string()),
         "dst": pa.array(dst, pa.string()),
         "anchor": pa.array(anc, pa.string()),
-    })
+    }
+    if emit_rel:
+        out["nofollow"] = pa.array(nf, pa.bool_())
+    return pa.table(out)
+
+
+# --- robots meta directives (REP page-level crawl controls) ----------------
+
+# Restriction tokens the REP robots <meta> spec defines (the subset with
+# crawl/corpus consequences). "none" expands to noindex+nofollow; "all"
+# asserts no restrictions (a no-op token); unknown tokens are ignored.
+ROBOTS_RESTRICTIONS = ("noindex", "nofollow", "noarchive", "nosnippet")
+
+
+def robots_directives(html: bytes | str | None,
+                      *, agent: str | None = None) -> dict:
+    """Parse page-level REP robots directives from ``<meta>`` tags —
+    the in-page complement of robots.txt (``stages/robotstxt.py``): a
+    fetched page can still tell the crawler "don't index me" /
+    "don't follow my links".
+
+    Applicable tags are those whose ``name`` is ``robots`` or, when
+    ``agent`` is given, that agent's own name (both case-insensitive).
+    ``content`` is a comma-separated token list (tokens trimmed,
+    case-insensitive). Restrictions UNION across all applicable tags —
+    the documented most-restrictive-wins combination rule — so
+    conflicting tags resolve to the safer behavior. Returns a dict of
+    the four booleans in ``ROBOTS_RESTRICTIONS`` order.
+
+    Regex tag scan + attribute parse (shared with ``meta_tags_batch``),
+    no DOM build; the reference's scrapers never see these because
+    their search APIs return article JSON, but a generic frontier must
+    honor them (REP: RFC 9309 governs robots.txt; the meta tag is the
+    companion page-level control)."""
+    flags = dict.fromkeys(ROBOTS_RESTRICTIONS, False)
+    if not html:
+        return flags
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    names = {"robots"}
+    if agent:
+        names.add(agent.lower())
+    for tag in _META_TAG_RE.findall(html):
+        a = _tag_attrs(tag)
+        if a.get("name", "").strip().lower() not in names:
+            continue
+        content = a.get("content")
+        if content is None:
+            continue
+        for tok in content.split(","):
+            tok = tok.strip().lower()
+            if tok == "none":
+                flags["noindex"] = flags["nofollow"] = True
+            elif tok in flags:
+                flags[tok] = True
+    return flags
+
+
+def robots_meta_batch(t: pa.Table, *, html_col: str = "html",
+                      url_col: str = "url",
+                      agent: str | None = None) -> pa.Table:
+    """Batched robots-meta extraction: (url, noindex, nofollow,
+    noarchive, nosnippet). Map-only, stateless. ``noindex`` pages are
+    kept OUT of a training-corpus sink; ``nofollow`` pages contribute
+    no frontier child links (see ``follow_edges_batch``)."""
+    htmls = t[html_col].to_pylist()
+    rows = [robots_directives(h, agent=agent) for h in htmls]
+    out = {url_col: t[url_col]}
+    for k in ROBOTS_RESTRICTIONS:
+        out[k] = pa.array([r[k] for r in rows], pa.bool_())
+    return pa.table(out)
+
+
+# rel tokens that mark a link as not-to-be-followed/credited (REP rel
+# attribute values: nofollow, plus the ugc/sponsored refinements that
+# crawl pipelines treat the same way for frontier purposes)
+_NOFOLLOW_RELS = frozenset(("nofollow", "ugc", "sponsored"))
+
+
+def follow_edges_batch(batch: pa.Table, *, html_col: str = "html",
+                       url_col: str = "url", drop_noise: bool = True,
+                       agent: str | None = None) -> pa.Table:
+    """Link-hygiene composite: the (src, dst, anchor) edges a polite
+    frontier may actually follow — ``anchor_links_batch`` edges minus
+    (a) links carrying a nofollow-family ``rel`` token and (b) ALL
+    links from pages whose robots meta says ``nofollow``. Map-only;
+    the output is drop-in frontier/graph input."""
+    edges = anchor_links_batch(batch, html_col=html_col,
+                               url_col=url_col, drop_noise=drop_noise,
+                               emit_rel=True)
+    meta = robots_meta_batch(batch, html_col=html_col, url_col=url_col,
+                             agent=agent)
+    page_nf = {u: nf for u, nf in
+               zip(meta[url_col].to_pylist(),
+                   meta["nofollow"].to_pylist()) if nf}
+    keep = [not rel_nf and src not in page_nf
+            for src, rel_nf in zip(edges["src"].to_pylist(),
+                                   edges["nofollow"].to_pylist())]
+    return edges.filter(pa.array(keep, pa.bool_())).drop_columns(
+        ["nofollow"])
 
 
 # --- charset-sniffing decode ----------------------------------------------

@@ -298,3 +298,62 @@ def test_meta_tags_batch_edges():
     assert out["og_title"] == [None, None, None, "X", None]
     assert out["canonical"] == [None, None, None, "/a", None]
     assert out["description"] == [None, None, None, None, "d1"]
+
+
+def test_robots_directives_semantics():
+    """REP robots-meta parse: case/quote/order insensitivity, `none`
+    expansion, `all` no-op, unknown-token skip, multi-tag
+    most-restrictive union, agent-specific names, empty input."""
+    from siren_ray.stages.maincontent import robots_directives as rd
+
+    assert rd(b'<META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW">') == {
+        "noindex": True, "nofollow": True, "noarchive": False,
+        "nosnippet": False}
+    # attribute order + single quotes; `none` = noindex+nofollow
+    r = rd("<meta content='none' name='robots'>")
+    assert r["noindex"] and r["nofollow"]
+    # `all` and unknown tokens assert nothing
+    assert not any(rd('<meta name="robots" '
+                      'content="all, max-snippet:50">').values())
+    # union across multiple tags (most restrictive wins)
+    r = rd('<meta name="robots" content="noarchive">'
+           '<meta name="robots" content=" NOFOLLOW ">')
+    assert r == {"noindex": False, "nofollow": True, "noarchive": True,
+                 "nosnippet": False}
+    # agent-specific tags honored only when that agent is asked for
+    tag = '<meta name="mybot" content="noindex">'
+    assert not rd(tag)["noindex"]
+    assert rd(tag, agent="MyBot")["noindex"]
+    # a different agent's tag never applies
+    assert not rd('<meta name="otherbot" content="noindex">',
+                  agent="mybot")["noindex"]
+    # content-less / empty inputs
+    assert not any(rd('<meta name="robots">').values())
+    assert not any(rd(b"").values())
+    assert not any(rd(None).values())
+
+
+def test_follow_edges_and_rel_nofollow():
+    """Link hygiene: rel=nofollow/ugc/sponsored edges dropped, a
+    page-level meta nofollow drops ALL the page's edges, emit_rel
+    surfaces the per-edge flag without changing the default schema."""
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import (anchor_links_batch,
+                                              follow_edges_batch)
+
+    page = (b'<html><body><a href="/keep">K</a>'
+            b'<a href="/nf" rel="nofollow">N</a>'
+            b'<a href="/ugc" rel="UGC sponsored">U</a></body></html>')
+    nf_page = (b'<meta name="robots" content="nofollow">'
+               b'<a href="/x">X</a>')
+    t = pa.table({"url": pa.array(["https://ex.org/a",
+                                   "https://ex.org/b"]),
+                  "html": pa.array([page, nf_page], pa.binary())})
+    # default anchor schema unchanged (no nofollow column)
+    assert anchor_links_batch(t).column_names == ["src", "dst", "anchor"]
+    rel = anchor_links_batch(t, emit_rel=True)
+    assert rel["nofollow"].to_pylist() == [False, True, True, False]
+    kept = follow_edges_batch(t)
+    assert kept.column_names == ["src", "dst", "anchor"]
+    assert kept["dst"].to_pylist() == ["https://ex.org/keep"]
