@@ -1696,6 +1696,46 @@ def q_follow_edges(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_xrobots_header(sf_dir: str):
+    """X-Robots-Tag header parsing
+    (stages/maincontent.py:parse_x_robots_tag/x_robots_batch): the
+    HTTP-level REP control — agent scoping, valued-directive colons,
+    `none` expansion, multi-header union with per-header scope reset —
+    over header values synthesized by doc_id%6; the DuckDB oracle
+    states the expected booleans directly. The live-socket delivery
+    path (HttpTransport.fetch_many_with_meta) is covered in
+    t:test_http."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import x_robots_batch
+
+    CASES = [
+        None,                                       # no header
+        "noindex, nofollow",                        # plain list
+        "googlebot: noindex",                       # scoped, not us
+        "max-snippet:50, noarchive",                # valued colon
+        "otherbot: noindex\nnosnippet",             # multi-header
+        "none",                                     # expansion
+    ]
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array([f"https://ex.org/p/{d}" for d in ids],
+                            pa.string()),
+            "x_robots_tag": pa.array([CASES[d % 6] for d in ids],
+                                     pa.string()),
+        })
+
+    pages = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+    return pages.map_batches(
+        lambda t: x_robots_batch(t).append_column("doc_id", t["doc_id"]),
+        batch_format="pyarrow")
+
+
 def q_url_templates(sf_dir: str):
     """URL template mining (functions/urlnorm.py:url_template_batch):
     query-strip + long-hex + digit-run generalization exposes the URL
@@ -3903,6 +3943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_tags": q_meta_tags,
         "robots_meta": q_robots_meta,
         "follow_edges": q_follow_edges,
+        "xrobots_header": q_xrobots_header,
         "url_templates": q_url_templates,
         "markdown_golden": q_markdown_golden,
         "anchor_golden": q_anchor_golden,
@@ -4556,6 +4597,15 @@ def oracle_sql() -> dict[str, str]:
             "doc_id % 6 IN (1, 2, 4) AS nofollow, "
             "doc_id % 6 = 4 AS noarchive, "
             "doc_id % 6 = 5 AS nosnippet "
+            "FROM documents"
+        ),
+        "xrobots_header": (
+            "SELECT doc_id, "
+            "'https://ex.org/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "doc_id % 6 IN (1, 5) AS noindex, "
+            "doc_id % 6 IN (1, 5) AS nofollow, "
+            "doc_id % 6 = 3 AS noarchive, "
+            "doc_id % 6 = 4 AS nosnippet "
             "FROM documents"
         ),
         "follow_edges": (

@@ -418,6 +418,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "meta_tags",
         "robots_meta",
         "follow_edges",
+        "xrobots_header",
         "url_templates",
         "html_markdown",
         "corpus_pipeline",

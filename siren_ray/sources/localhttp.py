@@ -55,7 +55,8 @@ class CorpusHttpServer:
                  etags: bool = False,
                  redirects: dict[str, str] | None = None,
                  error_urls: dict[str, int] | None = None,
-                 gzip: bool = False):
+                 gzip: bool = False,
+                 xrobots: dict[str, str | list[str]] | None = None):
         self.pages = pages
         self.require_headers = dict(require_headers or {})
         self.slow_urls = dict(slow_urls or {})
@@ -74,6 +75,9 @@ class CorpusHttpServer:
         # url -> HTTP status to fail with (e.g. 500/503 for RFC 9309
         # unreachable-robots tests)
         self.error_urls = dict(error_urls or {})
+        # url -> X-Robots-Tag header value(s); a list sends the header
+        # REPEATED (the multi-header case a client must union)
+        self.xrobots = dict(xrobots or {})
         self.n_301 = 0
         self.n_200 = 0
         self.n_304 = 0
@@ -169,6 +173,10 @@ class CorpusHttpServer:
 
                     wire = _gz.compress(body, mtime=0)
                 self.send_response(200)
+                xr = outer.xrobots.get(url)
+                if xr is not None:
+                    for val in ([xr] if isinstance(xr, str) else xr):
+                        self.send_header("X-Robots-Tag", val)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
                 if use_gzip:
                     self.send_header("Content-Encoding", "gzip")

@@ -300,6 +300,71 @@ def robots_meta_batch(t: pa.Table, *, html_col: str = "html",
     return pa.table(out)
 
 
+# directive names that legitimately carry a ":<value>" suffix — their
+# colon must NOT be read as an agent-scope prefix
+_VALUED_DIRECTIVES = frozenset((
+    "max-snippet", "max-image-preview", "max-video-preview",
+    "unavailable_after"))
+
+
+def parse_x_robots_tag(value: str | None,
+                       *, agent: str | None = None) -> dict:
+    """Parse ``X-Robots-Tag`` response-header value(s) into the same
+    restriction flags as :func:`robots_directives` — the HTTP-level REP
+    control that covers non-HTML payloads (PDFs, images) a ``<meta>``
+    tag can't reach.
+
+    Grammar (as publicly documented): a comma-separated directive list,
+    optionally opened by an ``agent:`` scope that applies to every
+    following directive in THAT header (``googlebot: noindex, nofollow``
+    scopes both). A colon inside a known valued directive
+    (``max-snippet:50``, ``unavailable_after: <date>``) is a value
+    separator, not a scope. Repeated headers arrive newline-joined
+    (``HttpTransport.fetch_many_with_meta``) and each line resets the
+    scope. Unscoped directives always apply; scoped ones only when
+    ``agent`` matches (case-insensitive). Restrictions UNION across
+    headers — most restrictive wins, same as the meta tag."""
+    flags = dict.fromkeys(ROBOTS_RESTRICTIONS, False)
+    if not value:
+        return flags
+    want = agent.lower() if agent else None
+    for line in value.split("\n"):
+        scope = None  # generic until an agent prefix appears
+        for raw in line.split(","):
+            tok = raw.strip()
+            if ":" in tok:
+                pre, rest = tok.split(":", 1)
+                pre_l = pre.strip().lower()
+                if (pre_l not in _VALUED_DIRECTIVES
+                        and pre_l not in ROBOTS_RESTRICTIONS
+                        and pre_l not in ("none", "all")):
+                    scope = pre_l
+                    tok = rest
+            t = tok.strip().lower()
+            if scope is not None and scope != want:
+                continue
+            if t == "none":
+                flags["noindex"] = flags["nofollow"] = True
+            elif t in flags:
+                flags[t] = True
+    return flags
+
+
+def x_robots_batch(t: pa.Table, *, header_col: str = "x_robots_tag",
+                   url_col: str = "url",
+                   agent: str | None = None) -> pa.Table:
+    """Batched X-Robots-Tag parse: (url, noindex, nofollow, noarchive,
+    nosnippet) from a header-value column (nulls = no header = no
+    restrictions). Union with ``robots_meta_batch`` flags for the full
+    page-level REP verdict."""
+    vals = t[header_col].to_pylist()
+    rows = [parse_x_robots_tag(v, agent=agent) for v in vals]
+    out = {url_col: t[url_col]}
+    for k in ROBOTS_RESTRICTIONS:
+        out[k] = pa.array([r[k] for r in rows], pa.bool_())
+    return pa.table(out)
+
+
 # rel tokens that mark a link as not-to-be-followed/credited (REP rel
 # attribute values: nofollow, plus the ugc/sponsored refinements that
 # crawl pipelines treat the same way for frontier purposes)

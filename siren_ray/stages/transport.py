@@ -101,14 +101,18 @@ class HttpTransport:
 
     def _fetch_one_raw(
         self, url: str, etag: str | None = None
-    ) -> tuple[bytes | None, str | None, str | None, str | None]:
-        """One GET -> (body, err, etag, final_url). With ``etag`` the
-        request is a conditional GET (``If-None-Match``); a 304 comes
-        back as (None, "not_modified", etag, url) — NOT an error
-        family, the caller carries prior content forward. A 200
-        returns the response's own ``ETag`` (None if the server sends
-        none) and the URL the opener LANDED on after following any
-        301/302 chain — the canonical alias for URL dedup."""
+    ) -> tuple[bytes | None, str | None, str | None, str | None,
+               str | None]:
+        """One GET -> (body, err, etag, final_url, x_robots_tag). With
+        ``etag`` the request is a conditional GET (``If-None-Match``);
+        a 304 comes back as (None, "not_modified", etag, url, None) —
+        NOT an error family, the caller carries prior content forward.
+        A 200 returns the response's own ``ETag`` (None if the server
+        sends none), the URL the opener LANDED on after following any
+        301/302 chain — the canonical alias for URL dedup — and the
+        ``X-Robots-Tag`` header value(s) (repeated headers joined with
+        a newline so the parser can reset agent scope per header;
+        None when absent)."""
         headers = self.headers
         if etag:
             headers = dict(self.headers)
@@ -127,16 +131,18 @@ class HttpTransport:
                         try:
                             body = _gz.decompress(body)
                         except OSError:
-                            return None, "bad_gzip", None, None
+                            return None, "bad_gzip", None, None, None
+                    xr_all = resp.headers.get_all("X-Robots-Tag")
                     return (body, None, resp.headers.get("ETag"),
-                            self._page_url_of(resp.geturl()))
+                            self._page_url_of(resp.geturl()),
+                            "\n".join(xr_all) if xr_all else None)
             except urllib.error.HTTPError as e:
                 if e.code == 304:
                     # revalidated: content unchanged, keep the validator
                     return None, "not_modified", (
-                        e.headers.get("ETag") or etag), url
+                        e.headers.get("ETag") or etag), url, None
                 # a definitive server answer: do not retry
-                return None, f"http_{e.code}", None, None
+                return None, f"http_{e.code}", None, None, None
             except (urllib.error.URLError, socket.timeout, TimeoutError) as e:
                 reason = getattr(e, "reason", e)
                 last_err = ("timeout"
@@ -146,7 +152,7 @@ class HttpTransport:
                             else f"conn_{type(reason).__name__}")
             except OSError as e:
                 last_err = f"os_{type(e).__name__}"
-        return None, last_err, None, None
+        return None, last_err, None, None, None
 
     def fetch_many(
         self, urls: list[str]
@@ -183,6 +189,20 @@ class HttpTransport:
         return ([r[0] for r in results],
                 [r[1] for r in results],
                 [r[2] for r in results])
+
+    def fetch_many_with_meta(
+        self, urls: list[str]
+    ) -> tuple[list[bytes | None], list[str | None], list[str | None]]:
+        """Order-preserving concurrent GETs that also surface each
+        response's ``X-Robots-Tag`` header (None when absent) — the
+        HTTP-level REP control that applies to non-HTML payloads a
+        ``<meta>`` tag can't reach. Feed the values to
+        ``stages.maincontent.parse_x_robots_tag`` and union with the
+        page's robots-meta flags. Never raises."""
+        results = list(self._pool.map(self._fetch_one, urls))
+        return ([r[0] for r in results],
+                [r[1] for r in results],
+                [r[4] for r in results])
 
     def fetch_many_resolved(
         self, urls: list[str]

@@ -357,3 +357,39 @@ def test_follow_edges_and_rel_nofollow():
     kept = follow_edges_batch(t)
     assert kept.column_names == ["src", "dst", "anchor"]
     assert kept["dst"].to_pylist() == ["https://ex.org/keep"]
+
+
+def test_parse_x_robots_tag_semantics():
+    """X-Robots-Tag grammar: agent scope applies to the rest of ITS
+    header, valued directives' colons are not scopes, `none`
+    expansion, unknown tokens skipped, scope resets per header line."""
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import (parse_x_robots_tag as px,
+                                              x_robots_batch)
+
+    assert px("noindex, nofollow")["noindex"]
+    # agent scope covers every later directive in the header
+    f = px("googlebot: noindex, nofollow")
+    assert not f["noindex"] and not f["nofollow"]
+    f = px("googlebot: noindex, nofollow", agent="GoogleBot")
+    assert f["noindex"] and f["nofollow"]
+    # valued directives keep their colon; unavailable_after has a date
+    assert not any(px("max-snippet:50, unavailable_after: "
+                      "25 Jun 2030 15:00:00 PST").values())
+    # `none` expands; `all` asserts nothing
+    f = px("none")
+    assert f["noindex"] and f["nofollow"]
+    assert not any(px("all").values())
+    # multi-header: scope resets per line, restrictions union
+    f = px("otherbot: noindex\nnoarchive")
+    assert f == {"noindex": False, "nofollow": False,
+                 "noarchive": True, "nosnippet": False}
+    assert px(None) == dict.fromkeys(
+        ("noindex", "nofollow", "noarchive", "nosnippet"), False)
+    # batch form over a header column with nulls
+    t = pa.table({"url": pa.array(["a", "b"]),
+                  "x_robots_tag": pa.array(["nosnippet", None])})
+    out = x_robots_batch(t).to_pydict()
+    assert out["nosnippet"] == [True, False]
+    assert out["noindex"] == [False, False]

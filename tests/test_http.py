@@ -481,3 +481,31 @@ def test_per_host_cap_does_not_serialize_across_hosts(pages):
     # serialized-per-host lower bound is 4*0.1 per host; fully serial
     # across BOTH hosts would be >=0.8 — concurrent hosts stay under
     assert 0.4 <= wall < 0.75
+
+
+def test_x_robots_tag_over_live_sockets(pages):
+    """X-Robots-Tag surfaces through the transport: a single header, a
+    REPEATED header (values newline-joined so scope resets per header),
+    and no header (None) — parsed flags union correctly."""
+    from siren_ray.stages.maincontent import parse_x_robots_tag
+
+    urls = sorted(pages)[:3]
+    xr = {urls[0]: "noindex, nofollow",
+          urls[1]: ["otherbot: noindex", "noarchive"]}
+    with CorpusHttpServer(pages, xrobots=xr) as srv:
+        tr = HttpTransport(srv.base_url, retries=0)
+        bodies, errs, tags = tr.fetch_many_with_meta(urls)
+        assert all(e is None for e in errs)
+        assert [b == pages[u] for b, u in zip(bodies, urls)] == [True] * 3
+        assert tags[0] == "noindex, nofollow"
+        assert tags[1] == "otherbot: noindex\nnoarchive"
+        assert tags[2] is None
+    f0 = parse_x_robots_tag(tags[0])
+    assert f0["noindex"] and f0["nofollow"] and not f0["noarchive"]
+    # the second header's unscoped noarchive applies; otherbot's
+    # noindex does NOT leak across the header boundary
+    f1 = parse_x_robots_tag(tags[1])
+    assert f1 == {"noindex": False, "nofollow": False,
+                  "noarchive": True, "nosnippet": False}
+    assert parse_x_robots_tag(tags[1], agent="otherbot")["noindex"]
+    assert not any(parse_x_robots_tag(tags[2]).values())
