@@ -115,3 +115,30 @@ def test_clean_hook_applies_before_projection(ray_session, tmp_path):
                                              "DUMMY SAMPLE B"}
     finally:
         CLEAN_HOOKS.pop("dummy.DummyScraper", None)
+
+
+def test_cli_crawl_job(ray_session, corpus_sf0001, tmp_path, capsys):
+    """`python -m siren_ray crawl` — the ray-job-submit unit: runs the
+    frontier engine against a corpus, writes resumable outputs, prints
+    ONE JSON summary line with per-stage wall metrics, and a --resume
+    re-submission continues instead of restarting."""
+    import json
+
+    from siren_ray.__main__ import main
+
+    out = str(tmp_path / "crawl")
+    rc = main(["crawl", "--corpus", corpus_sf0001, "--out", out,
+               "--max-rounds", "2"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(line)
+    assert rep["rounds"] == 2 and rep["fetched"] > 0
+    assert set(rep["stage_wall_s"]) == {"t_sched", "t_fetch", "t_write",
+                                        "t_frontier"}
+    assert os.path.isdir(os.path.join(out, "extracted"))
+    # resume: continues from checkpoint (more rounds, monotone fetched)
+    rc = main(["crawl", "--corpus", corpus_sf0001, "--out", out,
+               "--max-rounds", "4", "--resume"])
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["rounds"] == 4 and rep2["seen"] >= rep["seen"]
