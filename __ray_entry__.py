@@ -1696,6 +1696,53 @@ def q_follow_edges(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_maincontent_golden(sf_dir: str):
+    """Byte-exact main-content-extraction oracle
+    (stages/maincontent.py:extract_main_content): pages constructed so
+    the readability recipe's verdict is statable in SQL — a nav link
+    farm (noise-stripped), a 3-paragraph content div (the ancestor-
+    credit winner), a short footer div outside the winner, and on odd
+    doc_ids a link-only paragraph INSIDE the winner that the
+    link-density rule must drop. DuckDB states the expected title,
+    main_text (the three paragraphs newline-joined) and n_paragraphs
+    directly. Complements the rows-only corpus run (q:main_content)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.maincontent import main_content_batch
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        urls, htmls = [], []
+        for d in ids:
+            ps = "".join(
+                f"<p>Paragraph {i} of document {d} carries enough "
+                f"plain text for the extractor to score it.</p>"
+                for i in (1, 2, 3))
+            linky = (f'<p><a href="/z/{d}">a promotional link row longer'
+                     f" than the paragraph floor</a></p>"
+                     if d % 2 else "")
+            urls.append(f"https://ex.org/p/{d}")
+            htmls.append(
+                f"<html><head><title>T {d}</title></head><body>"
+                f'<nav><a href="/x">Home</a><a href="/y">About</a></nav>'
+                f'<div id="main">{ps}{linky}</div>'
+                f'<div class="foot"><p>tiny</p></div>'
+                f"</body></html>".encode())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    pages = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow")
+    out = pages.map_batches(
+        lambda t: main_content_batch(t).append_column("doc_id",
+                                                      t["doc_id"]),
+        batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "url", "title", "main_text", "n_paragraphs"])
+
+
 def q_xrobots_header(sf_dir: str):
     """X-Robots-Tag header parsing
     (stages/maincontent.py:parse_x_robots_tag/x_robots_batch): the
@@ -3944,6 +3991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_meta": q_robots_meta,
         "follow_edges": q_follow_edges,
         "xrobots_header": q_xrobots_header,
+        "maincontent_golden": q_maincontent_golden,
         "url_templates": q_url_templates,
         "markdown_golden": q_markdown_golden,
         "anchor_golden": q_anchor_golden,
@@ -4597,6 +4645,22 @@ def oracle_sql() -> dict[str, str]:
             "doc_id % 6 IN (1, 2, 4) AS nofollow, "
             "doc_id % 6 = 4 AS noarchive, "
             "doc_id % 6 = 5 AS nosnippet "
+            "FROM documents"
+        ),
+        "maincontent_golden": (
+            "SELECT doc_id, "
+            "'https://ex.org/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "'T ' || CAST(doc_id AS VARCHAR) AS title, "
+            "'Paragraph 1 of document ' || CAST(doc_id AS VARCHAR) || "
+            "' carries enough plain text for the extractor to score "
+            "it.' || chr(10) || "
+            "'Paragraph 2 of document ' || CAST(doc_id AS VARCHAR) || "
+            "' carries enough plain text for the extractor to score "
+            "it.' || chr(10) || "
+            "'Paragraph 3 of document ' || CAST(doc_id AS VARCHAR) || "
+            "' carries enough plain text for the extractor to score "
+            "it.' AS main_text, "
+            "CAST(3 AS INTEGER) AS n_paragraphs "
             "FROM documents"
         ),
         "xrobots_header": (

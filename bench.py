@@ -419,6 +419,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "robots_meta",
         "follow_edges",
         "xrobots_header",
+        "maincontent_golden",
         "url_templates",
         "html_markdown",
         "corpus_pipeline",
