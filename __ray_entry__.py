@@ -1696,6 +1696,54 @@ def q_follow_edges(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_recrawl_plan(sf_dir: str):
+    """Sitemap-freshness recrawl planning
+    (sources/sitemap.py:plan_recrawl): real urlset XML is synthesized
+    per doc (lastmod cycles through date-only / Z / +02:00 / absent /
+    malformed W3C forms), parsed back through the real sitemap parser,
+    lastmod-normalized to epoch, LEFT-joined against a synthetic crawl
+    store (every third URL never crawled), and the new/stale/fresh/
+    unknown verdict is emitted — the freshness loop a production
+    crawler runs between full recrawls. The DuckDB oracle replays the
+    construction arithmetic and the verdict CASE directly — exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.sources.sitemap import plan_recrawl, sitemap_batch
+
+    LASTMOD = [None, "2024-03-01", "2024-03-01T12:00:00Z",
+               "2024-03-01T12:00:00+02:00", "not-a-date"]
+
+    def _mk_sitemap(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        urls, xmls = [], []
+        for d in ids:
+            lm = LASTMOD[d % 5]
+            lm_tag = f"<lastmod>{lm}</lastmod>" if lm else ""
+            urls.append(f"https://ex.org/sitemap/{d}.xml")
+            xmls.append(
+                f'<urlset><url><loc>https://ex.org/p/{d}</loc>'
+                f"{lm_tag}</url></urlset>".encode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(xmls, pa.binary())})
+
+    def _mk_crawled(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        keep = ids % 3 != 0
+        ids = ids[keep]
+        return pa.table({
+            "url": pa.array([f"https://ex.org/p/{d}" for d in ids],
+                            pa.string()),
+            "ts": pa.array(1709280000 + (ids % 7) * 3600, pa.int64()),
+        })
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    entries = docs.map_batches(_mk_sitemap, batch_format="pyarrow") \
+                  .map_batches(sitemap_batch, batch_format="pyarrow")
+    crawled = docs.map_batches(_mk_crawled, batch_format="pyarrow")
+    return plan_recrawl(entries, crawled, ts_col="ts")
+
+
 def q_maincontent_golden(sf_dir: str):
     """Byte-exact main-content-extraction oracle
     (stages/maincontent.py:extract_main_content): pages constructed so
@@ -3992,6 +4040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "follow_edges": q_follow_edges,
         "xrobots_header": q_xrobots_header,
         "maincontent_golden": q_maincontent_golden,
+        "recrawl_plan": q_recrawl_plan,
         "url_templates": q_url_templates,
         "markdown_golden": q_markdown_golden,
         "anchor_golden": q_anchor_golden,
@@ -4646,6 +4695,23 @@ def oracle_sql() -> dict[str, str]:
             "doc_id % 6 = 4 AS noarchive, "
             "doc_id % 6 = 5 AS nosnippet "
             "FROM documents"
+        ),
+        "recrawl_plan": (
+            "WITH e AS (SELECT doc_id, "
+            "'https://ex.org/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CASE doc_id % 5 "
+            "WHEN 1 THEN CAST(1709251200 AS BIGINT) "
+            "WHEN 2 THEN CAST(1709294400 AS BIGINT) "
+            "WHEN 3 THEN CAST(1709287200 AS BIGINT) "
+            "ELSE NULL END AS lastmod_ts, "
+            "CASE WHEN doc_id % 3 <> 0 THEN "
+            "CAST(1709280000 + (doc_id % 7) * 3600 AS BIGINT) "
+            "ELSE NULL END AS crawl_ts FROM documents) "
+            "SELECT url, lastmod_ts, crawl_ts, "
+            "CASE WHEN crawl_ts IS NULL THEN 'new' "
+            "WHEN lastmod_ts IS NULL THEN 'unknown' "
+            "WHEN lastmod_ts > crawl_ts THEN 'stale' "
+            "ELSE 'fresh' END AS verdict FROM e"
         ),
         "maincontent_golden": (
             "SELECT doc_id, "

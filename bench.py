@@ -420,6 +420,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "follow_edges",
         "xrobots_header",
         "maincontent_golden",
+        "recrawl_plan",
         "url_templates",
         "html_markdown",
         "corpus_pipeline",

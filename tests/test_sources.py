@@ -231,3 +231,44 @@ def test_jsonl_shard_name_deterministic():
             == _shard_name(blob2, "tid", 0, ".jsonl.gz"))
     assert (_shard_name(blob1, "tid", 0, ".jsonl.gz")
             != _shard_name(blob1, "tid", 1, ".jsonl.gz"))
+
+
+def test_lastmod_to_epoch_w3c_profiles():
+    from siren_ray.sources.sitemap import lastmod_to_epoch as lme
+
+    assert lme("2024-02-01") == 1706745600            # midnight UTC
+    assert lme("2024-02-01T10:30:00Z") == 1706783400
+    assert lme("2024-02-01T10:30:00+05:30") == 1706763600
+    assert lme("2024-02-01T10:30:00") == 1706783400   # zoneless -> UTC
+    assert lme("not-a-date") is None
+    assert lme("") is None and lme(None) is None
+
+
+def test_plan_recrawl_verdicts(ray_session):
+    """new / stale / fresh / unknown across the join: lastmod after the
+    stored fetch is stale, at-or-before is fresh, never-crawled is new,
+    crawled-but-no-lastmod is unknown (never silently fresh)."""
+    import ray.data as rd
+
+    from siren_ray.sources.sitemap import plan_recrawl
+
+    entries = rd.from_items([
+        {"loc": "https://h/new", "lastmod": "2024-03-01"},
+        {"loc": "https://h/stale", "lastmod": "2024-03-02T00:00:01Z"},
+        {"loc": "https://h/fresh", "lastmod": "2024-03-02T00:00:00Z"},
+        {"loc": "https://h/unknown", "lastmod": None},
+        {"loc": "https://h/bad", "lastmod": "yesterday-ish"},
+    ])
+    ts = 1709337600  # 2024-03-02T00:00:00Z
+    crawled = rd.from_items([
+        {"url": f"https://h/{n}", "ts": ts}
+        for n in ("stale", "fresh", "unknown", "bad")])
+    out = plan_recrawl(entries, crawled, ts_col="ts").to_pandas()
+    got = dict(zip(out["url"], out["verdict"]))
+    assert got == {"https://h/new": "new",
+                   "https://h/stale": "stale",
+                   "https://h/fresh": "fresh",
+                   "https://h/unknown": "unknown",
+                   "https://h/bad": "unknown"}
+    # never-crawled rows carry a true Arrow null crawl_ts
+    assert out[out["url"] == "https://h/new"]["crawl_ts"].isna().all()
