@@ -85,6 +85,8 @@ class CrawlConfig:
     http_headers: dict | None = None
     http_timeout_s: float = 5.0
     http_max_per_host: int | None = None  # socket-level politeness cap
+    http_max_body_bytes: int | None = None  # response-size cap ->
+    # "too_large" recorded error rows (incl. bounded gzip inflate)
     robots_mode: str = "corpus"  # "corpus" (robots.parquet) | "http"
     # (live GET https://host/robots.txt per new host, RFC 9309 subset)
     fetch_concurrency: int = 4
@@ -354,6 +356,7 @@ class _Crawl:
                 "http_headers": cfg.http_headers,
                 "http_timeout_s": cfg.http_timeout_s,
                 "http_max_per_host": cfg.http_max_per_host,
+                "http_max_body_bytes": cfg.http_max_body_bytes,
             }
         else:
             # bucket-aligned routing -> each actor owns ~num_buckets/pool

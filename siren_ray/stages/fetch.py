@@ -141,6 +141,7 @@ class FetchExtract:
         http_concurrency: int = 16,
         http_retries: int = 1,
         http_max_per_host: int | None = None,
+        http_max_body_bytes: int | None = None,
     ):
         _pin_worker_threads()
         self.enrich = enrich
@@ -160,6 +161,7 @@ class FetchExtract:
                 http_base, headers=http_headers, timeout_s=http_timeout_s,
                 concurrency=http_concurrency, retries=http_retries,
                 max_per_host=http_max_per_host,
+                max_body_bytes=http_max_body_bytes,
             )
             self._urls = None
             self._html = None

@@ -30,7 +30,8 @@ class HttpTransport:
                  timeout_s: float = 5.0, retries: int = 1,
                  concurrency: int = 16, page_param: str = "url",
                  max_per_host: int | None = None,
-                 accept_gzip: bool = True):
+                 accept_gzip: bool = True,
+                 max_body_bytes: int | None = None):
         self.base_url = base_url.rstrip("/") if base_url else None
         self.headers = dict(headers or {})
         self.headers.setdefault("User-Agent", "siren-ray/0.3")
@@ -44,6 +45,14 @@ class HttpTransport:
             self.headers.setdefault("Accept-Encoding", "gzip")
         self.timeout_s = float(timeout_s)
         self.retries = max(0, int(retries))
+        # response-size cap (wire bytes, pre-decompression): a crawler
+        # streaming 10^10 URLs cannot let one runaway response pin a
+        # worker's heap — bodies past the cap become recorded
+        # "too_large" error rows (F4), the Content-Length header short-
+        # circuits before any body bytes when the server declares the
+        # size, and at most cap+1 bytes are ever read. None = uncapped.
+        self._max_body = (int(max_body_bytes)
+                          if max_body_bytes is not None else None)
         self.page_param = page_param
         self._opener = urllib.request.build_opener()
         self._pool = ThreadPoolExecutor(max_workers=max(1, concurrency))
@@ -123,14 +132,37 @@ class HttpTransport:
         for _ in range(self.retries + 1):
             try:
                 with self._opener.open(req, timeout=self.timeout_s) as resp:
-                    body = resp.read()
+                    if self._max_body is not None:
+                        cl = resp.headers.get("Content-Length")
+                        if cl and cl.isdigit() and int(cl) > self._max_body:
+                            return None, "too_large", None, None, None
+                        body = resp.read(self._max_body + 1)
+                        if len(body) > self._max_body:
+                            return None, "too_large", None, None, None
+                    else:
+                        body = resp.read()
                     enc = (resp.headers.get("Content-Encoding") or "").lower()
                     if enc in ("gzip", "x-gzip"):
                         import gzip as _gz
+                        import zlib as _zl
 
                         try:
-                            body = _gz.decompress(body)
-                        except OSError:
+                            if self._max_body is not None:
+                                # bounded inflate: a gzip bomb must not
+                                # materialize past the cap
+                                z = _zl.decompressobj(wbits=31)
+                                body = z.decompress(body,
+                                                    self._max_body + 1)
+                                if not (len(body) > self._max_body
+                                        or z.unconsumed_tail):
+                                    body += z.flush()
+                                if (len(body) > self._max_body
+                                        or z.unconsumed_tail):
+                                    return (None, "too_large", None,
+                                            None, None)
+                            else:
+                                body = _gz.decompress(body)
+                        except (OSError, _zl.error):
                             return None, "bad_gzip", None, None, None
                     xr_all = resp.headers.get_all("X-Robots-Tag")
                     return (body, None, resp.headers.get("ETag"),

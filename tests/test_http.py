@@ -509,3 +509,30 @@ def test_x_robots_tag_over_live_sockets(pages):
                   "noarchive": True, "nosnippet": False}
     assert parse_x_robots_tag(tags[1], agent="otherbot")["noindex"]
     assert not any(parse_x_robots_tag(tags[2]).values())
+
+
+def test_max_body_bytes_cap(pages):
+    """Response-size cap: an over-cap body (declared via
+    Content-Length) becomes a recorded `too_large` error row, an
+    under-cap body passes byte-identical, and a gzip response whose
+    INFLATED size exceeds the cap is rejected by the bounded inflate
+    (decompression-bomb guard) even though its wire size is tiny."""
+    big_url = "https://big.example.org/huge"
+    bomb_url = "https://big.example.org/bomb"
+    small = sorted(pages)[0]
+    served = dict(pages)
+    served[big_url] = b"x" * 300_000
+    served[bomb_url] = b"y" * 300_000  # ~300x compressible
+    with CorpusHttpServer(served) as srv:
+        tr = HttpTransport(srv.base_url, retries=0,
+                           max_body_bytes=100_000, accept_gzip=False)
+        bodies, errs = tr.fetch_many([big_url, small])
+        assert bodies[0] is None and errs[0] == "too_large"
+        assert bodies[1] == pages[small] and errs[1] is None
+    with CorpusHttpServer(served, gzip=True) as srv:
+        tr = HttpTransport(srv.base_url, retries=0,
+                           max_body_bytes=100_000)
+        bodies, errs = tr.fetch_many([bomb_url, small])
+        assert bodies[0] is None and errs[0] == "too_large"
+        assert bodies[1] == pages[small] and errs[1] is None
+        assert srv.n_gzip >= 1  # the bomb really came compressed
