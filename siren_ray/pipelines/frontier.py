@@ -341,6 +341,11 @@ class _Crawl:
         # magnitude smaller than the frontier; shard with the robots
         # state if host cardinality ever outgrows the driver)
         self.host_lat_ewma: dict[str, float] = {}
+        # server-directed backoff (RFC 9110 Retry-After on 429/503):
+        # host -> wall-clock deadline before which its quota is 0.
+        # Driver-held like the EWMA (same per-host scale assumption);
+        # live-HTTP only — corpus modes never produce the signal.
+        self.host_backoff_until: dict[str, float] = {}
         self.frontier_dir = os.path.join(cfg.out_dir, "frontier")
         self.extracted_dir = os.path.join(cfg.out_dir, "extracted")
         self.seen_ckpt_dir = os.path.join(cfg.out_dir, "seen_ckpt")
@@ -631,11 +636,32 @@ class _Crawl:
             self.host_lat_ewma[h] = (obs if prev is None
                                      else alpha * obs + (1 - alpha) * prev)
 
+    def _merge_retry_after(self, per_actor) -> None:
+        """Fold each actor's drained {host: retry_after_s} into the
+        backoff deadlines. A host's deadline only extends (the longest
+        requested wait wins); delays cap at 1 h so a hostile header
+        can't park a host forever (the Heritrix-style sanity cap)."""
+        now = time.time()
+        for stats in per_actor:
+            if not stats:
+                continue
+            for h, ra in stats.items():
+                until = now + min(float(ra), 3600.0)
+                if until > self.host_backoff_until.get(h, 0.0):
+                    self.host_backoff_until[h] = until
+
     def _effective_quota(self, host: str) -> int:
         """Per-round fetch quota for a host: the robots crawl-delay
         quota, tightened by observed latency when adaptive politeness
-        is on (effective delay = max(robots, k x EWMA ms))."""
+        is on (effective delay = max(robots, k x EWMA ms)). A host
+        inside a server-directed Retry-After window (429/503) gets
+        quota 0 — its candidates defer to a later round, never drop."""
         cfg = self.cfg
+        until = self.host_backoff_until.get(host)
+        if until is not None:
+            if time.time() < until:
+                return 0
+            del self.host_backoff_until[host]
         base = host_quota(self.robots, host, cfg.round_ms)
         if not cfg.adaptive_politeness:
             return base
@@ -764,6 +790,10 @@ class _Crawl:
                 c.get("read_misses", 0) for c in counts)
             if cfg.adaptive_politeness:
                 self._merge_latency(c.get("latency") for c in counts)
+            # Retry-After obedience is unconditional politeness, not
+            # an adaptive-mode option (only http mode emits the signal)
+            self._merge_retry_after(
+                c.get("retry_after") for c in counts)
         n_next = n_links + def_tbl.num_rows
         t0 = time.perf_counter()
         self._next_frontier = None

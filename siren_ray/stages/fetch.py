@@ -146,6 +146,7 @@ class FetchExtract:
         _pin_worker_threads()
         self.enrich = enrich
         self._lat_stats: dict[str, list] = {}
+        self._retry_after: dict[str, float] = {}
         # bucket-read forensics: cumulative cold-read time and count,
         # drained per chunk into the round metrics (read_s / read_misses)
         self.read_s = 0.0
@@ -215,7 +216,7 @@ class FetchExtract:
         from ..util import host_of
 
         urls = url_arr.to_pylist()
-        bodies, _errs, ms = self._transport.fetch_many_timed(urls)
+        bodies, _errs, ms, ras = self._transport.fetch_many_timed(urls)
         stats = self._lat_stats
         for u, m in zip(urls, ms):
             h = host_of(u)
@@ -225,12 +226,26 @@ class FetchExtract:
             else:
                 cur[0] += 1
                 cur[1] += m
+        for u, ra in zip(urls, ras):
+            if ra is not None:
+                h = host_of(u)
+                # a host may answer several 429/503s in one chunk:
+                # honor the LONGEST requested backoff
+                self._retry_after[h] = max(self._retry_after.get(h, 0.0),
+                                           float(ra))
         return pa.array(bodies, pa.binary())
 
     def drain_latency(self) -> dict[str, tuple[int, float]]:
         """{host: (n, sum_ms)} observed since the last drain."""
         out = {h: (n, s) for h, (n, s) in self._lat_stats.items()}
         self._lat_stats.clear()
+        return out
+
+    def drain_retry_after(self) -> dict[str, float]:
+        """{host: max Retry-After seconds} observed since last drain —
+        the 429/503 server-directed backoff signal (RFC 9110)."""
+        out = dict(self._retry_after)
+        self._retry_after.clear()
         return out
 
     def _bucket_table(self, b: int) -> tuple[pa.Array, pa.Array]:
@@ -458,6 +473,9 @@ class FetchExtractActor:
             lat = self.inner.drain_latency()
             if lat:
                 counts["latency"] = lat
+            ra = self.inner.drain_retry_after()
+            if ra:
+                counts["retry_after"] = ra
         if out_path is not None:
             tw = time.perf_counter()
             pq.write_table(extracted, out_path)

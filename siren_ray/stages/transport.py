@@ -24,6 +24,26 @@ from concurrent.futures import ThreadPoolExecutor
 from urllib.parse import quote
 
 
+def _parse_retry_after(value: str | None) -> float | None:
+    """``Retry-After`` header -> seconds (RFC 9110 §10.2.3: either a
+    non-negative integer delay or an HTTP-date). Unparseable -> None.
+    Dates in the past clamp to 0 (retry immediately)."""
+    if not value:
+        return None
+    v = value.strip()
+    if v.isdigit():
+        return float(v)
+    from email.utils import parsedate_to_datetime
+
+    try:
+        dt = parsedate_to_datetime(v)
+    except (TypeError, ValueError):
+        return None
+    import time as _time
+
+    return max(0.0, dt.timestamp() - _time.time())
+
+
 class HttpTransport:
     def __init__(self, base_url: str | None = None, *,
                  headers: dict[str, str] | None = None,
@@ -111,17 +131,20 @@ class HttpTransport:
     def _fetch_one_raw(
         self, url: str, etag: str | None = None
     ) -> tuple[bytes | None, str | None, str | None, str | None,
-               str | None]:
-        """One GET -> (body, err, etag, final_url, x_robots_tag). With
-        ``etag`` the request is a conditional GET (``If-None-Match``);
-        a 304 comes back as (None, "not_modified", etag, url, None) —
-        NOT an error family, the caller carries prior content forward.
-        A 200 returns the response's own ``ETag`` (None if the server
-        sends none), the URL the opener LANDED on after following any
+               str | None, float | None]:
+        """One GET -> (body, err, etag, final_url, x_robots_tag,
+        retry_after_s). With ``etag`` the request is a conditional GET
+        (``If-None-Match``); a 304 comes back as
+        (None, "not_modified", etag, url, None, None) — NOT an error
+        family, the caller carries prior content forward. A 200
+        returns the response's own ``ETag`` (None if the server sends
+        none), the URL the opener LANDED on after following any
         301/302 chain — the canonical alias for URL dedup — and the
         ``X-Robots-Tag`` header value(s) (repeated headers joined with
-        a newline so the parser can reset agent scope per header;
-        None when absent)."""
+        a newline so the parser can reset agent scope per header; None
+        when absent). A 429/503 carrying ``Retry-After`` surfaces the
+        parsed delay seconds in the last slot — the server-directed
+        politeness signal the scheduler folds into host backoff."""
         headers = self.headers
         if etag:
             headers = dict(self.headers)
@@ -135,10 +158,10 @@ class HttpTransport:
                     if self._max_body is not None:
                         cl = resp.headers.get("Content-Length")
                         if cl and cl.isdigit() and int(cl) > self._max_body:
-                            return None, "too_large", None, None, None
+                            return None, "too_large", None, None, None, None
                         body = resp.read(self._max_body + 1)
                         if len(body) > self._max_body:
-                            return None, "too_large", None, None, None
+                            return None, "too_large", None, None, None, None
                     else:
                         body = resp.read()
                     enc = (resp.headers.get("Content-Encoding") or "").lower()
@@ -163,18 +186,24 @@ class HttpTransport:
                             else:
                                 body = _gz.decompress(body)
                         except (OSError, _zl.error):
-                            return None, "bad_gzip", None, None, None
+                            return None, "bad_gzip", None, None, None, None
                     xr_all = resp.headers.get_all("X-Robots-Tag")
                     return (body, None, resp.headers.get("ETag"),
                             self._page_url_of(resp.geturl()),
-                            "\n".join(xr_all) if xr_all else None)
+                            "\n".join(xr_all) if xr_all else None, None)
             except urllib.error.HTTPError as e:
                 if e.code == 304:
                     # revalidated: content unchanged, keep the validator
                     return None, "not_modified", (
-                        e.headers.get("ETag") or etag), url, None
+                        e.headers.get("ETag") or etag), url, None, None
+                if e.code in (429, 503):
+                    # server-directed politeness (RFC 9110 §10.2.3):
+                    # surface Retry-After so the scheduler can back the
+                    # host off
+                    ra = _parse_retry_after(e.headers.get("Retry-After"))
+                    return None, f"http_{e.code}", None, None, None, ra
                 # a definitive server answer: do not retry
-                return None, f"http_{e.code}", None, None, None
+                return None, f"http_{e.code}", None, None, None, None
             except (urllib.error.URLError, socket.timeout, TimeoutError) as e:
                 reason = getattr(e, "reason", e)
                 last_err = ("timeout"
@@ -184,7 +213,7 @@ class HttpTransport:
                             else f"conn_{type(reason).__name__}")
             except OSError as e:
                 last_err = f"os_{type(e).__name__}"
-        return None, last_err, None, None, None
+        return None, last_err, None, None, None, None
 
     def fetch_many(
         self, urls: list[str]
@@ -195,9 +224,12 @@ class HttpTransport:
 
     def fetch_many_timed(
         self, urls: list[str]
-    ) -> tuple[list[bytes | None], list[str | None], list[float]]:
+    ) -> tuple[list[bytes | None], list[str | None], list[float],
+               list[float | None]]:
         """`fetch_many` + per-URL wall latency in ms (feeds adaptive
-        per-host politeness: delay ~ k x observed response time)."""
+        per-host politeness: delay ~ k x observed response time) + the
+        per-URL ``Retry-After`` seconds when a 429/503 carried one
+        (feeds server-directed host backoff)."""
         import time
 
         def _timed(url):
@@ -208,7 +240,8 @@ class HttpTransport:
         results = list(self._pool.map(_timed, urls))
         return ([r[0][0] for r in results],
                 [r[0][1] for r in results],
-                [r[1] for r in results])
+                [r[1] for r in results],
+                [r[0][5] for r in results])
 
     def fetch_many_conditional(
         self, urls: list[str], etags: list[str | None]
