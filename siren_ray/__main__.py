@@ -63,9 +63,13 @@ def crawl_main(argv=None) -> int:
         if addr == "local":
             kw["num_cpus"] = args.num_cpus
         ray.init(address=addr, **kw)
-    from ray.data import DataContext
+    if owns_ray:
+        # only mutate the shared Ray Data config when this process owns
+        # the session (ADVICE r4: attaching to an embedding process must
+        # not flip its progress-bar setting as a side effect)
+        from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+        DataContext.get_current().enable_progress_bars = False
 
     from .corpus import ensure_corpus
     from .pipelines.frontier import CrawlConfig, run_crawl
@@ -154,9 +158,13 @@ def main(argv=None, backend=None) -> int:
     if owns_ray:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
+    if owns_ray:
+        # only mutate the shared Ray Data config when this process owns
+        # the session (ADVICE r4: attaching to an embedding process must
+        # not flip its progress-bar setting as a side effect)
+        from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+        DataContext.get_current().enable_progress_bars = False
 
     from .corpus import ensure_corpus
     from .functions.project import ProjectionSpec, write_projected_csv

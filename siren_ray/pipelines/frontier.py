@@ -650,6 +650,18 @@ class _Crawl:
                 if until > self.host_backoff_until.get(h, 0.0):
                     self.host_backoff_until[h] = until
 
+    def _active_backoff_hosts(self) -> frozenset:
+        """Hosts whose Retry-After backoff window is still open (expired
+        entries are pruned). The distributed scheduler ships this
+        host-cardinality set into the quota stage the same way it ships
+        the robots table."""
+        now = time.time()
+        expired = [h for h, u in self.host_backoff_until.items()
+                   if now >= u]
+        for h in expired:
+            del self.host_backoff_until[h]
+        return frozenset(self.host_backoff_until)
+
     def _effective_quota(self, host: str) -> int:
         """Per-round fetch quota for a host: the robots crawl-delay
         quota, tightened by observed latency when adaptive politeness
@@ -859,13 +871,15 @@ class _Crawl:
             robots_filter_batch, fn_kwargs={"robots": self.robots},
             batch_format="pyarrow",
         )
+        backoff = self._active_backoff_hosts()
         if cfg.salt_hosts == 0:
             # legacy unsalted per-host groupby (conformance reference;
             # skew-unsafe — a hot host's whole frontier share lands in
             # one group)
             cand = cand.groupby("host").map_groups(
                 host_quota_rank,
-                fn_kwargs={"robots": self.robots, "round_ms": cfg.round_ms},
+                fn_kwargs={"robots": self.robots, "round_ms": cfg.round_ms,
+                           "backoff_hosts": backoff},
                 batch_format="pandas",
             )
         else:
@@ -876,6 +890,7 @@ class _Crawl:
             # robots table makes it multi-pass (unlimited-host bypass)
             cand = host_quota_partitioned(
                 cand, self.robots, cfg.round_ms, num_salts=num_salts,
+                backoff_hosts=backoff,
             )
         cand = cand.materialize()
         n_cand = cand.count()
@@ -969,15 +984,39 @@ class _Crawl:
             batch_format="pyarrow",
         )
         if self.fetch_kwargs.get("http_base") is not None:
-            # live HTTP: per-actor transport state is real — actor pool
+            # live HTTP: per-actor transport state is real — actor pool.
+            # emit_retry_after rides the 429/503 backoff signal out as a
+            # per-row column (map_batches actors can't be drained like
+            # the driver path's raw actors); the fold below is
+            # host-cardinality driver traffic, like the robots table.
             fetched = marked.map_batches(
                 FetchExtract,
                 fn_constructor_kwargs=self.fetch_kwargs,
-                fn_kwargs={"round_no": r},
+                fn_kwargs={"round_no": r, "emit_retry_after": True},
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
                 concurrency=(1, cfg.fetch_concurrency),
             ).materialize()
+
+            def _ra_partial(t: pa.Table) -> pa.Table:
+                mask = pc.is_valid(t["retry_after_s"])
+                hit = t.filter(mask)
+                if not hit.num_rows:
+                    return pa.table({"host": pa.array([], pa.string()),
+                                     "ra": pa.array([], pa.float64())})
+                df = hit.select(["host", "retry_after_s"]).to_pandas()
+                g = df.groupby("host", sort=False)["retry_after_s"].max()
+                return pa.table({"host": pa.array(g.index, pa.string()),
+                                 "ra": pa.array(g.to_numpy(), pa.float64())})
+
+            ra_parts = fetched.map_batches(
+                _ra_partial, batch_format="pyarrow").to_pandas()
+            if len(ra_parts):
+                # a host can appear in several batch partials: max wins
+                self._merge_retry_after(
+                    [ra_parts.groupby("host")["ra"].max().to_dict()])
+            # keep the extracted schema identical across scheduler modes
+            fetched = fetched.drop_columns(["retry_after_s"])
         else:
             # corpus modes: TASK pool with per-worker-process cached
             # lookup state (stages/fetch.py:fetch_extract_task) — a

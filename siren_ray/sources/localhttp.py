@@ -56,7 +56,8 @@ class CorpusHttpServer:
                  redirects: dict[str, str] | None = None,
                  error_urls: dict[str, int] | None = None,
                  gzip: bool = False,
-                 xrobots: dict[str, str | list[str]] | None = None):
+                 xrobots: dict[str, str | list[str]] | None = None,
+                 retry_after_urls: dict[str, tuple[int, str]] | None = None):
         self.pages = pages
         self.require_headers = dict(require_headers or {})
         self.slow_urls = dict(slow_urls or {})
@@ -78,6 +79,12 @@ class CorpusHttpServer:
         # url -> X-Robots-Tag header value(s); a list sends the header
         # REPEATED (the multi-header case a client must union)
         self.xrobots = dict(xrobots or {})
+        # url -> (status, Retry-After header value): the request is
+        # throttled with that status (429/503) + header ONCE, then the
+        # url serves normally — the RFC 9110 §10.2.3 server-directed
+        # backoff scenario. ``n_throttled`` counts throttle responses.
+        self.retry_after_urls = dict(retry_after_urls or {})
+        self.n_throttled = 0
         self.n_301 = 0
         self.n_200 = 0
         self.n_304 = 0
@@ -140,6 +147,17 @@ class CorpusHttpServer:
                 code = outer.error_urls.get(url)
                 if code is not None:
                     self.send_error(code)
+                    return
+                with outer._counter_lock:
+                    throttle = outer.retry_after_urls.pop(url, None)
+                    if throttle is not None:
+                        outer.n_throttled += 1
+                if throttle is not None:
+                    t_code, t_val = throttle
+                    self.send_response(t_code)
+                    self.send_header("Retry-After", t_val)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
                     return
                 target = outer.redirects.get(url)
                 if target is not None:

@@ -226,6 +226,7 @@ class FetchExtract:
             else:
                 cur[0] += 1
                 cur[1] += m
+        self._pending_url_ras = {}
         for u, ra in zip(urls, ras):
             if ra is not None:
                 h = host_of(u)
@@ -233,6 +234,7 @@ class FetchExtract:
                 # honor the LONGEST requested backoff
                 self._retry_after[h] = max(self._retry_after.get(h, 0.0),
                                            float(ra))
+                self._pending_url_ras[u] = float(ra)
         return pa.array(bodies, pa.binary())
 
     def drain_latency(self) -> dict[str, tuple[int, float]]:
@@ -307,12 +309,29 @@ class FetchExtract:
         return self._lookup_bucketed(url_arr)
 
     # -- batch entry point ------------------------------------------------
-    def __call__(self, batch: pa.Table, round_no: int | None = None) -> pa.Table:
+    def __call__(self, batch: pa.Table, round_no: int | None = None,
+                 emit_retry_after: bool = False) -> pa.Table:
         out = self._fetch_extract(batch)
         if round_no is not None:
             out = out.append_column(
                 "round", pa.array([round_no] * out.num_rows, pa.int32())
             )
+        if emit_retry_after:
+            # distributed-scheduler channel for the 429/503 Retry-After
+            # signal: map_batches actors can't be drained by the driver,
+            # so the backoff seconds ride out as a per-row column (null
+            # except on the few URLs a server throttled) and the crawl
+            # loop folds the host-level max into host_backoff_until.
+            # Keyed by url: _fetch_extract reorders rows (hits then
+            # misses) and 429/503 rows are always misses.
+            pending = getattr(self, "_pending_url_ras", None) or {}
+            if pending:
+                vals = [pending.get(u) for u in out["url"].to_pylist()]
+                col = pa.array(vals, pa.float64())
+                self._pending_url_ras = {}
+            else:
+                col = pa.nulls(out.num_rows, pa.float64())
+            out = out.append_column("retry_after_s", col)
         return out
 
     def _fetch_extract(self, batch: pa.Table) -> pa.Table:

@@ -177,7 +177,8 @@ def salted_host_quota(ds, robots: dict, round_ms: int, num_salts: int = 8):
 
 
 def host_quota_partitioned(ds, robots: dict, round_ms: int, *,
-                           num_salts: int = 8, num_buckets: int = 32):
+                           num_salts: int = 8, num_buckets: int = 32,
+                           backoff_hosts: frozenset | set | None = None):
     """Skew-safe, fully vectorized per-host quota stage — the distributed
     scheduler's DEFAULT (``CrawlConfig.salt_hosts="auto"``).
 
@@ -205,6 +206,13 @@ def host_quota_partitioned(ds, robots: dict, round_ms: int, *,
 
     The input is consumed twice (unlimited/limited split) — pass a
     materialized dataset.
+
+    ``backoff_hosts`` (server-directed Retry-After backoff, RFC 9110
+    §10.2.3): hosts inside an active 429/503 backoff window get quota 0
+    this round — their rows come back ``in_quota=False`` (deferred,
+    never dropped), exactly matching the driver scheduler's
+    ``_effective_quota``. Host-cardinality state, shipped by value like
+    the robots table.
     """
     from ..util import hash_strings
 
@@ -213,6 +221,11 @@ def host_quota_partitioned(ds, robots: dict, round_ms: int, *,
         for h, e in robots.items()
         if e is not None and e[1] > 0
     }
+    if backoff_hosts:
+        # quota 0 routes a backed-off host through the salted path even
+        # when it has no robots entry; _rank_pass's `rank < 0` is
+        # vacuously false, so every row defers
+        limited.update({h: 0 for h in backoff_hosts})
     _HELPERS = ("_salt", "_pk1", "_pk2", "_q", "_ok", "salt_pass")
 
     def _base_cols(t: pa.Table) -> list[str]:
@@ -325,18 +338,22 @@ def host_quota_partitioned(ds, robots: dict, round_ms: int, *,
     )
 
 
-def host_quota_rank(df: pd.DataFrame, robots: dict, round_ms: int) -> pd.DataFrame:
+def host_quota_rank(df: pd.DataFrame, robots: dict, round_ms: int,
+                    backoff_hosts: frozenset | set | None = None
+                    ) -> pd.DataFrame:
     """map_groups fn (grouped by host): rank rows by (-priority, seq) and
     mark the first quota(h) as within-quota.
 
     Only robots-allowed rows consume quota slots (robots skip precedes the
     quota stage in the scheduling spec); disallowed rows get
-    ``in_quota=False``.
+    ``in_quota=False``. A host inside an active Retry-After backoff
+    window (``backoff_hosts``) gets quota 0 — all rows defer.
     """
     if df.empty:
         return df
     host = df["host"].iloc[0]
-    q = host_quota(robots, host, round_ms)
+    q = (0 if backoff_hosts and host in backoff_hosts
+         else host_quota(robots, host, round_ms))
     df = df.sort_values(["priority", "seq"], ascending=[False, True], kind="mergesort")
     ok = (
         df["robots_ok"].to_numpy(dtype=bool)

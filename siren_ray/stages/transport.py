@@ -40,7 +40,13 @@ def _parse_retry_after(value: str | None) -> float | None:
     except (TypeError, ValueError):
         return None
     import time as _time
+    from datetime import timezone
 
+    if dt.tzinfo is None:
+        # RFC 9110 HTTP-dates are always GMT; parsedate_to_datetime
+        # yields a naive datetime for unknown zone tokens, and a naive
+        # .timestamp() would skew by the host's UTC offset.
+        dt = dt.replace(tzinfo=timezone.utc)
     return max(0.0, dt.timestamp() - _time.time())
 
 
@@ -182,7 +188,7 @@ class HttpTransport:
                                 if (len(body) > self._max_body
                                         or z.unconsumed_tail):
                                     return (None, "too_large", None,
-                                            None, None)
+                                            None, None, None)
                             else:
                                 body = _gz.decompress(body)
                         except (OSError, _zl.error):

@@ -172,6 +172,7 @@ def test_adaptive_quota_math():
     c.cfg = cfg
     c.robots = {"slow.org": ([], 100)}  # robots delay 100ms -> quota 10
     c.host_lat_ewma = {}
+    c.host_backoff_until = {}
 
     # no observations: robots quota only; unknown host unlimited
     assert c._effective_quota("slow.org") == 10
