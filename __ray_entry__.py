@@ -1400,6 +1400,63 @@ def q_simhash_neardup_removed(sf_dir: str):
     return remove_simhash_neardups(ds, "doc_id", max_hamming=3)
 
 
+def q_hamming_pairs_synth(sf_dir: str):
+    """Oracle-checked exercise of the distributed Hamming-ball
+    pair-finder (`stages/dedup.py:hamming_pairs` — the Manku WWW'07
+    pigeonhole banding + in-bucket xor/popcount verify that
+    `simhash_neardup` rides): fingerprints are CONSTRUCTED
+    SQL-replayably (base = first 8 md5 hex bytes of doc_id//4, with
+    0-2 deterministic bit flips by doc_id%4 — groups of 4 docs within
+    Hamming <= 3), so DuckDB can state the exact pair set via
+    xor + bit_count over the same construction. This oracle-checks the
+    banding/bucketing/verify machinery end to end; the SimHash
+    fingerprint kernel itself stays covered by the brute-force
+    equality test (t:test_ops::test_simhash_neardup_pairs_exact)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from siren_ray.stages.dedup import hamming_pairs
+
+    def _fp(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        fps = np.empty(len(ids), dtype=np.uint64)
+        for j, d in enumerate(ids):
+            g = int(d) // 4
+            base = int(hashlib.md5(str(g).encode()).hexdigest()[:16], 16)
+            r = int(d) % 4
+            if r == 1:
+                mask = 1 << (g % 64)
+            elif r == 2:
+                mask = (1 << (g % 64)) ^ (1 << ((g * 7 + 13) % 64))
+            elif r == 3:
+                mask = 1 << ((g * 31 + 5) % 64)
+            else:
+                mask = 0
+            fps[j] = np.uint64(base ^ mask)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "simhash": pa.array(fps, pa.uint64())})
+
+    sigs = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _fp, batch_format="pyarrow")
+    return hamming_pairs(sigs, "doc_id", max_hamming=3)
+
+
+def q_chunk_dedup_fixed(sf_dir: str):
+    """Fixed-size (256 B) chunk-dedup stats with a full DuckDB oracle:
+    the fixed policy's chunk boundaries and identities ARE
+    SQL-expressible (substr windows; distinct-by-content == the
+    engine's distinct-by-64-bit-hash on this corpus), so the
+    pre-combined partial/merge plumbing of
+    `stages/cdc.py:chunk_dedup_stats` gets an exact end-to-end check.
+    The gear-hash CDC policy stays rows-only in q:chunk_dedup."""
+    from siren_ray.stages.cdc import chunk_dedup_stats
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return chunk_dedup_stats(docs, chunker="fixed", size=256)
+
+
 def q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -2092,19 +2149,23 @@ def q_repetition_stats(sf_dir: str):
 
 
 def q_gopher_rules(sf_dir: str):
-    """Gopher quality-rule line signals (textstats.py:
-    gopher_rules_batch — bullet-line and ellipsis-line fractions from
-    Rae et al. 2021 Table A1) as per-doc INTEGER counts, map-only. The
-    query emits the SQL-expressible line columns and oracle-checks them
-    hash-exactly; the kernel's word/top-n-gram signals are
-    reference-tested in t:test_classifier."""
+    """Gopher quality-rule line AND word signals (textstats.py:
+    gopher_rules_batch — bullet/ellipsis line fractions, word count,
+    alphabetic-word and stopword-hit counts from Rae et al. 2021 Table
+    A1) as per-doc INTEGER counts, map-only — all six columns
+    oracle-checked hash-exactly (the corpus text is ASCII with
+    space-only whitespace, so Python-split tokenization == DuckDB
+    string_split-and-drop-empties; verified length==strlen). The
+    kernel's top-n-gram char-coverage signals are word-hash based and
+    stay reference-tested in t:test_classifier."""
     import pyarrow as pa
 
     from siren_ray.functions.textstats import gopher_rules_batch
 
     return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         lambda t: gopher_rules_batch(t).select(
-            ["doc_id", "n_lines", "n_bullet_lines", "n_ellipsis_lines"]),
+            ["doc_id", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+             "n_words", "n_alpha_words", "n_stopword_hits"]),
         batch_format="pyarrow",
     )
 
@@ -3999,6 +4060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_to_corpus": q_warc_to_corpus,
         "chunk_documents": q_chunk_documents,
         "chunk_dedup": q_chunk_dedup,
+        "chunk_dedup_fixed": q_chunk_dedup_fixed,
         "compact_shards": q_compact_shards,
         "compression_ratio": q_compression_ratio,
         "incremental_ingest": q_incremental_ingest,
@@ -4021,6 +4083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_removed": q_simhash_neardup_removed,
+        "hamming_pairs_synth": q_hamming_pairs_synth,
         "embedding_neardup": q_embedding_neardup,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
@@ -4539,26 +4602,103 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": """
             WITH L AS (
                 SELECT doc_id,
-                       UNNEST(string_split(text, chr(10))) AS line
+                       UNNEST(string_split(coalesce(text, ''), chr(10)))
+                           AS line
+                FROM documents
+            ),
+            lin AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_lines,
+                       CAST(SUM(CASE WHEN ltrim(line, ' ' || chr(9))
+                                          LIKE '-%'
+                                     OR ltrim(line, ' ' || chr(9))
+                                          LIKE '*%'
+                                     OR ltrim(line, ' ' || chr(9))
+                                          LIKE '•%'
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_bullet_lines,
+                       CAST(SUM(CASE WHEN rtrim(line, ' ' || chr(9))
+                                          LIKE '%...'
+                                     OR rtrim(line, ' ' || chr(9))
+                                          LIKE '%…'
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_ellipsis_lines
+                FROM L GROUP BY doc_id
+            ),
+            -- tokenization == Python str.split on this corpus: text is
+            -- ASCII with space-only whitespace (length==strlen holds),
+            -- so split-on-space + drop-empties is exact
+            W AS (
+                SELECT doc_id,
+                       UNNEST(string_split(lower(coalesce(text, '')),
+                                           ' ')) AS w
+                FROM documents
+            ),
+            wrd AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) FILTER (w <> '') AS BIGINT)
+                           AS n_words,
+                       CAST(COUNT(*) FILTER (w <> ''
+                            AND regexp_matches(w, '[a-z]')) AS BIGINT)
+                           AS n_alpha_words,
+                       CAST(COUNT(*) FILTER (w IN (
+                            'the','a','an','and','or','of','to','in',
+                            'is','was','were','be','for','on','with',
+                            'as','by','at','it','this','that','from',
+                            'are','said','he','she','they','his','her',
+                            'its','not','have','has','had','but'))
+                            AS BIGINT) AS n_stopword_hits
+                FROM W GROUP BY doc_id
+            )
+            SELECT l.doc_id, l.n_lines, l.n_bullet_lines,
+                   l.n_ellipsis_lines,
+                   coalesce(w.n_words, 0) AS n_words,
+                   coalesce(w.n_alpha_words, 0) AS n_alpha_words,
+                   coalesce(w.n_stopword_hits, 0) AS n_stopword_hits
+            FROM lin l LEFT JOIN wrd w USING (doc_id)
+        """,
+        "hamming_pairs_synth": """
+            WITH f AS (
+                SELECT doc_id,
+                       xor(('0x' || substr(md5(CAST(doc_id // 4
+                                AS VARCHAR)), 1, 16))::UBIGINT,
+                            CASE doc_id % 4
+                              WHEN 1 THEN (1::UBIGINT <<
+                                   CAST((doc_id // 4) % 64 AS INTEGER))
+                              WHEN 2 THEN xor(
+                                   1::UBIGINT << CAST((doc_id // 4) % 64
+                                        AS INTEGER),
+                                   1::UBIGINT <<
+                                        CAST(((doc_id // 4) * 7 + 13)
+                                             % 64 AS INTEGER))
+                              WHEN 3 THEN (1::UBIGINT <<
+                                   CAST(((doc_id // 4) * 31 + 5) % 64
+                                        AS INTEGER))
+                              ELSE 0::UBIGINT
+                            END) AS fp
                 FROM documents
             )
-            SELECT doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_lines,
-                   CAST(SUM(CASE WHEN ltrim(line, ' ' || chr(9))
-                                      LIKE '-%'
-                                 OR ltrim(line, ' ' || chr(9))
-                                      LIKE '*%'
-                                 OR ltrim(line, ' ' || chr(9))
-                                      LIKE '•%'
-                            THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_bullet_lines,
-                   CAST(SUM(CASE WHEN rtrim(line, ' ' || chr(9))
-                                      LIKE '%...'
-                                 OR rtrim(line, ' ' || chr(9))
-                                      LIKE '%…'
-                            THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_ellipsis_lines
-            FROM L GROUP BY doc_id
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+            FROM f a JOIN f b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        """,
+        "chunk_dedup_fixed": """
+            WITH c AS (
+                SELECT substr(d.text, CAST(1 + 256 * r.i AS BIGINT), 256)
+                           AS chunk
+                FROM documents d, range(0, 65536) r(i)
+                WHERE length(d.text) > 0
+                  AND r.i < (length(d.text) + 255) // 256
+            )
+            SELECT 'fixed' AS policy,
+                   CAST(COUNT(*) AS BIGINT) AS total_chunks,
+                   CAST(COUNT(DISTINCT chunk) AS BIGINT) AS unique_chunks,
+                   CAST(SUM(length(chunk)) AS BIGINT) AS total_bytes,
+                   CAST((SELECT SUM(length(chunk))
+                         FROM (SELECT DISTINCT chunk FROM c) u)
+                        AS BIGINT) AS unique_bytes
+            FROM c
         """,
         "repetition_stats": """
             WITH L AS (

@@ -208,6 +208,61 @@ def run_crawl_distributed_bench(num_cpus: int, sf: float = 0.01,
     }
 
 
+def run_crawl_http_bench(num_cpus: int, sf: float = 0.01,
+                         trials: int = 2) -> dict:
+    """Live-HTTP crawl bench (VERDICT r4 #4): adaptive politeness,
+    Retry-After backoff, per-host connection caps and the whole
+    transport stack only fire in ``fetch_mode="http"`` — this line
+    tracks that path's throughput and politeness overhead per round.
+    The corpus rides behind ``CorpusHttpServer`` (a driver-hosted
+    threading stdlib server), so the number includes real socket
+    round-trips; compare round-over-round, not against the corpus-join
+    headline."""
+    import shutil
+
+    from siren_ray.corpus import ensure_corpus
+    from siren_ray.pipelines.frontier import CrawlConfig, run_crawl
+    from siren_ray.sources.localhttp import CorpusHttpServer, load_pages_map
+
+    corpus = ensure_corpus(sf)
+    pages = load_pages_map(os.path.join(corpus, "pages"))
+    out = f"/tmp/siren_ray_runs/bench_crawl_http_sf{sf:g}"
+    best = None
+    with CorpusHttpServer(pages) as srv:
+        for _ in range(max(1, trials)):
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.perf_counter()
+            res = run_crawl(CrawlConfig(
+                corpus_dir=corpus,
+                out_dir=out,
+                budget_per_round=1_000_000,
+                round_ms=10_000_000,
+                max_rounds=12,
+                max_depth=6,
+                fetch_mode="http",
+                http_base=srv.base_url,
+                adaptive_politeness=True,
+                scheduler="driver",
+                fetch_concurrency=min(8, num_cpus),
+                fetch_batch_size=512,
+                ckpt_every=0,
+            ))
+            wall = time.perf_counter() - t0
+            if best is None or wall < best[0]:
+                best = (wall, res)
+    wall, res = best
+    attempted = res.total_fetched + res.total_errors
+    busy = sum(m.get("busy_s", 0.0) for m in res.metrics)
+    return {
+        "wall_s": round(wall, 3),
+        "rounds": res.rounds,
+        "fetched": res.total_fetched,
+        "errors": res.total_errors,
+        "urls_per_sec": round(attempted / wall, 1),
+        "actor_busy_core_s": round(busy, 1),
+    }
+
+
 def run_dedup_frontier_bench(n: int = 1_000_000) -> dict:
     """Distributed within-round URL dedup on a >=1M-row synthetic
     frontier (the VERDICT r1 'done' bar for killing per-key map_groups):
@@ -344,6 +399,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "count_by_group",
         "simhash",
         "simhash_neardup",
+        "hamming_pairs_synth",
         "main_content",
         "url_traps",
         "registrable_domain",
@@ -413,6 +469,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "cdx_merge",
         "compression_ratio",
         "chunk_dedup",
+        "chunk_dedup_fixed",
         "compact_shards",
         "c4_clean",
         "meta_tags",
@@ -450,9 +507,15 @@ def main_single(args) -> dict:
     if not args.crawl_only:
         extras["crawl_distributed_sf001"] = run_crawl_distributed_bench(
             args.num_cpus)
+        extras["crawl_http_sf001"] = run_crawl_http_bench(args.num_cpus)
         extras["dedup_frontier_1m"] = run_dedup_frontier_bench()
         extras["ivf_pruning"] = run_ivf_bench(sf_dir)
         extras["seen_10m"] = run_seen_bench()
+        # scale-headroom row (VERDICT r4 #3): the sf0.1 crawl finishes
+        # in ~10 s — too small to expose skew/memory pressure. One
+        # trial at 3x the headline scale, same config.
+        extras["crawl_sf03"] = run_crawl_bench(0.3, args.num_cpus,
+                                               trials=1)
     result = {
         "metric": "crawl_fetch_extract_wall",
         "value": crawl["wall_s"],

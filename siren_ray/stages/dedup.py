@@ -853,13 +853,6 @@ def simhash_neardup_pairs(ds, id_col: str, *, text_col: str = "text",
     ~28 bytes/doc/block; text never moves. Wordless/empty docs are
     dropped before hashing (they all share fingerprint 0 — one
     poisoned distance-0 bucket would otherwise dominate)."""
-    if not 0 <= max_hamming <= 16:
-        raise ValueError("max_hamming must be in [0, 16]")
-    n_blocks = max_hamming + 1
-    # block bit boundaries: widths differ by at most 1 (e.g. 64/5 ->
-    # 13,13,13,13,12); completeness only needs contiguous disjoint cover
-    bounds = np.linspace(0, 64, n_blocks + 1).astype(np.int64)
-
     def _nonempty(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -881,6 +874,31 @@ def simhash_neardup_pairs(ds, id_col: str, *, text_col: str = "text",
                                                            "simhash"]),
         batch_format="pyarrow",
     )
+    return hamming_pairs(sigs, id_col, max_hamming=max_hamming,
+                         max_bucket=max_bucket)
+
+
+def hamming_pairs(sigs, id_col: str, *, sim_col: str = "simhash",
+                  max_hamming: int = 3, max_bucket: int = _MAX_BUCKET):
+    """EXACT Hamming-ball pairs over PRECOMPUTED 64-bit fingerprints —
+    the pigeonhole-banding + in-bucket xor/popcount core of
+    :func:`simhash_neardup_pairs`, factored out so fingerprints from
+    any source (SimHash, synthetic, externally computed) share the one
+    distributed pair-finder. Output: (id_a, id_b, hamming) with
+    id_a < id_b, exactly the pairs within ``max_hamming``."""
+    if not 0 <= max_hamming <= 16:
+        raise ValueError("max_hamming must be in [0, 16]")
+    n_blocks = max_hamming + 1
+    # block bit boundaries: widths differ by at most 1 (e.g. 64/5 ->
+    # 13,13,13,13,12); completeness only needs contiguous disjoint cover
+    bounds = np.linspace(0, 64, n_blocks + 1).astype(np.int64)
+    if sim_col != "simhash":
+        sigs = sigs.map_batches(
+            lambda t: t.rename_columns(
+                [("simhash" if c == sim_col else c)
+                 for c in t.column_names]),
+            batch_format="pyarrow",
+        )
 
     def _bands(t: pa.Table) -> pa.Table:
         sim = np.asarray(t["simhash"], dtype=np.uint64)
