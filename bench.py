@@ -184,7 +184,7 @@ def run_crawl_distributed_bench(num_cpus: int, sf: float = 0.01,
         res = run_crawl(CrawlConfig(
             corpus_dir=corpus,
             out_dir=out,
-            budget_per_round=1_000_000,
+            budget_per_round=None,  # open budget -> the FUSED round
             round_ms=10_000_000,
             max_rounds=6,
             max_depth=6,
@@ -299,20 +299,22 @@ def run_dedup_frontier_bench(n: int = 1_000_000) -> dict:
     }
 
 
-def run_seen_bench(n: int = 10_000_000) -> dict:
-    """10^7 fingerprints through FingerprintTable.test_and_set (the
-    VERDICT r2 'done' bar for replacing the Python-set seen shards):
-    vectorized open-addressing, reporting rows/s and bytes/entry."""
+def run_seen_bench(n: int = 10_000_000, mode: str = "exact") -> dict:
+    """10^7 fingerprints through test_and_set (the VERDICT r2 'done'
+    bar for replacing the Python-set seen shards): vectorized
+    open-addressing (exact) or the cuckoo-style 32-bit-tag filter
+    (compact, VERDICT r4 #8), reporting rows/s and bytes/entry."""
     import numpy as np
 
-    from siren_ray.state.seen import FingerprintTable
+    from siren_ray.state.seen import CompactFingerprintTable, FingerprintTable
 
     rng = np.random.default_rng(42)
     # ~2 occurrences per unique fingerprint, like a crawl frontier
     hashes = rng.integers(0, n // 2, size=n, dtype=np.uint64) * np.uint64(
         0x9E3779B97F4A7C15
     )
-    t = FingerprintTable()
+    t = (CompactFingerprintTable() if mode == "compact"
+         else FingerprintTable())
     t0 = time.perf_counter()
     batch = 65536
     for i in range(0, n, batch):
@@ -511,6 +513,7 @@ def main_single(args) -> dict:
         extras["dedup_frontier_1m"] = run_dedup_frontier_bench()
         extras["ivf_pruning"] = run_ivf_bench(sf_dir)
         extras["seen_10m"] = run_seen_bench()
+        extras["seen_10m_compact"] = run_seen_bench(mode="compact")
         # scale-headroom row (VERDICT r4 #3): the sf0.1 crawl finishes
         # in ~10 s — too small to expose skew/memory pressure. One
         # trial at 3x the headline scale, same config.

@@ -130,6 +130,12 @@ class CrawlConfig:
     adaptive_politeness: bool = False
     adaptive_k: float = 2.0
     adaptive_alpha: float = 0.5  # EWMA weight of the newest round
+    # seen-set storage: "exact" (64-bit fingerprints, 13-27 B/entry, no
+    # false positives) or "compact" (cuckoo-style 32-bit tags,
+    # ~6.7 B/entry, fp ~1e-9/query — a false positive silently drops
+    # one URL forever, so compact is the explicit 10^10-URL opt-in; see
+    # BASELINE.md "Seen-set memory")
+    seen_mode: str = "exact"
 
     @property
     def pages_dir(self) -> str:
@@ -334,7 +340,7 @@ class _Crawl:
         else:
             self.robots = load_robots(
                 os.path.join(cfg.corpus_dir, "robots.parquet"))
-        self.seen = SeenSet(cfg.num_seen_shards)
+        self.seen = SeenSet(cfg.num_seen_shards, mode=cfg.seen_mode)
         # adaptive politeness EWMA: one float per OBSERVED host,
         # driver-held like the robots table (politeness state shares
         # that scale assumption: rules/latency are per-host, orders of
@@ -892,6 +898,13 @@ class _Crawl:
                 cand, self.robots, cfg.round_ms, num_salts=num_salts,
                 backoff_hosts=backoff,
             )
+        if cfg.budget_per_round is None:
+            # open-budget (the scale path): no global sort+limit is
+            # coming, so nothing needs the candidate set materialized
+            # or pre-counted — stream the quota output straight into
+            # the fetch execution (VERDICT r4 #7: two fewer Dataset
+            # executions of fixed cost per round)
+            return self._run_round_fused(r, cand, frontier_n, t_round0)
         cand = cand.materialize()
         n_cand = cand.count()
         t_sched = time.perf_counter() - t_round0
@@ -1113,6 +1126,178 @@ class _Crawl:
             # seen/robots/quota through the candidate materialize,
             # t_fetch = the fetch-join execution, t_frontier = write+
             # counters + link explode + next-frontier write
+            "t_sched": round(t_sched, 3),
+            "t_fetch": round(t_fetch, 3),
+            "t_frontier": round(
+                time.perf_counter() - t_round0 - t_sched - t_fetch, 3),
+            "frontier": frontier_n,
+            "candidates": n_cand,
+            "robots_skipped": n_robots,
+            "selected": n_sel,
+            "deferred": n_cand - n_robots - n_sel,
+            "fetch_errors": n_err,
+            "parse_ok": n_parse_ok,
+            "next_frontier": n_next,
+        }
+
+    def _run_round_fused(self, r: int, cand, frontier_n: int,
+                         t_round0: float):
+        """Open-budget distributed round, FUSED: the lazy candidate
+        lineage (dedup -> seen -> robots -> quota) streams directly
+        into the fetch execution. A pre-fetch map tags each row's fate
+        ('f' fetch / 'd' deferred / 'b' robots-bad) and registers
+        robots-bad + selected rows in the seen set (idempotent, safe
+        under task retry); non-fetch rows pass through the fetch stage
+        null-aligned. ONE materialized output then serves the
+        extracted-parquet write, every round counter, the link explode
+        and the deferred union — 5 Dataset executions per round instead
+        of 7 (the two saved were the candidate materialize and the
+        counter pre-pass, pure fixed cost). Only valid with no global
+        budget: a budget needs n_eligible and a sort+limit BEFORE any
+        fetch happens."""
+        cfg = self.cfg
+        seen_kwargs = self._seen_kwargs
+        t_sched = time.perf_counter() - t_round0
+
+        def _split_mark(t: pa.Table) -> pa.Table:
+            ok = np.asarray(t["robots_ok"], dtype=bool)
+            inq = np.asarray(t["in_quota"], dtype=bool)
+            state = np.where(ok & inq, "f", np.where(ok, "d", "b"))
+            bad = t.filter(pa.array(~ok))
+            if bad.num_rows:
+                seen_add_batch(bad, **seen_kwargs)
+            sel = t.filter(pa.array(ok & inq))
+            if sel.num_rows:
+                seen_add_batch(sel, **seen_kwargs)
+            return t.drop_columns(["robots_ok", "in_quota"]).append_column(
+                "_state", pa.array(state.tolist(), pa.string()))
+
+        t_fetch0 = time.perf_counter()
+        tagged = cand.map_batches(_split_mark, batch_format="pyarrow")
+        if self.fetch_kwargs.get("http_base") is not None:
+            from ..stages.fetch import FetchExtractPassthrough
+
+            fetched = tagged.map_batches(
+                FetchExtractPassthrough,
+                fn_constructor_kwargs=self.fetch_kwargs,
+                fn_kwargs={"round_no": r, "emit_retry_after": True},
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                concurrency=(1, cfg.fetch_concurrency),
+            ).materialize()
+
+            def _ra_partial(t: pa.Table) -> pa.Table:
+                mask = pc.is_valid(t["retry_after_s"])
+                hit = t.filter(mask)
+                if not hit.num_rows:
+                    return pa.table({"host": pa.array([], pa.string()),
+                                     "ra": pa.array([], pa.float64())})
+                df = hit.select(["host", "retry_after_s"]).to_pandas()
+                g = df.groupby("host", sort=False)["retry_after_s"].max()
+                return pa.table({"host": pa.array(g.index, pa.string()),
+                                 "ra": pa.array(g.to_numpy(),
+                                                pa.float64())})
+
+            ra_parts = fetched.map_batches(
+                _ra_partial, batch_format="pyarrow").to_pandas()
+            if len(ra_parts):
+                self._merge_retry_after(
+                    [ra_parts.groupby("host")["ra"].max().to_dict()])
+            fetched = fetched.drop_columns(["retry_after_s"])
+        else:
+            from ..stages.fetch import fetch_or_pass_task
+
+            fetched = tagged.map_batches(
+                fetch_or_pass_task,
+                fn_kwargs={"round_no": r, **self.fetch_kwargs},
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+            ).materialize()
+        t_fetch = time.perf_counter() - t_fetch0
+
+        # fused write + ALL round counters + next-frontier parts: ONE
+        # pass over the materialized fetch output (same deterministic
+        # part naming / atomic-replace discipline as the budget path).
+        # Link explode happens per block (passthrough rows carry null
+        # links and contribute nothing); deferred rows rejoin the next
+        # frontier in the same part — no separate write execution.
+        ext_dir = _round_dir(self.extracted_dir, r)
+        shutil.rmtree(ext_dir, ignore_errors=True)
+        os.makedirs(ext_dir, exist_ok=True)
+        next_dir = _round_dir(self.frontier_dir, r + 1)
+        shutil.rmtree(next_dir, ignore_errors=True)
+        os.makedirs(next_dir, exist_ok=True)
+        explode_kwargs = {"decay": cfg.priority_decay,
+                          "max_depth": cfg.max_depth,
+                          "canonicalize": cfg.canonicalize,
+                          "trap_filter": cfg.trap_filter}
+
+        def _atomic_part(tbl: pa.Table, out_dir: str, name: str) -> None:
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".tmp-")
+            os.close(fd)
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, os.path.join(out_dir, f"part-{name}.parquet"))
+
+        def _write_and_count(t: pa.Table) -> pa.Table:
+            import hashlib
+
+            st = t["_state"]
+            f_mask = pc.equal(st, "f")
+            f_rows = t.filter(f_mask).drop_columns(["_state"])
+            n_b = int(pc.sum(pc.cast(pc.equal(st, "b"),
+                                     pa.int64())).as_py() or 0)
+            try:
+                tid = (ray.get_runtime_context().get_task_id()
+                       or "driver")
+            except Exception:
+                tid = "driver"
+            seq = _PART_SEQ.get(tid, 0)
+            _PART_SEQ[tid] = seq + 1
+            name = hashlib.md5(f"{tid}:{seq}".encode()).hexdigest()[:16]
+            n_err = n_pok = 0
+            if f_rows.num_rows:
+                found = np.asarray(f_rows["found"], dtype=bool)
+                pok = np.asarray(
+                    pa.compute.and_kleene(f_rows["found"],
+                                          f_rows["parse_ok"])
+                    .combine_chunks().fill_null(False))
+                n_err = int((~found).sum())
+                n_pok = int(pok.sum())
+                _atomic_part(f_rows, ext_dir, name)
+            links = _explode_links(t, **explode_kwargs)
+            defer = t.filter(pc.equal(st, "d")).select(FRONTIER_COLS)
+            nxt_part = pa.concat_tables(
+                [links.select(FRONTIER_COLS), defer],
+                promote_options="default")
+            if nxt_part.num_rows:
+                _atomic_part(nxt_part, next_dir, name)
+            return pa.table({
+                "n_cand": pa.array([t.num_rows], pa.int64()),
+                "n_sel": pa.array([f_rows.num_rows], pa.int64()),
+                "n_robots": pa.array([n_b], pa.int64()),
+                "n_err": pa.array([n_err], pa.int64()),
+                "n_parse_ok": pa.array([n_pok], pa.int64()),
+            })
+
+        n_cand = n_sel = n_robots = n_err = n_parse_ok = 0
+        agg = fetched.map_batches(
+            _write_and_count, batch_format="pyarrow"
+        ).sum(["n_cand", "n_sel", "n_robots", "n_err", "n_parse_ok"])
+        if agg:
+            n_cand = int(agg["sum(n_cand)"])
+            n_sel = int(agg["sum(n_sel)"])
+            n_robots = int(agg["sum(n_robots)"])
+            n_err = int(agg["sum(n_err)"])
+            n_parse_ok = int(agg["sum(n_parse_ok)"])
+        try:
+            n_next = pads.dataset(next_dir).count_rows()
+        except Exception:
+            n_next = 0
+        if n_next == 0:
+            shutil.rmtree(next_dir, ignore_errors=True)
+        return {
             "t_sched": round(t_sched, 3),
             "t_fetch": round(t_fetch, 3),
             "t_frontier": round(

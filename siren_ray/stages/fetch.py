@@ -370,6 +370,61 @@ class FetchExtract:
         return extracted
 
 
+def _align_passthrough(rest: pa.Table, out: pa.Table) -> pa.Table:
+    """Align non-fetched candidate rows to the fetch-output schema with
+    typed nulls (their ``_state`` column survives; scheduling columns
+    are shared), then concat — the deferred/robots-bad passthrough of
+    the fused open-budget round."""
+    cols = {}
+    for field in out.schema:
+        if field.name in rest.column_names:
+            cols[field.name] = rest[field.name].cast(field.type)
+        else:
+            cols[field.name] = pa.nulls(rest.num_rows, field.type)
+    aligned = pa.table(cols)
+    return pa.concat_tables([out, aligned], promote_options="default")
+
+
+def fetch_or_pass_task(batch: pa.Table, *, round_no: int | None = None,
+                       **kwargs) -> pa.Table:
+    """Task-pool fetch for the FUSED open-budget distributed round:
+    rows arrive pre-tagged with ``_state`` ('f' fetch / 'd' deferred /
+    'b' robots-bad); only 'f' rows hit the corpus join, the rest pass
+    through null-aligned. One Dataset execution replaces the candidate
+    materialize + counter pre-pass + fetch chain."""
+    import pyarrow.compute as pc
+
+    sel_mask = pc.equal(batch["_state"], "f")
+    sel = batch.filter(sel_mask).drop_columns(["_state"])
+    rest = batch.filter(pc.invert(sel_mask))
+    out = fetch_extract_task(sel, round_no=round_no, **kwargs)
+    out = out.append_column(
+        "_state", pa.array(["f"] * out.num_rows, pa.string()))
+    if rest.num_rows == 0:
+        return out
+    return _align_passthrough(rest, out)
+
+
+class FetchExtractPassthrough(FetchExtract):
+    """Actor-pool variant of :func:`fetch_or_pass_task` for live-HTTP
+    fused rounds (the transport needs real per-actor state)."""
+
+    def __call__(self, batch: pa.Table, round_no: int | None = None,
+                 emit_retry_after: bool = False) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sel_mask = pc.equal(batch["_state"], "f")
+        sel = batch.filter(sel_mask).drop_columns(["_state"])
+        rest = batch.filter(pc.invert(sel_mask))
+        out = super().__call__(sel, round_no=round_no,
+                               emit_retry_after=emit_retry_after)
+        out = out.append_column(
+            "_state", pa.array(["f"] * out.num_rows, pa.string()))
+        if rest.num_rows == 0:
+            return out
+        return _align_passthrough(rest, out)
+
+
 class FetchRaw(FetchExtract):
     """Lookup-only corpus join: rows out with ``html:binary`` + ``found``
     (no per-kind extraction). For pipelines whose parsing is NOT the

@@ -152,12 +152,208 @@ class FingerprintTable:
         return self._table.nbytes
 
 
+class CompactFingerprintTable:
+    """Cuckoo-style COMPACT seen filter: 32-bit tags in 8-slot buckets
+    (6.7 B/entry at the 0.6 load ceiling, 13.3 right after a doubling —
+    half the exact table's 13-27 B/entry at every phase), the SURVEY
+    §1.3 compact-filter mode with an explicit false-positive budget.
+
+    Layout: ``cap`` uint32 slots = ``cap/8`` buckets of 8. For a 64-bit
+    fingerprint ``h``: bucket = low ``log2(nb)`` bits, stored tag = the
+    NEXT 32 bits (quotienting — the bucket index itself carries
+    ``log2(nb)`` discriminating bits, so total discrimination is
+    ``32 + log2(nb)`` bits). A full bucket overflows into a small EXACT
+    side table (full 64-bit fingerprints), so membership NEVER
+    false-negatives; a false POSITIVE needs another URL agreeing on
+    bucket AND tag — ~``slots_checked x 2^-tag_bits`` ≈ 1e-9 per query
+    at the initial width. Resize doubles the bucket count by promoting
+    the tag's low bit into the bucket index (the quotient-filter trick);
+    each doubling costs one tag bit, so fp doubles per grow — size
+    ``initial_capacity`` near the expected population and the budget
+    holds. The false-drop consequence is documented in BASELINE.md: a
+    crawl false-positive means one URL silently never fetched, which is
+    why EXACT is the default and compact is the 10^10-URL opt-in.
+    """
+
+    __slots__ = ("_table", "_nb_bits", "_tag_bits", "_size", "_stash")
+
+    _BUCKET = 8
+
+    def __init__(self, initial_capacity: int = 1 << 14,
+                 tag_bits: int = 32):
+        cap = 1 << max(7, int(initial_capacity - 1).bit_length())
+        self._nb_bits = int(cap // self._BUCKET - 1).bit_length()
+        nb = 1 << self._nb_bits
+        self._table = np.zeros(nb * self._BUCKET, dtype=np.uint32)
+        self._tag_bits = min(32, int(tag_bits))
+        self._size = 0
+        self._stash = FingerprintTable(1 << 6)
+
+    # -- key derivation ---------------------------------------------------
+    def _keys(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h = np.asarray(hashes, dtype=np.uint64)
+        b = (h & np.uint64((1 << self._nb_bits) - 1)).astype(np.int64)
+        t = ((h >> np.uint64(self._nb_bits))
+             & np.uint64((1 << self._tag_bits) - 1)).astype(np.uint32)
+        t[t == 0] = 1  # 0 is the empty sentinel
+        return b, t
+
+    def _synth(self, b: np.ndarray, t: np.ndarray) -> np.ndarray:
+        """Canonical 64-bit encoding of the filter identity (bucket,
+        tag) — the stash key. Keying the stash on (b, t) rather than
+        the raw fingerprint keeps stash semantics identical to the
+        table's (same fp class) and lets a resize transform stash
+        entries alongside table entries without the original hash."""
+        return (b.astype(np.uint64)
+                | (t.astype(np.uint64) << np.uint64(self._nb_bits)))
+
+    def _lookup_bt(self, b: np.ndarray, t: np.ndarray) -> np.ndarray:
+        rows = self._table.reshape(-1, self._BUCKET)[b]
+        out = (rows == t[:, None]).any(axis=1)
+        if len(self._stash):
+            miss = ~out
+            if miss.any():
+                out[np.nonzero(miss)[0]] = self._stash.contains(
+                    self._synth(b[miss], t[miss]))
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.uint64)
+        if not len(h):
+            return np.zeros(0, dtype=bool)
+        return self._lookup_bt(*self._keys(h))
+
+    def _insert_unique_absent(self, b: np.ndarray,
+                              t: np.ndarray) -> None:
+        """Insert (bucket, tag) pairs known unique and absent; bounded
+        8-round probing within the bucket, leftovers -> exact stash
+        keyed by the canonical (bucket, tag) encoding."""
+        table = self._table
+        slots = b * self._BUCKET
+        pending = np.arange(len(b))
+        probe = 0
+        while len(pending) and probe < self._BUCKET:
+            s = slots[pending] + probe
+            got = table[s]
+            is_empty = got == 0
+            winners_mask = np.zeros(len(pending), dtype=bool)
+            if is_empty.any():
+                idx = np.nonzero(is_empty)[0]
+                _, first = np.unique(s[idx], return_index=True)
+                winners = idx[first]
+                table[s[winners]] = t[pending[winners]]
+                winners_mask[winners] = True
+            pending = pending[~winners_mask]
+            probe += 1
+        if len(pending):
+            self._stash.add(self._synth(b[pending], t[pending]))
+
+    def test_and_set(self, hashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.uint64)
+        if not len(h):
+            return np.zeros(0, dtype=bool)
+        b, t = self._keys(h)
+        key = (b.astype(np.uint64) << np.uint64(32)) | t.astype(np.uint64)
+        _, first_idx = np.unique(key, return_index=True)
+        present = self._lookup_bt(b[first_idx], t[first_idx])
+        new = ~present
+        if new.any():
+            self._maybe_grow(int(new.sum()))
+            b, t = self._keys(h)  # re-derive under (possibly) new geometry
+            self._insert_unique_absent(b[first_idx][new],
+                                       t[first_idx][new])
+            self._size += int(new.sum())
+        out = np.zeros(len(h), dtype=bool)
+        out[first_idx[new]] = True
+        return out
+
+    def add(self, hashes: np.ndarray) -> int:
+        before = self._size
+        self.test_and_set(hashes)
+        return self._size - before
+
+    def _maybe_grow(self, incoming: int) -> None:
+        # same 0.6 load ceiling as the exact table; each doubling
+        # promotes one tag bit into the bucket index (fp x2 per grow)
+        while (self._size + incoming) * 5 > self._table.size * 3:
+            if self._tag_bits <= 16:
+                raise RuntimeError(
+                    "CompactFingerprintTable: growth would drop tag "
+                    "width below 16 bits (fp budget exhausted) — size "
+                    "initial_capacity for the expected population")
+            old = self._table.reshape(-1, self._BUCKET)
+            nb = 1 << self._nb_bits
+            occ_b, occ_j = np.nonzero(old != 0)
+            tags = old[occ_b, occ_j].astype(np.uint64)
+            new_b = occ_b.astype(np.int64) | (
+                (tags & np.uint64(1)).astype(np.int64) << self._nb_bits)
+            new_t = (tags >> np.uint64(1)).astype(np.uint32)
+            new_t[new_t == 0] = 1
+            # stash entries transform the same way: decode (b, t) from
+            # the canonical encoding under the OLD geometry
+            stash_syn = self._stash.dump()
+            sb = (stash_syn & np.uint64(nb - 1)).astype(np.int64)
+            st = (stash_syn >> np.uint64(self._nb_bits)).astype(np.uint64)
+            s_new_b = sb | ((st & np.uint64(1)).astype(np.int64)
+                            << self._nb_bits)
+            s_new_t = (st >> np.uint64(1)).astype(np.uint32)
+            s_new_t[s_new_t == 0] = 1
+            self._nb_bits += 1
+            self._tag_bits -= 1
+            self._table = np.zeros(2 * nb * self._BUCKET, dtype=np.uint32)
+            self._stash = FingerprintTable(1 << 6)
+            all_b = np.concatenate([new_b, s_new_b])
+            all_t = np.concatenate([new_t, s_new_t])
+            # the 0-tag remap can merge transformed entries (old tags 1
+            # and 3 at one bucket both land on tag 1): dedup before the
+            # unique-and-absent insert
+            syn = self._synth(all_b, all_t)
+            _, uniq_idx = np.unique(syn, return_index=True)
+            all_b, all_t = all_b[uniq_idx], all_t[uniq_idx]
+            order = np.argsort(all_b, kind="stable")
+            self._insert_unique_absent(all_b[order], all_t[order])
+
+    def __len__(self) -> int:
+        return self._size
+
+    def nbytes(self) -> int:
+        return self._table.nbytes + self._stash.nbytes()
+
+    def state_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                    int, int]:
+        """(slot_idx, tag, stash_fingerprints, nb_bits, tag_bits) —
+        checkpoint payload; zeros omitted."""
+        idx = np.nonzero(self._table)[0].astype(np.uint64)
+        return (idx, self._table[idx.astype(np.int64)].astype(np.uint64),
+                self._stash.dump(), self._nb_bits, self._tag_bits)
+
+    @classmethod
+    def from_state(cls, idx: np.ndarray, tags: np.ndarray,
+                   stash: np.ndarray, nb_bits: int, tag_bits: int,
+                   size: int) -> "CompactFingerprintTable":
+        t = cls.__new__(cls)
+        t._nb_bits = int(nb_bits)
+        t._tag_bits = int(tag_bits)
+        t._table = np.zeros((1 << t._nb_bits) * cls._BUCKET,
+                            dtype=np.uint32)
+        t._table[idx.astype(np.int64)] = tags.astype(np.uint32)
+        t._stash = FingerprintTable(max(16, len(stash) * 2))
+        if len(stash):
+            t._stash.add(stash)
+        t._size = int(size)
+        return t
+
+
 @ray.remote(num_cpus=0)
 class SeenShard:
     """One hash-range shard of the URL-seen set."""
 
-    def __init__(self) -> None:
-        self._t = FingerprintTable()
+    def __init__(self, mode: str = "exact",
+                 initial_capacity: int = 1 << 14) -> None:
+        self._mode = mode
+        self._t = (CompactFingerprintTable(initial_capacity)
+                   if mode == "compact"
+                   else FingerprintTable(initial_capacity))
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         return self._t.contains(hashes)
@@ -177,27 +373,78 @@ class SeenShard:
         return len(self._t)
 
     def dump(self) -> np.ndarray:
+        """Exact mode: the stored 64-bit fingerprints. Compact mode:
+        the canonical (bucket, tag) encodings — the filter's whole
+        identity (original fingerprints are not recoverable by
+        design)."""
+        if self._mode == "compact":
+            idx, tags, stash, _, _ = self._t.state_arrays()
+            b = (idx // CompactFingerprintTable._BUCKET).astype(np.int64)
+            syn = self._t._synth(b, tags.astype(np.uint32))
+            return np.concatenate([syn, stash])
         return self._t.dump()
 
     def checkpoint(self, path: str) -> int:
+        if self._mode == "compact":
+            idx, tags, stash, nb_bits, tag_bits = self._t.state_arrays()
+            meta = np.array([3, nb_bits, tag_bits, len(self._t)],
+                            dtype=np.uint64)
+            kind = np.concatenate([
+                np.zeros(len(idx), np.int8),
+                np.ones(len(stash), np.int8),
+                np.full(1, 2, np.int8),
+            ])
+            a = np.concatenate([idx, stash, meta[:1]])
+            b = np.concatenate([tags, np.zeros(len(stash), np.uint64),
+                                meta[1:2] | (meta[2:3] << np.uint64(8))
+                                | (meta[3:4] << np.uint64(16))])
+            pq.write_table(pa.table({
+                "kind": pa.array(kind, pa.int8()),
+                "a": pa.array(a, pa.uint64()),
+                "b": pa.array(b, pa.uint64()),
+            }), path)
+            return int(len(self._t))
         arr = self.dump()
         pq.write_table(pa.table({"fingerprint": pa.array(arr, pa.uint64())}), path)
         return len(arr)
 
     def restore(self, path: str) -> int:
         t = pq.read_table(path)
+        if "kind" in t.column_names:  # compact checkpoint
+            kind = t["kind"].to_numpy()
+            a = t["a"].to_numpy()
+            b = t["b"].to_numpy()
+            meta_b = int(b[kind == 2][0])
+            nb_bits = meta_b & 0xFF
+            tag_bits = (meta_b >> 8) & 0xFF
+            size = meta_b >> 16
+            self._mode = "compact"
+            self._t = CompactFingerprintTable.from_state(
+                a[kind == 0], b[kind == 0], a[kind == 1],
+                nb_bits, tag_bits, size)
+            return len(self._t)
         arr = t["fingerprint"].to_numpy()
+        self._mode = "exact"
         self._t = FingerprintTable(initial_capacity=max(16, len(arr) * 2))
         self._t.add(arr)
         return len(self._t)
 
 
 class SeenSet:
-    """Driver-side facade over the shard actors."""
+    """Driver-side facade over the shard actors.
 
-    def __init__(self, num_shards: int = 8):
+    ``mode="compact"`` swaps the per-shard exact table for the
+    cuckoo-style 32-bit-tag filter (~6.7 B/entry, fp ~1e-9/query at
+    initial width) — the SURVEY §1.3 10^10-URL opt-in; exact remains
+    the default because a crawl false-positive silently drops a URL
+    forever (see BASELINE.md "Seen-set memory")."""
+
+    def __init__(self, num_shards: int = 8, mode: str = "exact",
+                 initial_capacity: int = 1 << 14):
         self.num_shards = num_shards
-        self.shards = [SeenShard.remote() for _ in range(num_shards)]
+        self.mode = mode
+        self.shards = [SeenShard.remote(mode, initial_capacity)
+                       for _ in range(num_shards)]
 
     def _split(self, hashes: np.ndarray):
         shard_ids = (hashes % self.num_shards).astype(np.int64)

@@ -222,6 +222,46 @@ def test_distributed_scheduler_matches_simulator(
     assert _engine_order(engine) == sim_order
 
 
+def test_fused_open_budget_matches_driver(corpus_sf0001,
+                                          tmp_path_factory):
+    """budget_per_round=None routes the distributed scheduler through
+    the FUSED round (quota output streams straight into the fetch
+    execution; seen-marking, counters, link explode and the
+    next-frontier write all ride one materialized output). It must
+    equal the driver scheduler row-for-row — crawl order, extracted
+    text, and every per-round counter."""
+    import pyarrow.dataset as pads
+
+    outs, orders, mets = {}, {}, {}
+    for sched in ("driver", "distributed"):
+        out = str(tmp_path_factory.mktemp(f"crawl_fused_{sched}"))
+        outs[sched] = out
+        res = run_crawl(CrawlConfig(
+            corpus_dir=corpus_sf0001, out_dir=out,
+            budget_per_round=None, round_ms=1000, max_rounds=4,
+            max_depth=6, fetch_mode="broadcast", scheduler=sched,
+            fetch_concurrency=2, ckpt_every=0,
+        ))
+        t = read_crawl_order(out)
+        orders[sched] = list(zip(t["round"].to_pylist(),
+                                 t["url"].to_pylist(),
+                                 t["seq"].to_pylist(),
+                                 t["found"].to_pylist()))
+        mets[sched] = [
+            (m["round"], m["candidates"], m["robots_skipped"],
+             m["selected"], m["deferred"], m["fetch_errors"],
+             m["parse_ok"], m["next_frontier"]) for m in res.metrics]
+    assert orders["driver"] == orders["distributed"]
+    assert mets["driver"] == mets["distributed"]
+    texts = {}
+    for sched, out in outs.items():
+        t = pads.dataset(os.path.join(out, "extracted")).to_table(
+            columns=["url", "text"])
+        texts[sched] = dict(zip(t["url"].to_pylist(),
+                                t["text"].to_pylist()))
+    assert texts["driver"] == texts["distributed"]
+
+
 def test_hash_determinism():
     a = hash_strings(["https://x/1", "https://x/2"])
     b = hash_strings(["https://x/1", "https://x/2"])
