@@ -400,9 +400,12 @@ def fetch_or_pass_task(batch: pa.Table, *, round_no: int | None = None,
     out = fetch_extract_task(sel, round_no=round_no, **kwargs)
     out = out.append_column(
         "_state", pa.array(["f"] * out.num_rows, pa.string()))
-    if rest.num_rows == 0:
-        return out
-    return _align_passthrough(rest, out)
+    if rest.num_rows:
+        out = _align_passthrough(rest, out)
+    # canonical column order: the 0-fetch empty-schema path and the
+    # hit/miss path order columns differently — blocks of one round
+    # must agree so the parquet parts and unions stay schema-stable
+    return out.select(sorted(out.column_names))
 
 
 class FetchExtractPassthrough(FetchExtract):
@@ -420,9 +423,9 @@ class FetchExtractPassthrough(FetchExtract):
                                emit_retry_after=emit_retry_after)
         out = out.append_column(
             "_state", pa.array(["f"] * out.num_rows, pa.string()))
-        if rest.num_rows == 0:
-            return out
-        return _align_passthrough(rest, out)
+        if rest.num_rows:
+            out = _align_passthrough(rest, out)
+        return out.select(sorted(out.column_names))
 
 
 class FetchRaw(FetchExtract):

@@ -411,3 +411,60 @@ def test_bucket_assignment_cache_discipline():
     assert st3._bucket_owner == owners_bulk
     assert [(a, t["url"].to_pylist()) for t, a in chunks3] == [
         (a, t["url"].to_pylist()) for t, a in chunks]
+
+
+def test_fetch_or_pass_task_passthrough_alignment(corpus_sf0001,
+                                                  ray_session):
+    """The fused round's passthrough: deferred/robots-bad rows ride the
+    fetch stage null-aligned — schema matches the fetched rows, the
+    _state tag survives, FRONTIER_COLS stay intact, and an all-deferred
+    batch works."""
+    import pyarrow as pa
+
+    from siren_ray.stages.fetch import broadcast_pages, fetch_or_pass_task
+    from siren_ray.util import hosts_of, paths_of
+
+    import pyarrow.dataset as pads
+
+    pages_dir = os.path.join(corpus_sf0001, "pages")
+    t = pads.dataset(pages_dir, partitioning="hive").to_table(
+        columns=["url"])
+    urls = t["url"].to_pylist()[:6]
+    states = ["f", "d", "f", "b", "d", "f"]
+
+    def _batch(urls, states):
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts_of(urls), pa.string()),
+            "path": pa.array(paths_of(urls), pa.string()),
+            "priority": pa.array([1.0] * len(urls), pa.float64()),
+            "depth": pa.array([0] * len(urls), pa.int32()),
+            "seq": pa.array([f"{i:06d}" for i in range(len(urls))],
+                            pa.string()),
+            "_state": pa.array(states, pa.string()),
+        })
+
+    ref = broadcast_pages(pages_dir)
+    out = fetch_or_pass_task(_batch(urls, states), round_no=3,
+                             pages_ref=ref)
+    assert out.num_rows == 6
+    by = {u: s for u, s in zip(out["url"].to_pylist(),
+                               out["_state"].to_pylist())}
+    assert by == dict(zip(urls, states))
+    df = out.to_pandas().set_index("url")
+    for u, s in zip(urls, states):
+        if s == "f":
+            assert df.loc[u, "found"] == True  # noqa: E712
+            assert df.loc[u, "round"] == 3
+        else:
+            import pandas as pd
+
+            assert pd.isna(df.loc[u, "text"])  # null-aligned extract cols
+            # frontier cols intact for the deferred union
+            assert df.loc[u, "seq"] is not None
+    # all-passthrough batch: no fetch rows at all
+    out2 = fetch_or_pass_task(_batch(urls[:2], ["d", "b"]), round_no=3,
+                              pages_ref=ref)
+    assert out2.num_rows == 2
+    assert set(out2["_state"].to_pylist()) == {"d", "b"}
+    assert out2.schema.names == out.schema.names
