@@ -47,6 +47,12 @@ def crawl_main(argv=None) -> int:
     p.add_argument("--canonicalize", action="store_true")
     p.add_argument("--trap-filter", action="store_true")
     p.add_argument("--enrich-text", action="store_true")
+    p.add_argument("--seen-mode", default="exact",
+                   choices=["exact", "compact"],
+                   help="seen-set storage: exact 64-bit fingerprints "
+                        "(default) or the compact cuckoo-style filter "
+                        "(~half the memory, ~1e-9 fp/query — see "
+                        "BASELINE.md 'Seen-set memory')")
     p.add_argument("--address", default=None,
                    help='Ray address ("auto" inside ray job submit; '
                         'default: RAY_ADDRESS or "local")')
@@ -90,6 +96,7 @@ def crawl_main(argv=None) -> int:
         trap_filter=args.trap_filter,
         enrich_text=args.enrich_text,
         seeds_path=args.seeds,
+        seen_mode=args.seen_mode,
     )
     t0 = time.perf_counter()
     res = run_crawl(cfg)

@@ -468,3 +468,40 @@ def test_fetch_or_pass_task_passthrough_alignment(corpus_sf0001,
     assert out2.num_rows == 2
     assert set(out2["_state"].to_pylist()) == {"d", "b"}
     assert out2.schema.names == out.schema.names
+
+
+def test_fused_resume_clears_interrupted_round_parts(corpus_sf0001,
+                                                     tmp_path_factory):
+    """The fused open-budget round writes extracted AND next-frontier
+    parts incrementally inside one execution; a crash mid-round leaves
+    partial parts in BOTH dirs. Resume must clear them (both dirs are
+    rm-tree'd at round start) so re-run rounds can't mix stale rows
+    with fresh ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ref_out = str(tmp_path_factory.mktemp("fused_resume_ref"))
+    base = dict(corpus_dir=corpus_sf0001, fetch_mode="broadcast",
+                budget_per_round=None, round_ms=1000, max_depth=6,
+                scheduler="distributed", ckpt_every=1)
+    run_crawl(CrawlConfig(out_dir=ref_out, max_rounds=6, **base))
+    want = read_crawl_order(ref_out)
+    want_rows = list(zip(want["round"].to_pylist(),
+                         want["url"].to_pylist(),
+                         want["seq"].to_pylist()))
+
+    out = str(tmp_path_factory.mktemp("fused_resume"))
+    run_crawl(CrawlConfig(out_dir=out, max_rounds=3, **base))
+    junk = pa.table({"url": ["https://stale.example/x"], "priority": [9.9],
+                     "seq": ["zzz"], "round": [3], "found": [True]})
+    for d in (os.path.join(out, "extracted", "r00003"),
+              os.path.join(out, "frontier", "r00004")):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(junk, os.path.join(d, "stale-uuid-part.parquet"))
+    run_crawl(CrawlConfig(out_dir=out, max_rounds=6, resume=True, **base))
+    got = read_crawl_order(out)
+    got_rows = list(zip(got["round"].to_pylist(),
+                        got["url"].to_pylist(),
+                        got["seq"].to_pylist()))
+    assert got_rows == want_rows
+    assert "https://stale.example/x" not in {u for _, u, _s in got_rows}
