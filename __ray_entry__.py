@@ -3638,6 +3638,7 @@ def q_corpus_pipeline(sf_dir: str):
         out_dir=f"/tmp/siren_ray_runs/entry_corpus_crawl_sf{sf:g}",
         budget_per_round=5000, round_ms=100_000, max_rounds=12,
         max_depth=6, fetch_concurrency=4,
+        ckpt_every=0,  # no per-round seen checkpoints inside a bench line
     ))
     # metadata-only count: no row funnel
     crawled_n = pads.dataset(res.extracted_path).count_rows()

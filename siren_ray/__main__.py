@@ -69,7 +69,6 @@ def crawl_main(argv=None) -> int:
         if addr == "local":
             kw["num_cpus"] = args.num_cpus
         ray.init(address=addr, **kw)
-    if owns_ray:
         # only mutate the shared Ray Data config when this process owns
         # the session (ADVICE r4: attaching to an embedding process must
         # not flip its progress-bar setting as a side effect)
@@ -165,7 +164,6 @@ def main(argv=None, backend=None) -> int:
     if owns_ray:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
-    if owns_ray:
         # only mutate the shared Ray Data config when this process owns
         # the session (ADVICE r4: attaching to an embedding process must
         # not flip its progress-bar setting as a side effect)

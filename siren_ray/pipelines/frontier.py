@@ -656,6 +656,32 @@ class _Crawl:
                 if until > self.host_backoff_until.get(h, 0.0):
                     self.host_backoff_until[h] = until
 
+    def _fold_retry_after(self, fetched):
+        """Fold the per-row ``retry_after_s`` column (the distributed
+        schedulers' 429/503 signal channel out of map_batches actors)
+        into host_backoff_until, then drop the column so the extracted
+        schema stays identical across scheduler modes. Host-cardinality
+        driver traffic, like the robots table."""
+
+        def _ra_partial(t: pa.Table) -> pa.Table:
+            mask = pc.is_valid(t["retry_after_s"])
+            hit = t.filter(mask)
+            if not hit.num_rows:
+                return pa.table({"host": pa.array([], pa.string()),
+                                 "ra": pa.array([], pa.float64())})
+            df = hit.select(["host", "retry_after_s"]).to_pandas()
+            g = df.groupby("host", sort=False)["retry_after_s"].max()
+            return pa.table({"host": pa.array(g.index, pa.string()),
+                             "ra": pa.array(g.to_numpy(), pa.float64())})
+
+        ra_parts = fetched.map_batches(
+            _ra_partial, batch_format="pyarrow").to_pandas()
+        if len(ra_parts):
+            # a host can appear in several batch partials: max wins
+            self._merge_retry_after(
+                [ra_parts.groupby("host")["ra"].max().to_dict()])
+        return fetched.drop_columns(["retry_after_s"])
+
     def _active_backoff_hosts(self) -> frozenset:
         """Hosts whose Retry-After backoff window is still open (expired
         entries are pruned). The distributed scheduler ships this
@@ -1000,8 +1026,7 @@ class _Crawl:
             # live HTTP: per-actor transport state is real — actor pool.
             # emit_retry_after rides the 429/503 backoff signal out as a
             # per-row column (map_batches actors can't be drained like
-            # the driver path's raw actors); the fold below is
-            # host-cardinality driver traffic, like the robots table.
+            # the driver path's raw actors).
             fetched = marked.map_batches(
                 FetchExtract,
                 fn_constructor_kwargs=self.fetch_kwargs,
@@ -1010,26 +1035,7 @@ class _Crawl:
                 batch_size=cfg.fetch_batch_size,
                 concurrency=(1, cfg.fetch_concurrency),
             ).materialize()
-
-            def _ra_partial(t: pa.Table) -> pa.Table:
-                mask = pc.is_valid(t["retry_after_s"])
-                hit = t.filter(mask)
-                if not hit.num_rows:
-                    return pa.table({"host": pa.array([], pa.string()),
-                                     "ra": pa.array([], pa.float64())})
-                df = hit.select(["host", "retry_after_s"]).to_pandas()
-                g = df.groupby("host", sort=False)["retry_after_s"].max()
-                return pa.table({"host": pa.array(g.index, pa.string()),
-                                 "ra": pa.array(g.to_numpy(), pa.float64())})
-
-            ra_parts = fetched.map_batches(
-                _ra_partial, batch_format="pyarrow").to_pandas()
-            if len(ra_parts):
-                # a host can appear in several batch partials: max wins
-                self._merge_retry_after(
-                    [ra_parts.groupby("host")["ra"].max().to_dict()])
-            # keep the extracted schema identical across scheduler modes
-            fetched = fetched.drop_columns(["retry_after_s"])
+            fetched = self._fold_retry_after(fetched)
         else:
             # corpus modes: TASK pool with per-worker-process cached
             # lookup state (stages/fetch.py:fetch_extract_task) — a
@@ -1150,11 +1156,13 @@ class _Crawl:
         under task retry); non-fetch rows pass through the fetch stage
         null-aligned. ONE materialized output then serves the
         extracted-parquet write, every round counter, the link explode
-        and the deferred union — 5 Dataset executions per round instead
-        of 7 (the two saved were the candidate materialize and the
-        counter pre-pass, pure fixed cost). Only valid with no global
-        budget: a budget needs n_eligible and a sort+limit BEFORE any
-        fetch happens."""
+        and the next-frontier parts — 4 Dataset executions per round
+        (quota pin, quota phase 1, the fused fetch materialize, the
+        write+count pass) instead of the budget path's 7 (saved: the
+        candidate materialize, the counter pre-pass, and the separate
+        next-frontier write — pure fixed cost). Only valid with no
+        global budget: a budget needs n_eligible and a sort+limit
+        BEFORE any fetch happens."""
         cfg = self.cfg
         seen_kwargs = self._seen_kwargs
         t_sched = time.perf_counter() - t_round0
@@ -1163,12 +1171,13 @@ class _Crawl:
             ok = np.asarray(t["robots_ok"], dtype=bool)
             inq = np.asarray(t["in_quota"], dtype=bool)
             state = np.where(ok & inq, "f", np.where(ok, "d", "b"))
-            bad = t.filter(pa.array(~ok))
-            if bad.num_rows:
-                seen_add_batch(bad, **seen_kwargs)
-            sel = t.filter(pa.array(ok & inq))
-            if sel.num_rows:
-                seen_add_batch(sel, **seen_kwargs)
+            # ONE seen-marking call for the disjoint union of selected
+            # and robots-bad rows (everything except deferred) — each
+            # call is a blocking fan-out over the shard actors, so two
+            # serial calls doubled the per-batch marking latency
+            mark = t.filter(pa.array(~ok | (ok & inq)))
+            if mark.num_rows:
+                seen_add_batch(mark, **seen_kwargs)
             return t.drop_columns(["robots_ok", "in_quota"]).append_column(
                 "_state", pa.array(state.tolist(), pa.string()))
 
@@ -1185,25 +1194,7 @@ class _Crawl:
                 batch_size=cfg.fetch_batch_size,
                 concurrency=(1, cfg.fetch_concurrency),
             ).materialize()
-
-            def _ra_partial(t: pa.Table) -> pa.Table:
-                mask = pc.is_valid(t["retry_after_s"])
-                hit = t.filter(mask)
-                if not hit.num_rows:
-                    return pa.table({"host": pa.array([], pa.string()),
-                                     "ra": pa.array([], pa.float64())})
-                df = hit.select(["host", "retry_after_s"]).to_pandas()
-                g = df.groupby("host", sort=False)["retry_after_s"].max()
-                return pa.table({"host": pa.array(g.index, pa.string()),
-                                 "ra": pa.array(g.to_numpy(),
-                                                pa.float64())})
-
-            ra_parts = fetched.map_batches(
-                _ra_partial, batch_format="pyarrow").to_pandas()
-            if len(ra_parts):
-                self._merge_retry_after(
-                    [ra_parts.groupby("host")["ra"].max().to_dict()])
-            fetched = fetched.drop_columns(["retry_after_s"])
+            fetched = self._fold_retry_after(fetched)
         else:
             from ..stages.fetch import fetch_or_pass_task
 

@@ -385,6 +385,26 @@ def _align_passthrough(rest: pa.Table, out: pa.Table) -> pa.Table:
     return pa.concat_tables([out, aligned], promote_options="default")
 
 
+def _fetch_or_pass(batch: pa.Table, fetch_fn) -> pa.Table:
+    """Shared f/d/b passthrough protocol of the fused open-budget
+    round: only '_state'=='f' rows reach ``fetch_fn``, the rest pass
+    through null-aligned; output column order is canonicalized (the
+    0-fetch empty-schema path and the hit/miss path order columns
+    differently — blocks of one round must agree so the parquet parts
+    and unions stay schema-stable)."""
+    import pyarrow.compute as pc
+
+    sel_mask = pc.equal(batch["_state"], "f")
+    sel = batch.filter(sel_mask).drop_columns(["_state"])
+    rest = batch.filter(pc.invert(sel_mask))
+    out = fetch_fn(sel)
+    out = out.append_column(
+        "_state", pa.array(["f"] * out.num_rows, pa.string()))
+    if rest.num_rows:
+        out = _align_passthrough(rest, out)
+    return out.select(sorted(out.column_names))
+
+
 def fetch_or_pass_task(batch: pa.Table, *, round_no: int | None = None,
                        **kwargs) -> pa.Table:
     """Task-pool fetch for the FUSED open-budget distributed round:
@@ -392,20 +412,9 @@ def fetch_or_pass_task(batch: pa.Table, *, round_no: int | None = None,
     'b' robots-bad); only 'f' rows hit the corpus join, the rest pass
     through null-aligned. One Dataset execution replaces the candidate
     materialize + counter pre-pass + fetch chain."""
-    import pyarrow.compute as pc
-
-    sel_mask = pc.equal(batch["_state"], "f")
-    sel = batch.filter(sel_mask).drop_columns(["_state"])
-    rest = batch.filter(pc.invert(sel_mask))
-    out = fetch_extract_task(sel, round_no=round_no, **kwargs)
-    out = out.append_column(
-        "_state", pa.array(["f"] * out.num_rows, pa.string()))
-    if rest.num_rows:
-        out = _align_passthrough(rest, out)
-    # canonical column order: the 0-fetch empty-schema path and the
-    # hit/miss path order columns differently — blocks of one round
-    # must agree so the parquet parts and unions stay schema-stable
-    return out.select(sorted(out.column_names))
+    return _fetch_or_pass(
+        batch, lambda sel: fetch_extract_task(sel, round_no=round_no,
+                                              **kwargs))
 
 
 class FetchExtractPassthrough(FetchExtract):
@@ -414,18 +423,11 @@ class FetchExtractPassthrough(FetchExtract):
 
     def __call__(self, batch: pa.Table, round_no: int | None = None,
                  emit_retry_after: bool = False) -> pa.Table:
-        import pyarrow.compute as pc
-
-        sel_mask = pc.equal(batch["_state"], "f")
-        sel = batch.filter(sel_mask).drop_columns(["_state"])
-        rest = batch.filter(pc.invert(sel_mask))
-        out = super().__call__(sel, round_no=round_no,
-                               emit_retry_after=emit_retry_after)
-        out = out.append_column(
-            "_state", pa.array(["f"] * out.num_rows, pa.string()))
-        if rest.num_rows:
-            out = _align_passthrough(rest, out)
-        return out.select(sorted(out.column_names))
+        return _fetch_or_pass(
+            batch,
+            lambda sel: super(FetchExtractPassthrough, self).__call__(
+                sel, round_no=round_no,
+                emit_retry_after=emit_retry_after))
 
 
 class FetchRaw(FetchExtract):

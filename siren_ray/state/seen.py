@@ -190,12 +190,18 @@ class CompactFingerprintTable:
         self._stash = FingerprintTable(1 << 6)
 
     # -- key derivation ---------------------------------------------------
+    # Tags are stored UNREMAPPED: a true tag of 0 (probability
+    # 2^-tag_bits per entry) cannot share the table's 0-is-empty
+    # sentinel, so such entries route to the exact stash instead.
+    # (The earlier 0->1 remap silently corrupted the bucket-promotion
+    # bit at resize — a zero-tag entry migrated to bucket b|2^nb while
+    # lookups probed b: a reproducible false negative, the one thing
+    # this structure promises never to do.)
     def _keys(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         h = np.asarray(hashes, dtype=np.uint64)
         b = (h & np.uint64((1 << self._nb_bits) - 1)).astype(np.int64)
         t = ((h >> np.uint64(self._nb_bits))
              & np.uint64((1 << self._tag_bits) - 1)).astype(np.uint32)
-        t[t == 0] = 1  # 0 is the empty sentinel
         return b, t
 
     def _synth(self, b: np.ndarray, t: np.ndarray) -> np.ndarray:
@@ -209,7 +215,10 @@ class CompactFingerprintTable:
 
     def _lookup_bt(self, b: np.ndarray, t: np.ndarray) -> np.ndarray:
         rows = self._table.reshape(-1, self._BUCKET)[b]
-        out = (rows == t[:, None]).any(axis=1)
+        # a zero tag never lives in the table (it would alias the empty
+        # sentinel) — suppress the trivially-true empty-slot match and
+        # let the stash answer for those queries
+        out = (rows == t[:, None]).any(axis=1) & (t != 0)
         if len(self._stash):
             miss = ~out
             if miss.any():
@@ -227,7 +236,12 @@ class CompactFingerprintTable:
                               t: np.ndarray) -> None:
         """Insert (bucket, tag) pairs known unique and absent; bounded
         8-round probing within the bucket, leftovers -> exact stash
-        keyed by the canonical (bucket, tag) encoding."""
+        keyed by the canonical (bucket, tag) encoding. Zero-tag pairs
+        go straight to the stash (the table's 0 means empty)."""
+        zero = t == 0
+        if zero.any():
+            self._stash.add(self._synth(b[zero], t[zero]))
+            b, t = b[~zero], t[~zero]
         table = self._table
         slots = b * self._BUCKET
         pending = np.arange(len(b))
@@ -253,8 +267,9 @@ class CompactFingerprintTable:
         if not len(h):
             return np.zeros(0, dtype=bool)
         b, t = self._keys(h)
-        key = (b.astype(np.uint64) << np.uint64(32)) | t.astype(np.uint64)
-        _, first_idx = np.unique(key, return_index=True)
+        # in-batch dedup on the filter identity; _synth is injective at
+        # any geometry (b occupies the low nb_bits, t the next tag_bits)
+        _, first_idx = np.unique(self._synth(b, t), return_index=True)
         present = self._lookup_bt(b[first_idx], t[first_idx])
         new = ~present
         if new.any():
@@ -288,16 +303,17 @@ class CompactFingerprintTable:
             new_b = occ_b.astype(np.int64) | (
                 (tags & np.uint64(1)).astype(np.int64) << self._nb_bits)
             new_t = (tags >> np.uint64(1)).astype(np.uint32)
-            new_t[new_t == 0] = 1
-            # stash entries transform the same way: decode (b, t) from
-            # the canonical encoding under the OLD geometry
+            # stash entries transform the same way: decode the TRUE
+            # (b, t) from the canonical encoding under the OLD geometry
+            # (tags are stored unremapped, so the decoded low bit is the
+            # genuine bucket-promotion bit); entries whose new tag is 0
+            # re-stash via _insert_unique_absent's zero-tag route
             stash_syn = self._stash.dump()
             sb = (stash_syn & np.uint64(nb - 1)).astype(np.int64)
             st = (stash_syn >> np.uint64(self._nb_bits)).astype(np.uint64)
             s_new_b = sb | ((st & np.uint64(1)).astype(np.int64)
                             << self._nb_bits)
             s_new_t = (st >> np.uint64(1)).astype(np.uint32)
-            s_new_t[s_new_t == 0] = 1
             self._nb_bits += 1
             self._tag_bits -= 1
             self._table = np.zeros(2 * nb * self._BUCKET, dtype=np.uint32)

@@ -72,6 +72,33 @@ def test_bucket_overflow_stash_is_exact():
     assert not t.contains(absent).any()
 
 
+def test_zero_tag_entries_survive_resize():
+    """Regression: a fingerprint whose 32-bit tag field is all zero
+    used to be remapped to the sentinel 1 at insert, which corrupted
+    the bucket-promotion bit at resize — the entry migrated to bucket
+    b|2^nb while lookups probed b: a false negative, the one thing the
+    structure promises never to produce. Zero-tag entries now live in
+    the exact stash and transform correctly through doublings."""
+    t = CompactFingerprintTable(1 << 8)
+    nb_bits = t._nb_bits
+    # tag field [nb_bits, nb_bits+32) all zero; bucket bits + high bits set
+    specials = np.array(
+        [5 | (1 << (nb_bits + 34)),
+         3 | (7 << (nb_bits + 32)),
+         (1 << nb_bits - 1) | (1 << 63)], dtype=np.uint64)
+    t.add(specials)
+    assert t.contains(specials).all()
+    # force several doublings
+    t.add(_hashes(20_000, seed=11))
+    assert t.contains(specials).all(), "zero-tag entry lost at resize"
+    # tag-1 entries exercise the adjacent transform case
+    tag1 = np.array([9 | (1 << t._nb_bits)], dtype=np.uint64)
+    t.add(tag1)
+    t.add(_hashes(30_000, seed=12))
+    assert t.contains(tag1).all()
+    assert t.contains(specials).all()
+
+
 def test_growth_budget_exhaustion_raises():
     t = CompactFingerprintTable(1 << 8)
     t._tag_bits = 16  # simulate a table that has spent its budget
