@@ -461,6 +461,30 @@ class SeenSet:
         self.mode = mode
         self.shards = [SeenShard.remote(mode, initial_capacity)
                        for _ in range(num_shards)]
+        # async-add machinery (driver-facade only): add() fires shard
+        # RPCs without blocking — the scheduling path stops paying the
+        # add round-trip, and round 0 of a fresh crawl stops paying the
+        # shard-actor STARTUP wait (contains() on a provably-empty set
+        # short-circuits, so seen-shard startup overlaps fetch-pool
+        # startup instead of serializing before it). Every read fences
+        # first, so read-your-writes ordering is unchanged. The
+        # distributed rounds write through raw shard handles and bypass
+        # this facade — the crawl loop calls mark_external_writes()
+        # before running one, which permanently disables the
+        # empty-set fast path.
+        self._pending: list = []
+        self._dirty = False
+
+    def _fence(self) -> None:
+        if self._pending:
+            ray.get(self._pending)
+            self._pending.clear()
+
+    def mark_external_writes(self) -> None:
+        """Shard state may change outside this facade (distributed
+        rounds' seen_add_batch tasks): the empty-set contains()
+        fast path is no longer sound."""
+        self._dirty = True
 
     def _split(self, hashes: np.ndarray):
         shard_ids = (hashes % self.num_shards).astype(np.int64)
@@ -472,28 +496,40 @@ class SeenSet:
     def contains(self, urls) -> np.ndarray:
         hashes = hash_strings(urls)
         out = np.zeros(len(hashes), dtype=bool)
+        if not self._dirty:
+            # nothing has ever been added through any channel: the
+            # answer is all-False without touching the shard actors
+            # (round 0 of a fresh crawl — skips the startup wait)
+            return out
+        self._fence()
         parts = list(self._split(hashes))
         refs = [self.shards[s].contains.remote(hashes[idx]) for s, idx in parts]
         for (s, idx), mask in zip(parts, ray.get(refs)):
             out[idx] = mask
         return out
 
-    def add(self, urls) -> int:
+    def add(self, urls) -> None:
+        """Fire-and-forget registration; any subsequent read through
+        this facade fences on the in-flight RPCs first."""
         hashes = hash_strings(urls)
-        refs = [self.shards[s].add.remote(hashes[idx])
-                for s, idx in self._split(hashes)]
-        return sum(ray.get(refs))
+        self._pending.extend(
+            self.shards[s].add.remote(hashes[idx])
+            for s, idx in self._split(hashes))
+        self._dirty = True
 
     def size(self) -> int:
+        self._fence()
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
     def dump_sorted(self) -> np.ndarray:
+        self._fence()
         arrs = ray.get([s.dump.remote() for s in self.shards])
         return np.sort(np.concatenate(arrs)) if arrs else np.array([], np.uint64)
 
     def checkpoint(self, directory: str) -> None:
         import shutil
 
+        self._fence()
         shutil.rmtree(directory, ignore_errors=True)  # overwrite cleanly
         os.makedirs(directory, exist_ok=True)
         ray.get([
@@ -502,10 +538,12 @@ class SeenSet:
         ])
 
     def restore(self, directory: str) -> None:
+        self._fence()
         ray.get([
             s.restore.remote(os.path.join(directory, f"shard={i}.parquet"))
             for i, s in enumerate(self.shards)
         ])
+        self._dirty = True
 
 
 def seen_contains_filter(batch: pa.Table, *, shards: list, num_shards: int,
