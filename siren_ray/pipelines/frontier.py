@@ -878,9 +878,13 @@ class _Crawl:
     def _run_round_distributed(self, r: int, frontier_ds, frontier_n: int):
         cfg = self.cfg
         t_round0 = time.perf_counter()
-        # distributed rounds write the seen shards through raw handles
-        # (seen_add_batch tasks), bypassing the driver facade: its
-        # empty-set fast path must be disabled from here on
+        # distributed rounds read AND write the seen shards through raw
+        # handles (seen_contains_filter / seen_add_batch tasks),
+        # bypassing the driver facade: fence any in-flight async adds
+        # from a preceding driver round (worker-submitted actor calls
+        # have no ordering guarantee against them), and disable the
+        # facade's empty-set fast path from here on
+        self.seen.fence()
         self.seen.mark_external_writes()
         if self._pool:  # release reserved CPUs before dataset execution
             for a in self._pool:

@@ -475,10 +475,17 @@ class SeenSet:
         self._pending: list = []
         self._dirty = False
 
-    def _fence(self) -> None:
+    def fence(self) -> None:
+        """Block until every in-flight async add has landed. Callers
+        that are about to read the shard actors OUTSIDE this facade
+        (the distributed rounds' seen_contains_filter tasks) must fence
+        first — worker-submitted actor calls have no ordering guarantee
+        against the driver's pending adds."""
         if self._pending:
             ray.get(self._pending)
             self._pending.clear()
+
+    _fence = fence
 
     def mark_external_writes(self) -> None:
         """Shard state may change outside this facade (distributed

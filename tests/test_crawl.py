@@ -505,3 +505,36 @@ def test_fused_resume_clears_interrupted_round_parts(corpus_sf0001,
                         got["seq"].to_pylist()))
     assert got_rows == want_rows
     assert "https://stale.example/x" not in {u for _, u, _s in got_rows}
+
+
+def test_auto_scheduler_mixed_rounds_match_driver(corpus_sf0001,
+                                                  tmp_path_factory):
+    """scheduler='auto' with a small driver_threshold alternates
+    driver and distributed rounds within ONE crawl. This exercises the
+    seen-set facade's cross-path ordering: a driver round's async adds
+    must be fenced before a distributed round's direct shard reads,
+    and a later driver round's contains must see distributed rounds'
+    direct writes (mark_external_writes). The mixed run must equal a
+    pure driver run row-for-row."""
+    outs, orders = {}, {}
+    for label, kw in (
+        ("driver", dict(scheduler="driver")),
+        ("mixed", dict(scheduler="auto", driver_threshold=300)),
+    ):
+        out = str(tmp_path_factory.mktemp(f"crawl_mixed_{label}"))
+        outs[label] = out
+        res = run_crawl(CrawlConfig(
+            corpus_dir=corpus_sf0001, out_dir=out,
+            budget_per_round=None, round_ms=1000, max_rounds=5,
+            max_depth=6, fetch_mode="broadcast", fetch_concurrency=2,
+            ckpt_every=0, **kw,
+        ))
+        if label == "mixed":
+            scheds = [m["scheduler"] for m in res.metrics]
+            assert "driver" in scheds and "distributed" in scheds, scheds
+        t = read_crawl_order(out)
+        orders[label] = list(zip(t["round"].to_pylist(),
+                                 t["url"].to_pylist(),
+                                 t["seq"].to_pylist(),
+                                 t["found"].to_pylist()))
+    assert orders["driver"] == orders["mixed"]
