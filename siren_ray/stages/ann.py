@@ -42,12 +42,20 @@ _MERGE_PARTITIONS = 16
 
 def _topk_partial(sims: np.ndarray, ids: np.ndarray, k: int,
                   id_col: str) -> pa.Table:
-    """Vectorized per-batch top-k over ALL query columns at once:
-    one argpartition along axis 0 (no per-query Python loop). Rows with
-    sim == -inf (probe-masked) are dropped from the output."""
+    """Vectorized per-batch top-k over ALL query columns at once, with
+    the SAME deterministic tie-break as the final merge (cosine DESC,
+    id ASC): rows are pre-sorted by id, so a stable argsort on -sim
+    keeps the smallest ids among boundary ties — a plain argpartition
+    kept an arbitrary subset by batch row order, and a tied id dropped
+    here could never be recovered downstream (result sets then varied
+    with block layout). Rows with sim == -inf (probe-masked) are
+    dropped from the output."""
     n, nq = sims.shape
     kk = min(k, n)
-    top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+    order = np.argsort(ids, kind="stable")
+    sims = sims[order]
+    ids = ids[order]
+    top = np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, nq)
     rows = top.T.ravel()
     qs = np.repeat(np.arange(nq, dtype=np.int64), kk)
     vals = sims[rows, qs]
@@ -183,6 +191,11 @@ def ivf_build(ds, index_dir: str, *, n_lists: int = 16,
     """
     import shutil
 
+    # multi-pass operator contract (CLAUDE.md): count + training sample
+    # + the assignment pass each consume ds — pin once
+    from ..util import pin_for_multipass
+
+    ds = pin_for_multipass(ds)
     if train == "full":
         cents = kmeans_train(ds, n_lists, emb_col=emb_col,
                              train_sample=train_sample)

@@ -769,24 +769,43 @@ def remove_near_duplicates(ds, id_col: str, *, text_col: str = "text",
         # screen) loses its column names through to_pandas
         pairs = pd.DataFrame({"id_a": [], "id_b": []})
     losers_ref = ray.put(neardup_losers(pairs))
+    # TASK pool with a per-worker-process cache (CLAUDE.md tiny-state
+    # rule): the state is one small sorted loser-id array obtainable by
+    # zero-copy ray.get per worker — the previous actor-pool shape paid
+    # spin-up AND capped the corpus-wide drop pass at 2 workers
+    return ds.map_batches(
+        _drop_losers_task,
+        fn_kwargs={"losers_ref": losers_ref, "id_col": id_col},
+        batch_format="pyarrow",
+    )
 
-    class _Drop:
-        def __init__(self):
-            losers = ray.get(losers_ref)
-            self.losers = np.fromiter(losers, dtype=np.int64,
-                                      count=len(losers))
-            self.losers.sort()
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or not len(self.losers):
-                return t
-            ids = np.asarray(t[id_col], dtype=np.int64)
-            idx = np.searchsorted(self.losers, ids)
-            idx[idx >= len(self.losers)] = 0
-            hit = self.losers[idx] == ids
-            return t.filter(pa.array(~hit))
+_LOSERS_CACHE: dict = {}
 
-    return ds.map_batches(_Drop, batch_format="pyarrow", concurrency=(1, 2))
+
+def _drop_losers_task(t: pa.Table, *, losers_ref, id_col: str) -> pa.Table:
+    """Anti-membership filter against a broadcast sorted loser-id set
+    (per-worker-process decoded cache, task-pool discipline)."""
+    import ray
+
+    key = losers_ref.hex() if isinstance(losers_ref, ray.ObjectRef) \
+        else id(losers_ref)
+    losers = _LOSERS_CACHE.get(key)
+    if losers is None:
+        s = ray.get(losers_ref) if isinstance(losers_ref, ray.ObjectRef) \
+            else losers_ref
+        losers = np.fromiter(s, dtype=np.int64, count=len(s))
+        losers.sort()
+        if len(_LOSERS_CACHE) > 4:
+            _LOSERS_CACHE.clear()
+        _LOSERS_CACHE[key] = losers
+    if t.num_rows == 0 or not len(losers):
+        return t
+    ids = np.asarray(t[id_col], dtype=np.int64)
+    idx = np.searchsorted(losers, ids)
+    idx[idx >= len(losers)] = 0
+    hit = losers[idx] == ids
+    return t.filter(pa.array(~hit))
 
 
 # --- SimHash --------------------------------------------------------------
@@ -1360,8 +1379,17 @@ def incremental_ingest_neardup(base_ds, inc_ds, *, id_col: str,
             })
         return _fn
 
+    # multi-pass operator contract (CLAUDE.md): inc_ds feeds both the
+    # tagged union and the final anti-join; the tagged union feeds both
+    # the LSH signature pass and the verify text join — pin so each
+    # extra pass reads pinned blocks instead of re-executing upstream
+    from ..util import pin_for_multipass
+
+    inc_ds = pin_for_multipass(inc_ds)
     tagged = base_ds.map_batches(_tag(0), batch_format="pyarrow").union(
         inc_ds.map_batches(_tag(1), batch_format="pyarrow"))
+    if verify_jaccard is not None:
+        tagged = pin_for_multipass(tagged)
     pairs = minhash_duplicate_pairs(
         tagged, id_col, num_perm=num_perm, bands=bands, k=k,
         text_col=text_col)
@@ -1408,10 +1436,13 @@ def semantic_dedup(ds, *, id_col: str = "vec_id",
     sized (``max_cluster`` guards the skew case: an over-full cluster
     is truncated to its ``max_cluster`` members closest to the
     centroid, and logged — never a silent OOM). Within a cluster the
-    similarity matrix is computed in ``chunk_rows`` row-blocks
-    (memory ``chunk_rows * |cluster| * 4`` bytes), pairs feed an
-    in-cluster union-find (cluster-sized, bounded), and removed ids
-    leave as a Dataset consumed by one distributed anti-join.
+    similarity matrix is computed in ``chunk_rows`` row-blocks —
+    memory ``chunk_rows * |cluster| * 8`` bytes (float64 on purpose:
+    threshold compares must not flip with reassociation), ~800 MB per
+    chunk at the defaults, so shrink ``chunk_rows`` for tighter
+    workers — pairs feed an in-cluster union-find (cluster-sized,
+    bounded), and removed ids leave as a Dataset consumed by one
+    distributed anti-join.
 
     Engine addition per the task brief; no reference counterpart
     (the reference has no embedding operators at all).

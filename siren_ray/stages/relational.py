@@ -492,6 +492,12 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
     hot_vals: np.ndarray | None = None
     S = 0
     if salt_hot:
+        # multi-pass operator contract (CLAUDE.md): the hot-key scan,
+        # the count and the final shard pass each consume left_ds —
+        # pin so the upstream chain doesn't re-execute per pass
+        from ..util import pin_for_multipass
+
+        left_ds = pin_for_multipass(left_ds)
         hh = heavy_hitters(left_ds.select_columns([on]), on, k=hot_k)
         n_left_rows = left_ds.count()
         share = max(1, n_left_rows // P)
@@ -551,10 +557,16 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
             lt = lt.slice(0, 0)
         ldf = lt.to_pandas()
         rdf = rt.to_pandas()
-        if rkey not in rdf.columns:  # all-empty columnless shards
-            rdf = pd.DataFrame({rkey: pd.Series(dtype="int64")})
+        # all-empty columnless shards: fabricate the key column in the
+        # OTHER side's dtype (a hardcoded int64 crashed string-keyed
+        # joins — pandas refuses object-vs-int64 merges). When BOTH
+        # sides are columnless the partition is empty either way.
+        if rkey not in rdf.columns:
+            dt = ldf[on].dtype if on in ldf.columns else "int64"
+            rdf = pd.DataFrame({rkey: pd.Series(dtype=dt)})
         if on not in ldf.columns:
-            ldf = pd.DataFrame({on: pd.Series(dtype="int64")})
+            dt = rdf[rkey].dtype if rkey in rdf.columns else "int64"
+            ldf = pd.DataFrame({on: pd.Series(dtype=dt)})
         out = ldf.merge(rdf, how=how, left_on=on, right_on=rkey,
                         suffixes=("", suffix))
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -844,18 +856,20 @@ def pivot_counts(ds, row_col: str, col_col: str, *,
             return pa.table({row_col: pa.array([], pa.string()),
                              col_col: pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        rows = np.asarray(t[row_col].cast(pa.string()).to_pylist(),
-                          dtype=object)
-        cols = np.asarray(t[col_col].cast(pa.string()).to_pylist(),
-                          dtype=object)
-        fused = np.char.add(np.char.add(rows.astype(str), "\x1f"),
-                            cols.astype(str))
-        uniq, counts = np.unique(fused, return_counts=True)
-        split = np.char.partition(uniq, "\x1f")
+        # two-column C-level groupby — never a fused string key: a row
+        # value CONTAINING the separator would split at the wrong
+        # boundary and silently credit counts to a nonexistent
+        # (row, category) pair (crawled text fields can carry control
+        # chars)
+        df = pd.DataFrame({
+            row_col: t[row_col].cast(pa.string()).to_pylist(),
+            col_col: t[col_col].cast(pa.string()).to_pylist(),
+        })
+        g = df.groupby([row_col, col_col], sort=False).size()
         return pa.table({
-            row_col: pa.array(split[:, 0], pa.string()),
-            col_col: pa.array(split[:, 2], pa.string()),
-            "n": pa.array(counts.astype(np.int64), pa.int64()),
+            row_col: pa.array(g.index.get_level_values(0), pa.string()),
+            col_col: pa.array(g.index.get_level_values(1), pa.string()),
+            "n": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
         })
 
     small = (
@@ -940,9 +954,19 @@ def snapshot_diff(old_ds, new_ds, *, key: str, fp_col: str,
         from ..util import ensure_arrow
 
         tbl = ensure_arrow(tbl)
-        empty = pa.table({key: pa.array([], pa.int64()),
-                          fp_col: pa.array([], pa.string())})
         if tbl.num_rows == 0 or key not in tbl.schema.names:
+            # type the empty from the block's own schema when it has
+            # one (a hardcoded int64 key broke string/URL-keyed diffs
+            # at concat time); a truly columnless block stays
+            # columnless — concat's promote unifies it with whatever
+            # the typed shards carry, and _diff guards the
+            # all-columnless degenerate case
+            if key in tbl.schema.names:
+                empty = pa.table({
+                    key: pa.array([], tbl.schema.field(key).type),
+                    fp_col: pa.array([], pa.string())})
+            else:
+                empty = tbl.slice(0, 0)
             return [empty] * P
         tbl = tbl.select([key, fp_col])
         pk = _key_partition(tbl[key], P)
@@ -958,6 +982,12 @@ def snapshot_diff(old_ds, new_ds, *, key: str, fp_col: str,
         nt = pa.concat_tables(shards[n_old:], promote_options="default")
         odf = ot.to_pandas().rename(columns={fp_col: "fp_old"})
         ndf = nt.to_pandas().rename(columns={fp_col: "fp_new"})
+        for df, fcol in ((odf, "fp_old"), (ndf, "fp_new")):
+            # all-columnless degenerate partition (both snapshots empty)
+            if key not in df.columns:
+                df[key] = pd.Series(dtype=object)
+            if fcol not in df.columns:
+                df[fcol] = pd.Series(dtype=object)
         out = odf.merge(ndf, how="outer", on=key)
         fp_old = out["fp_old"].fillna("")
         fp_new = out["fp_new"].fillna("")
@@ -966,8 +996,11 @@ def snapshot_diff(old_ds, new_ds, *, key: str, fp_col: str,
             ["added", "removed", "changed"],
             default="unchanged",
         )
+        # preserve the key's own dtype (string URL keys are the
+        # crawl-native case — forcing int64 crashed them); from_pandas
+        # infers int64 for ints and string for object columns
         return pa.table({
-            key: pa.array(out[key].to_numpy(dtype=np.int64), pa.int64()),
+            key: pa.Array.from_pandas(out[key]),
             "status": pa.array(status.astype(object), pa.string()),
             "fp_old": pa.array(fp_old.to_numpy(dtype=object), pa.string()),
             "fp_new": pa.array(fp_new.to_numpy(dtype=object), pa.string()),

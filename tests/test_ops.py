@@ -1695,3 +1695,118 @@ def test_compression_ratio_signal():
     assert 0 < r[1] < 0.2 and 0.2 < r[0] <= 1.2
     assert np.isnan(r[2]) and np.isnan(r[3])
     assert out.column_names[-1] == "zlib_ratio"
+
+
+def test_snapshot_diff_string_keys(ray_session):
+    """URL (string) keys — the crawl-native case — must work end to
+    end: the key partitioner already hashed strings, but the per-
+    partition diff used to force int64 and crash."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import snapshot_diff
+
+    old = rd.from_pandas(pd.DataFrame({
+        "url": [f"https://ex.org/p/{i}" for i in range(40)],
+        "fp": [f"f{i % 7}" for i in range(40)],
+    })).repartition(4)
+    new = rd.from_pandas(pd.DataFrame({
+        "url": [f"https://ex.org/p/{i}" for i in range(10, 50)],
+        "fp": [f"f{(i + (1 if i % 5 == 0 else 0)) % 7}" for i in
+               range(10, 50)],
+    })).repartition(3)
+    got = snapshot_diff(old, new, key="url", fp_col="fp",
+                        num_partitions=4).to_pandas()
+    assert len(got) == 50
+    by = got.set_index("url")["status"]
+    assert (by.loc[[f"https://ex.org/p/{i}" for i in range(10)]]
+            == "removed").all()
+    assert (by.loc[[f"https://ex.org/p/{i}" for i in range(40, 50)]]
+            == "added").all()
+    mid = [f"https://ex.org/p/{i}" for i in range(10, 40)]
+    assert set(by.loc[mid]) <= {"changed", "unchanged"}
+    changed = {u for u in mid
+               if int(u.rsplit("/", 1)[1]) % 5 == 0}
+    assert set(by.loc[list(changed)]) == {"changed"}
+
+
+def test_hash_join_empty_string_keyed_right(ray_session):
+    """A left join whose right side is fully empty (columnless blocks
+    after upstream filters) must pass left rows through — the old
+    int64-typed fallback crashed pandas on string keys."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.relational import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({
+        "url": [f"https://ex.org/{i}" for i in range(20)],
+        "v": list(range(20)),
+    })).repartition(3)
+    right = rd.from_pandas(pd.DataFrame({
+        "url": pd.Series(dtype=object),
+        "w": pd.Series(dtype="int64"),
+    })).map_batches(lambda t: t, batch_format="pyarrow")
+    got = hash_join(left, right, on="url", how="left",
+                    broadcast=False,  # force the shuffle path
+                    num_partitions=4).to_pandas()
+    assert len(got) == 20
+    assert sorted(got["v"]) == list(range(20))
+
+
+def test_pivot_counts_separator_in_values(ray_session):
+    """Row/category values containing the old fused-key separator
+    (\\x1f) must not misattribute counts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from siren_ray.stages.relational import pivot_counts
+
+    df = pd.DataFrame({
+        "r": ["a\x1fb", "a\x1fb", "a", "a"],
+        "c": ["x", "y", "b\x1fx", "x"],
+    })
+    got = pivot_counts(rd.from_pandas(df).repartition(2), "r", "c")
+    wide = got.set_index("r")
+    assert wide.loc["a\x1fb", "n_x"] == 1
+    assert wide.loc["a\x1fb", "n_y"] == 1
+    assert wide.loc["a", "n_b\x1fx"] == 1
+    assert wide.loc["a", "n_x"] == 1
+    # no phantom rows/categories from mis-splitting
+    assert set(wide.index) == {"a", "a\x1fb"}
+
+
+def test_topk_ties_invariant_under_partitioning(ray_session):
+    """Duplicate embeddings tied at the k boundary: the per-batch
+    prune must keep the SMALLEST ids (the documented cosine DESC,
+    id ASC order), so the result is identical at any block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siren_ray.stages.ann import brute_force_topk
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(4, 8)).astype(np.float32)
+    # 30 copies of vector 0 (all tied), plus distinct others
+    embs = np.vstack([np.tile(base[0], (30, 1)),
+                      base[1:],
+                      rng.normal(size=(30, 8)).astype(np.float32)])
+    ids = np.arange(len(embs), dtype=np.int64)
+    rng.shuffle(ids)  # ids uncorrelated with row order
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in embs]),
+    })
+    q = base[0:1]
+    results = []
+    for parts in (1, 3, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got = brute_force_topk(ds, q, k=10).to_pandas()
+        results.append(list(zip(got["vec_id"], got["cosine"].round(9))))
+    assert results[0] == results[1] == results[2]
+    # the tied block (30 copies of the query vector) fills all of k=10
+    # with its SMALLEST ids
+    tied_ids = sorted(ids[:30])
+    assert [r[0] for r in results[0]] == tied_ids[:10]
