@@ -101,7 +101,7 @@ def crawl_main(argv=None) -> int:
     res = run_crawl(cfg)
     wall = time.perf_counter() - t0
     stage = {k: round(sum(float(m.get(k, 0.0)) for m in res.metrics), 3)
-             for k in ("t_sched", "t_fetch", "t_write", "t_frontier")}
+             for k in ("t_sched", "t_fetch", "io_s", "t_frontier")}
     print(json.dumps({
         "metric": "crawl_fetch_extract_wall",
         "value": round(wall, 3), "unit": "sec",

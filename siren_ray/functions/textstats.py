@@ -67,7 +67,6 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ).to_numpy(zero_copy_only=False).astype(np.float64)
     n_words = np.bincount(parent, minlength=n_rows)
     n_stop = np.bincount(parent, weights=isstop, minlength=n_rows)
-    stop_ratio = np.divide(n_stop, np.maximum(n_words, 1))
     # token count from the SAME split (Arrow's split keeps empty strings
     # for leading/trailing/repeated whitespace — dropping them matches
     # token_count_ws's \S+ regex exactly, verified on edge cases in
@@ -80,6 +79,11 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         pc.equal(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
     ]
     n_tok_np = n_words - np.bincount(empty_pos, minlength=n_rows)
+    # ratio over REAL tokens: the raw split count still includes the
+    # empty strings, which diluted the ratio for text with leading/
+    # trailing/blank-line whitespace (a stopword never matches an empty
+    # token, so only the denominator was wrong)
+    stop_ratio = np.divide(n_stop, np.maximum(n_tok_np, 1))
     valid = pc.is_valid(
         col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     ).to_numpy(zero_copy_only=False)
@@ -206,10 +210,14 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # lower THEN slice, matching the reference's t.lower()[:1000] —
+    # sliced-then-lowered windows grow past 1000 codepoints when a
+    # character's lowercase expands (e.g. U+0130 -> 2 codepoints) and
+    # the extra tail grams could flip the prediction
     s = pc.binary_join_element_wise(
         pa.scalar(" "),
-        pc.utf8_lower(pc.utf8_slice_codeunits(
-            pc.coalesce(col, pa.scalar("")), 0, 1000)),
+        pc.utf8_slice_codeunits(pc.utf8_lower(
+            pc.coalesce(col, pa.scalar(""))), 0, 1000),
         pa.scalar(" "),
         pa.scalar(""),
     )
@@ -545,7 +553,7 @@ def gopher_rules_batch(batch: pa.Table, *, text_col: str = "text",
     # --- top n-gram char coverage ------------------------------------
     from siren_ray.util import hash_strings
 
-    whash = (hash_strings(list(wnp)).astype(np.uint64)
+    whash = (hash_strings(wnp, categorize=True).astype(np.uint64)
              if len(wnp) else np.empty(0, np.uint64))
 
     def _top_gram(k: int) -> np.ndarray:
@@ -609,7 +617,7 @@ def dup_ngram_chars_batch(batch: pa.Table, *, text_col: str = "text",
     col = pc.coalesce(batch[text_col], pa.scalar(""))
     n = batch.num_rows
     wparent, wlen, wnp = _flat_words(col)
-    whash = (hash_strings(list(wnp)).astype(np.uint64)
+    whash = (hash_strings(wnp, categorize=True).astype(np.uint64)
              if len(wnp) else np.empty(0, np.uint64))
     word_chars = np.bincount(
         wparent, weights=wlen.astype(np.float64), minlength=n

@@ -657,30 +657,63 @@ class _Crawl:
                     self.host_backoff_until[h] = until
 
     def _fold_retry_after(self, fetched):
-        """Fold the per-row ``retry_after_s`` column (the distributed
-        schedulers' 429/503 signal channel out of map_batches actors)
-        into host_backoff_until, then drop the column so the extracted
-        schema stays identical across scheduler modes. Host-cardinality
+        """Fold the per-row live-HTTP politeness columns (the
+        distributed schedulers' signal channel out of map_batches
+        actors) into driver state — ``retry_after_s`` -> host backoff
+        deadlines, ``fetch_ms`` -> the adaptive-politeness latency EWMA
+        — then drop both columns so the extracted schema stays
+        identical across scheduler modes. ONE pass, host-cardinality
         driver traffic, like the robots table."""
+        adaptive = self.cfg.adaptive_politeness
 
-        def _ra_partial(t: pa.Table) -> pa.Table:
+        def _partial(t: pa.Table) -> pa.Table:
             mask = pc.is_valid(t["retry_after_s"])
             hit = t.filter(mask)
-            if not hit.num_rows:
-                return pa.table({"host": pa.array([], pa.string()),
-                                 "ra": pa.array([], pa.float64())})
-            df = hit.select(["host", "retry_after_s"]).to_pandas()
-            g = df.groupby("host", sort=False)["retry_after_s"].max()
-            return pa.table({"host": pa.array(g.index, pa.string()),
-                             "ra": pa.array(g.to_numpy(), pa.float64())})
+            if hit.num_rows:
+                df = hit.select(["host", "retry_after_s"]).to_pandas()
+                g = df.groupby("host", sort=False)["retry_after_s"].max()
+                ra_h, ra_v = list(g.index), g.to_numpy()
+            else:
+                ra_h, ra_v = [], np.zeros(0)
+            if adaptive:
+                mt = t.filter(pc.is_valid(t["fetch_ms"]))
+                if mt.num_rows:
+                    mdf = mt.select(["host", "fetch_ms"]).to_pandas()
+                    mg = mdf.groupby("host", sort=False)["fetch_ms"].agg(
+                        ["count", "sum"])
+                    lat_h = list(mg.index)
+                    lat_n = mg["count"].to_numpy()
+                    lat_s = mg["sum"].to_numpy()
+                else:
+                    lat_h, lat_n, lat_s = [], np.zeros(0), np.zeros(0)
+            else:
+                lat_h, lat_n, lat_s = [], np.zeros(0), np.zeros(0)
+            return pa.table({
+                "host": pa.array(list(ra_h) + list(lat_h), pa.string()),
+                "kind": pa.array(["ra"] * len(ra_h) + ["ms"] * len(lat_h),
+                                 pa.string()),
+                "a": pa.array(np.concatenate([ra_v, lat_n]).astype(
+                    np.float64), pa.float64()),
+                "b": pa.array(np.concatenate([np.zeros(len(ra_h)),
+                                              lat_s]).astype(np.float64),
+                              pa.float64()),
+            })
 
-        ra_parts = fetched.map_batches(
-            _ra_partial, batch_format="pyarrow").to_pandas()
-        if len(ra_parts):
-            # a host can appear in several batch partials: max wins
-            self._merge_retry_after(
-                [ra_parts.groupby("host")["ra"].max().to_dict()])
-        return fetched.drop_columns(["retry_after_s"])
+        parts = fetched.map_batches(
+            _partial, batch_format="pyarrow").to_pandas()
+        if len(parts):
+            ra = parts[parts["kind"] == "ra"]
+            if len(ra):
+                # a host can appear in several batch partials: max wins
+                self._merge_retry_after(
+                    [ra.groupby("host")["a"].max().to_dict()])
+            ms = parts[parts["kind"] == "ms"]
+            if len(ms):
+                g = ms.groupby("host")[["a", "b"]].sum()
+                self._merge_latency([
+                    {h: (int(r["a"]), float(r["b"]))
+                     for h, r in g.iterrows()}])
+        return fetched.drop_columns(["retry_after_s", "fetch_ms"])
 
     def _active_backoff_hosts(self) -> frozenset:
         """Hosts whose Retry-After backoff window is still open (expired
@@ -724,7 +757,7 @@ class _Crawl:
         t_sched = time.perf_counter() - t0
         n_sel = sel_tbl.num_rows
         n_err = n_parse_ok = n_links = 0
-        t_fetch = t_write = 0.0
+        t_fetch = 0.0
         self._n_chunks, self._busy_max = 0, 0.0
         self._read_s, self._read_misses = 0.0, 0
         self._busy_s = self._write_s = 0.0
@@ -855,7 +888,6 @@ class _Crawl:
         return {
             "t_sched": round(t_sched, 3),
             "t_fetch": round(t_fetch, 3),
-            "t_write": round(t_write, 3),
             "t_frontier": round(t_frontier, 3),
             "busy_s": round(getattr(self, "_busy_s", 0.0), 3),
             "io_s": round(getattr(self, "_write_s", 0.0), 3),
@@ -912,6 +944,16 @@ class _Crawl:
             batch_format="pyarrow",
         )
         backoff = self._active_backoff_hosts()
+        # adaptive politeness on the distributed path: per-host
+        # EFFECTIVE quotas (EWMA-tightened, backoff-folded) computed
+        # driver-side — host-cardinality state, shipped by value like
+        # the robots table; same math the driver scheduler applies
+        overrides: dict[str, int] = {}
+        if cfg.adaptive_politeness:
+            for h in list(self.host_lat_ewma):
+                q = self._effective_quota(h)
+                if q < host_quota(self.robots, h, cfg.round_ms):
+                    overrides[h] = q
         if cfg.salt_hosts == 0:
             # legacy unsalted per-host groupby (conformance reference;
             # skew-unsafe — a hot host's whole frontier share lands in
@@ -919,7 +961,8 @@ class _Crawl:
             cand = cand.groupby("host").map_groups(
                 host_quota_rank,
                 fn_kwargs={"robots": self.robots, "round_ms": cfg.round_ms,
-                           "backoff_hosts": backoff},
+                           "backoff_hosts": backoff,
+                           "quota_overrides": overrides},
                 batch_format="pandas",
             )
         else:
@@ -930,7 +973,7 @@ class _Crawl:
             # robots table makes it multi-pass (unlimited-host bypass)
             cand = host_quota_partitioned(
                 cand, self.robots, cfg.round_ms, num_salts=num_salts,
-                backoff_hosts=backoff,
+                backoff_hosts=backoff, quota_overrides=overrides,
             )
         if cfg.budget_per_round is None:
             # open-budget (the scale path): no global sort+limit is
@@ -998,8 +1041,16 @@ class _Crawl:
                 # driver-built seq set, no per-row membership probes.
                 from ..util import ensure_arrow
 
-                last_block = ensure_arrow(
-                    ray.get(selected.to_arrow_refs()[-1]))
+                # walk back past empty trailing blocks: a range-
+                # partitioned sort + limit can legitimately emit them,
+                # and indexing row -1 of one would crash the round
+                last_block = None
+                for ref in reversed(selected.to_arrow_refs()):
+                    cand_block = ensure_arrow(ray.get(ref))
+                    if cand_block.num_rows:
+                        last_block = cand_block
+                        break
+                assert last_block is not None  # n_eligible > budget > 0
                 bound_pri = last_block["priority"][-1].as_py()
                 bound_seq = last_block["seq"][-1].as_py()
 
@@ -1350,14 +1401,18 @@ class _Crawl:
                 with open(ckpt_marker) as f:
                     ckpt_round = int(f.read().strip())
             metrics = [m for m in metrics if m["round"] <= ckpt_round]
+            # ALWAYS rewrite the filtered log — a crash before the first
+            # checkpoint (ckpt_round -1, filtered list empty) used to
+            # leave the stale file intact and append re-run rounds to
+            # it, duplicating round records for every metrics consumer
+            with open(self.metrics_path, "w") as f:
+                for m in metrics:
+                    f.write(json.dumps(m) + "\n")
             if metrics:
                 start_round = metrics[-1]["round"] + 1
                 self.seen.restore(
                     os.path.join(self.seen_ckpt_dir, f"r{ckpt_round:05d}")
                 )
-                with open(self.metrics_path, "w") as f:
-                    for m in metrics:
-                        f.write(json.dumps(m) + "\n")
         else:
             for sub in ("frontier", "extracted", "seen_ckpt"):
                 shutil.rmtree(os.path.join(cfg.out_dir, sub),

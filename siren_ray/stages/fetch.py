@@ -227,6 +227,7 @@ class FetchExtract:
                 cur[0] += 1
                 cur[1] += m
         self._pending_url_ras = {}
+        self._pending_url_ms = dict(zip(urls, ms))
         for u, ra in zip(urls, ras):
             if ra is not None:
                 h = host_of(u)
@@ -317,21 +318,29 @@ class FetchExtract:
                 "round", pa.array([round_no] * out.num_rows, pa.int32())
             )
         if emit_retry_after:
-            # distributed-scheduler channel for the 429/503 Retry-After
-            # signal: map_batches actors can't be drained by the driver,
-            # so the backoff seconds ride out as a per-row column (null
-            # except on the few URLs a server throttled) and the crawl
-            # loop folds the host-level max into host_backoff_until.
-            # Keyed by url: _fetch_extract reorders rows (hits then
-            # misses) and 429/503 rows are always misses.
+            # distributed-scheduler channel for the live-HTTP politeness
+            # signals: map_batches actors can't be drained by the
+            # driver, so the 429/503 Retry-After seconds AND the per-URL
+            # wall latency ride out as per-row columns and the crawl
+            # loop folds the host-level aggregates into
+            # host_backoff_until / host_lat_ewma. Keyed by url:
+            # _fetch_extract reorders rows (hits then misses) and
+            # 429/503 rows are always misses.
+            urls_out = out["url"].to_pylist()
             pending = getattr(self, "_pending_url_ras", None) or {}
             if pending:
-                vals = [pending.get(u) for u in out["url"].to_pylist()]
-                col = pa.array(vals, pa.float64())
+                col = pa.array([pending.get(u) for u in urls_out],
+                               pa.float64())
                 self._pending_url_ras = {}
             else:
                 col = pa.nulls(out.num_rows, pa.float64())
             out = out.append_column("retry_after_s", col)
+            pend_ms = getattr(self, "_pending_url_ms", None) or {}
+            ms_col = (pa.array([pend_ms.get(u) for u in urls_out],
+                               pa.float64())
+                      if pend_ms else pa.nulls(out.num_rows, pa.float64()))
+            self._pending_url_ms = {}
+            out = out.append_column("fetch_ms", ms_col)
         return out
 
     def _fetch_extract(self, batch: pa.Table) -> pa.Table:

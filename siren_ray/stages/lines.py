@@ -129,31 +129,41 @@ def remove_frequent_lines(ds, *, text_col: str = "text",
                 len(frequent), min_count)
     freq_ref = ray.put(frequent)
 
-    class _StripFrequent:
-        def __init__(self):
-            self.frequent = ray.get(freq_ref)
+    # TASK pool (CLAUDE.md tiny-state rule): the state is one broadcast
+    # sorted uint64 array, fetched zero-copy per task — same shape as
+    # remove_duplicate_spans' _strip in this file; an actor pool paid
+    # spin-up page faults for nothing
+    return ds.map_batches(
+        _strip_frequent_task,
+        fn_kwargs={"freq_ref": freq_ref, "text_col": text_col,
+                   "separator": separator},
+        batch_format="pyarrow",
+    )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            flat, parents = _split_lines(t, text_col, separator)
-            if len(self.frequent):
-                h = _line_hashes(flat)
-                pos = np.searchsorted(self.frequent, h)
-                pos[pos >= len(self.frequent)] = 0
-                keep = self.frequent[pos] != h
-            else:
-                keep = np.ones(len(flat), dtype=bool)
-            flat_k = flat.filter(pa.array(keep))
-            cnt = np.bincount(parents[keep], minlength=t.num_rows)
-            offsets = np.zeros(t.num_rows + 1, dtype=np.int32)
-            np.cumsum(cnt, out=offsets[1:])
-            la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                          flat_k)
-            joined = pc.binary_join(la, pa.scalar(separator))
-            idx = t.schema.get_field_index(text_col)
-            return t.set_column(idx, text_col, joined)
 
-    return ds.map_batches(_StripFrequent, batch_format="pyarrow",
-                          concurrency=(1, 8))
+def _strip_frequent_task(t: pa.Table, *, freq_ref, text_col: str,
+                         separator: str) -> pa.Table:
+    import ray
+
+    frequent = ray.get(freq_ref) if isinstance(freq_ref, ray.ObjectRef) \
+        else freq_ref
+    flat, parents = _split_lines(t, text_col, separator)
+    if len(frequent):
+        h = _line_hashes(flat)
+        pos = np.searchsorted(frequent, h)
+        pos[pos >= len(frequent)] = 0
+        keep = frequent[pos] != h
+    else:
+        keep = np.ones(len(flat), dtype=bool)
+    flat_k = flat.filter(pa.array(keep))
+    cnt = np.bincount(parents[keep], minlength=t.num_rows)
+    offsets = np.zeros(t.num_rows + 1, dtype=np.int32)
+    np.cumsum(cnt, out=offsets[1:])
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                  flat_k)
+    joined = pc.binary_join(la, pa.scalar(separator))
+    idx = t.schema.get_field_index(text_col)
+    return t.set_column(idx, text_col, joined)
 
 
 def word_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
@@ -423,29 +433,36 @@ def ngram_contamination(docs_ds, bench_ds, *, id_col: str = "doc_id",
                 len(bench), n)
     bench_ref = ray.put(bench)
 
-    class _Score:
-        def __init__(self):
-            self.bench = ray.get(bench_ref)
+    # TASK pool (CLAUDE.md tiny-state rule), like _strip_frequent_task
+    return docs_ds.map_batches(
+        _contamination_score_task,
+        fn_kwargs={"bench_ref": bench_ref, "id_col": id_col,
+                   "text_col": text_col, "n": n},
+        batch_format="pyarrow",
+    )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            gh, gpar, counts = _gram_hashes(t, text_col, n)
-            n_grams = np.maximum(counts - (n - 1), 0).astype(np.int64)
-            if len(gh) and len(self.bench):
-                pos = np.searchsorted(self.bench, gh)
-                pos[pos >= len(self.bench)] = 0
-                hit = self.bench[pos] == gh
-                contaminated = np.bincount(
-                    gpar[hit], minlength=t.num_rows).astype(np.int64)
-            else:
-                contaminated = np.zeros(t.num_rows, np.int64)
-            return pa.table({
-                id_col: t[id_col],
-                "n_grams": pa.array(n_grams, pa.int64()),
-                "n_contaminated": pa.array(contaminated, pa.int64()),
-            })
 
-    return docs_ds.map_batches(_Score, batch_format="pyarrow",
-                               concurrency=(1, 8))
+def _contamination_score_task(t: pa.Table, *, bench_ref, id_col: str,
+                              text_col: str, n: int) -> pa.Table:
+    import ray
+
+    bench = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) \
+        else bench_ref
+    gh, gpar, counts = _gram_hashes(t, text_col, n)
+    n_grams = np.maximum(counts - (n - 1), 0).astype(np.int64)
+    if len(gh) and len(bench):
+        pos = np.searchsorted(bench, gh)
+        pos[pos >= len(bench)] = 0
+        hit = bench[pos] == gh
+        contaminated = np.bincount(
+            gpar[hit], minlength=t.num_rows).astype(np.int64)
+    else:
+        contaminated = np.zeros(t.num_rows, np.int64)
+    return pa.table({
+        id_col: t[id_col],
+        "n_grams": pa.array(n_grams, pa.int64()),
+        "n_contaminated": pa.array(contaminated, pa.int64()),
+    })
 
 
 def duplicate_passages(ds, *, id_col: str = "doc_id",
@@ -603,6 +620,11 @@ def dedup_paragraphs(ds, *, id_col: str = "doc_id",
 
         win_shards = shards[:n_win]
         doc_shards = shards[n_win:]
+        if not doc_shards:
+            # zero-block input dataset: no shards at all — indexing
+            # doc_shards[0] used to raise on an empty corpus
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string())})
         tbl = pa.concat_tables(
             [s for s in doc_shards if s.num_rows],
             promote_options="default",

@@ -178,7 +178,8 @@ def salted_host_quota(ds, robots: dict, round_ms: int, num_salts: int = 8):
 
 def host_quota_partitioned(ds, robots: dict, round_ms: int, *,
                            num_salts: int = 8, num_buckets: int = 32,
-                           backoff_hosts: frozenset | set | None = None):
+                           backoff_hosts: frozenset | set | None = None,
+                           quota_overrides: dict | None = None):
     """Skew-safe, fully vectorized per-host quota stage — the distributed
     scheduler's DEFAULT (``CrawlConfig.salt_hosts="auto"``).
 
@@ -226,6 +227,11 @@ def host_quota_partitioned(ds, robots: dict, round_ms: int, *,
         # when it has no robots entry; _rank_pass's `rank < 0` is
         # vacuously false, so every row defers
         limited.update({h: 0 for h in backoff_hosts})
+    if quota_overrides:
+        # driver-computed per-host effective quotas (adaptive
+        # politeness EWMA tightening, possibly folded with backoff) —
+        # the same host-cardinality shipping as the robots table
+        limited.update({h: int(q) for h, q in quota_overrides.items()})
     _HELPERS = ("_salt", "_pk1", "_pk2", "_q", "_ok", "salt_pass")
 
     def _base_cols(t: pa.Table) -> list[str]:
@@ -339,7 +345,8 @@ def host_quota_partitioned(ds, robots: dict, round_ms: int, *,
 
 
 def host_quota_rank(df: pd.DataFrame, robots: dict, round_ms: int,
-                    backoff_hosts: frozenset | set | None = None
+                    backoff_hosts: frozenset | set | None = None,
+                    quota_overrides: dict | None = None
                     ) -> pd.DataFrame:
     """map_groups fn (grouped by host): rank rows by (-priority, seq) and
     mark the first quota(h) as within-quota.
@@ -347,13 +354,19 @@ def host_quota_rank(df: pd.DataFrame, robots: dict, round_ms: int,
     Only robots-allowed rows consume quota slots (robots skip precedes the
     quota stage in the scheduling spec); disallowed rows get
     ``in_quota=False``. A host inside an active Retry-After backoff
-    window (``backoff_hosts``) gets quota 0 — all rows defer.
+    window (``backoff_hosts``) gets quota 0 — all rows defer; a
+    ``quota_overrides`` entry (adaptive-politeness tightening) replaces
+    the robots-derived quota outright.
     """
     if df.empty:
         return df
     host = df["host"].iloc[0]
-    q = (0 if backoff_hosts and host in backoff_hosts
-         else host_quota(robots, host, round_ms))
+    if quota_overrides and host in quota_overrides:
+        q = int(quota_overrides[host])
+    elif backoff_hosts and host in backoff_hosts:
+        q = 0
+    else:
+        q = host_quota(robots, host, round_ms)
     df = df.sort_values(["priority", "seq"], ascending=[False, True], kind="mergesort")
     ok = (
         df["robots_ok"].to_numpy(dtype=bool)

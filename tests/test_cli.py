@@ -133,7 +133,7 @@ def test_cli_crawl_job(ray_session, corpus_sf0001, tmp_path, capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rep = json.loads(line)
     assert rep["rounds"] == 2 and rep["fetched"] > 0
-    assert set(rep["stage_wall_s"]) == {"t_sched", "t_fetch", "t_write",
+    assert set(rep["stage_wall_s"]) == {"t_sched", "t_fetch", "io_s",
                                         "t_frontier"}
     assert os.path.isdir(os.path.join(out, "extracted"))
     # resume: continues from checkpoint (more rounds, monotone fetched)

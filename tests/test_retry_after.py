@@ -348,3 +348,64 @@ def test_crawl_retry_after_deferral_distributed(tmp_path, ray_session):
     # distributed rounds kept deferring them
     tail = [m for m in res.metrics if m["round"] >= 2]
     assert tail and all(m["deferred"] >= 2 for m in tail)
+
+
+def test_adaptive_politeness_distributed(tmp_path, ray_session):
+    """ADVICE-class gap: adaptive politeness used to be driver-path
+    only. On the distributed (fused) scheduler a slow host's observed
+    latency must tighten its per-round quota: with ~250 ms pages,
+    round_ms=1000 and k=2 the effective quota is 1-2, so the slow
+    host's 8 children spread over several rounds while the fast host
+    finishes in one."""
+    from siren_ray.pipelines.frontier import CrawlConfig, run_crawl
+
+    def u(host, name):
+        return f"https://{host}/search/{name}"
+
+    pages, slow = {}, {}
+    for host in ("slow.test", "fast.test"):
+        kids = [u(host, f"c{k}") for k in range(8)]
+        pages[u(host, "s0")] = _link_page_kids(kids)
+        for k in kids:
+            pages[k] = _link_page_kids([])
+    for url in pages:
+        if url.startswith("https://slow.test"):
+            slow[url] = 0.25
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus, exist_ok=True)
+    pq.write_table(pa.table({
+        "url": pa.array([u("slow.test", "s0"), u("fast.test", "s0")]),
+        "priority": pa.array([1.0, 1.0], pa.float64()),
+        "seed_id": pa.array([0, 1], pa.int64()),
+    }), os.path.join(corpus, "seeds.parquet"))
+    pq.write_table(pa.table({
+        "host": pa.array([], pa.string()),
+        "disallow_prefixes": pa.array([], pa.list_(pa.string())),
+        "crawl_delay_ms": pa.array([], pa.int64()),
+    }), os.path.join(corpus, "robots.parquet"))
+
+    with CorpusHttpServer(pages, slow_urls=slow) as srv:
+        cfg = CrawlConfig(
+            corpus_dir=str(corpus), out_dir=str(tmp_path / "out"),
+            budget_per_round=None, round_ms=1000, max_rounds=10,
+            max_depth=4, scheduler="distributed", fetch_mode="http",
+            http_base=srv.base_url, fetch_concurrency=2,
+            adaptive_politeness=True, adaptive_k=2.0, ckpt_every=0,
+        )
+        res = run_crawl(cfg)
+    df = _extracted_df(cfg.out_dir)
+    df["host"] = df["url"].str.split("/").str[2]
+    per_round = df[df["found"]].groupby(["host", "round"]).size()
+    # fast host: all 8 children in round 1
+    assert per_round.get(("fast.test", 1), 0) == 8
+    # slow host: round-1+ selections throttled to the adaptive quota
+    slow_rounds = per_round.loc["slow.test"].drop(index=0)
+    assert (slow_rounds <= 2).all(), dict(slow_rounds)
+    assert slow_rounds.sum() == 8  # throttled, never dropped
+    assert len(slow_rounds) >= 3  # spread over several rounds
+    assert res.total_errors == 0
+
+
+def _link_page_kids(urls) -> bytes:
+    body = "".join(f'<a href="{u}">x</a>' for u in urls)
+    return f'<div class="searchcontent">{body}</div>'.encode()
