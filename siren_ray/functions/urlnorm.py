@@ -34,28 +34,43 @@ _TRACKING = ("fbclid", "gclid", "msclkid")
 
 # Already-canonical screen: lowercase scheme, lowercase reg-name host
 # without port, non-empty path, no query, no fragment, no %XX, no
-# backslashes or doubled slashes in the path.
+# backslashes, doubled slashes or WHITESPACE in the path (a trailing
+# space used to pass the screen while the scalar spec strips it — two
+# canonical forms for one URL).
 _CANONICAL_RE = (
     r"^https?://"                 # lowercase scheme (regex is case-sens.)
     r"[a-z0-9]([a-z0-9.-]*[a-z0-9])?"  # lowercase host, no port
-    r"((/[^/?#\\%]+)+/?|/)$"      # explicit path, no ?/#/%/backslash
+    r"((/[^/?#\\%\s]+)+/?|/)$"    # explicit path, no ?/#/%/\/whitespace
 )
 
 
 def canonicalize_url(url: str) -> str:
-    """Exact scalar canonicalization (the semantics spec)."""
+    """Exact scalar canonicalization (the semantics spec). Anything
+    unparseable passes through stripped but otherwise untouched —
+    a crawled page's one malformed href must never kill the batch."""
+    s = url.strip()
     try:
-        parts = urlsplit(url.strip())
+        parts = urlsplit(s)
+        port = parts.port  # raises ValueError on malformed ports —
+        # urlsplit defers port validation to this property access
     except ValueError:
-        return url.strip()
+        return s
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower()
-    port = parts.port
+    if ":" in host:  # IPv6 literal: hostname strips the brackets
+        host = f"[{host}]"
     if port is not None and not (
         (scheme == "http" and port == 80)
         or (scheme == "https" and port == 443)
     ):
         host = f"{host}:{port}"
+    if parts.username is not None:
+        # preserve userinfo: a credentialed URL is NOT the same
+        # resource as its bare-host counterpart
+        userinfo = parts.username
+        if parts.password is not None:
+            userinfo += f":{parts.password}"
+        host = f"{userinfo}@{host}"
     path = parts.path or "/"
     q = [
         (k, v)
@@ -68,19 +83,23 @@ def canonicalize_url(url: str) -> str:
 
 def canonicalize_urls(col) -> pa.Array:
     """Vectorized batch canonicalization: regex fast-path screen, exact
-    slow path only for the non-canonical minority."""
+    slow path only for the non-canonical minority (taken by index and
+    scattered back — never a full-column Python materialization).
+    Nulls propagate as nulls."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if len(arr) == 0:
         return pa.array([], pa.string())
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
     ok = pc.fill_null(
         pc.match_substring_regex(arr, _CANONICAL_RE), False
     ).to_numpy(zero_copy_only=False).astype(bool)
-    if ok.all():
-        return arr
-    out = np.asarray(arr.to_pylist(), dtype=object)
-    for i in np.flatnonzero(~ok):
-        out[i] = canonicalize_url(out[i] or "")
-    return pa.array(out, pa.string())
+    fix = ~ok & valid
+    if not fix.any():
+        return arr if isinstance(arr, pa.Array) else arr.combine_chunks()
+    idx = np.flatnonzero(fix)
+    sub = arr.take(pa.array(idx)).to_pylist()
+    fixed = pa.array([canonicalize_url(u) for u in sub], pa.string())
+    return pc.replace_with_mask(arr, pa.array(fix), fixed)
 
 
 # --- mimetype inference (W7) ----------------------------------------------

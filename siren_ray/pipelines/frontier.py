@@ -64,10 +64,6 @@ from ..util import hash_strings, hosts_of, paths_of
 
 FRONTIER_COLS = ["url", "host", "path", "priority", "depth", "seq"]
 
-# per-worker-process part counter keyed by task id (same discipline as
-# sources/warc.py:_WRITE_SEQ): deterministic part names under Ray's
-# at-least-once task execution
-_PART_SEQ: dict[str, int] = {}
 
 
 @dataclass
@@ -1137,9 +1133,14 @@ class _Crawl:
                            or "driver")
                 except Exception:
                     tid = "driver"
-                seq = _PART_SEQ.get(tid, 0)
-                _PART_SEQ[tid] = seq + 1
-                name = hashlib.md5(f"{tid}:{seq}".encode()).hexdigest()[:16]
+                # part identity = (task id, first url): replay-stable
+                # (a retry on the SAME still-alive worker used to
+                # continue a process-global counter and mint fresh
+                # names for replayed blocks -> duplicate parts); urls
+                # are round-unique, so names are distinct per block
+                name = hashlib.md5(
+                    f"{tid}:{t['url'][0].as_py()}".encode()
+                ).hexdigest()[:16]
                 # "."-prefixed tmp: a crash between mkstemp and replace
                 # leaves an orphan that every Parquet reader IGNORES
                 # (pyarrow dataset discovery skips '.'/'_' prefixes), so
@@ -1298,14 +1299,23 @@ class _Crawl:
             f_rows = t.filter(f_mask).drop_columns(["_state"])
             n_b = int(pc.sum(pc.cast(pc.equal(st, "b"),
                                      pa.int64())).as_py() or 0)
+            if t.num_rows == 0:
+                return pa.table({
+                    "n_cand": pa.array([0], pa.int64()),
+                    "n_sel": pa.array([0], pa.int64()),
+                    "n_robots": pa.array([0], pa.int64()),
+                    "n_err": pa.array([0], pa.int64()),
+                    "n_parse_ok": pa.array([0], pa.int64()),
+                })
             try:
                 tid = (ray.get_runtime_context().get_task_id()
                        or "driver")
             except Exception:
                 tid = "driver"
-            seq = _PART_SEQ.get(tid, 0)
-            _PART_SEQ[tid] = seq + 1
-            name = hashlib.md5(f"{tid}:{seq}".encode()).hexdigest()[:16]
+            # replay-stable part identity (see the budget path's note):
+            # (task id, first url) — no process-global counter
+            name = hashlib.md5(
+                f"{tid}:{t['url'][0].as_py()}".encode()).hexdigest()[:16]
             n_err = n_pok = 0
             if f_rows.num_rows:
                 found = np.asarray(f_rows["found"], dtype=bool)

@@ -31,13 +31,6 @@ import ray
 
 _CRLF = b"\r\n"
 
-# per-worker-process write counter keyed by task id: gives each block a
-# stable sequence number WITHIN its task that survives lineage
-# re-execution (a re-executed task is a fresh worker process, so the
-# counter restarts at 0 and replays identically)
-_WRITE_SEQ: dict[str, int] = {}
-
-
 def _warc_record(url: str, ts: datetime, body: bytes,
                  content_type: str = "text/html") -> bytes:
     http = (
@@ -63,15 +56,22 @@ def _warc_record(url: str, ts: datetime, body: bytes,
     return gzip.compress(rec, compresslevel=1, mtime=0)
 
 
-def _shard_name(blob: bytes, tid: str, seq: int) -> str:
-    """Deterministic shard identity: (content hash, task id, per-task
-    sequence). A re-executed task recomputes the same name (same tid,
-    same batch order, byte-deterministic blobs — see mtime=0 above), so
-    its os.replace overwrites identical bytes instead of duplicating."""
+def _shard_name(blob: bytes, tid: str) -> str:
+    """Deterministic shard identity: (content hash, task id). A
+    re-executed task recomputes the same name (same tid,
+    byte-deterministic blobs — see mtime=0 above), so its os.replace
+    overwrites identical bytes instead of duplicating. NO per-process
+    counter: a retry scheduled onto the SAME still-alive worker used to
+    continue the old counter and mint fresh names for replayed batches
+    — doubled shards, the exact failure the deterministic naming
+    exists to prevent. Two identical-content blocks in different tasks
+    still both survive (different tid); byte-identical batches within
+    ONE task collapse to one shard — indistinguishable from a replay
+    by construction, and the only case given up."""
     import hashlib
 
     base = hashlib.md5(blob).hexdigest()[:16]
-    suffix = hashlib.md5(f"{tid}:{seq}".encode()).hexdigest()[:8]
+    suffix = hashlib.md5(tid.encode()).hexdigest()[:8]
     return f"{base}-{suffix}.warc.gz"
 
 
@@ -98,28 +98,18 @@ def write_warc_shards(ds, out_dir: str, *, url_col: str = "url",
                 b = b.encode()
             parts.append(_warc_record(u, ts, b or b"", content_type))
         blob = b"".join(parts)
-        # DETERMINISTIC shard identity = (content hash, task id, per-task
-        # sequence), so the write is IDEMPOTENT under Ray's at-least-once
-        # task execution: a re-executed block (worker died after the
-        # rename but before returning; lineage reconstruction) reruns in
-        # the same task identity over the same batches in the same order,
-        # recomputes the SAME name, and the atomic os.replace degenerates
-        # to overwriting identical bytes — no '-1'-suffixed duplicate
-        # shard, no doubled records. Distinct blocks that happen to be
-        # byte-identical (a genuinely doubled ingest) still BOTH survive:
-        # they run under different task ids (or different seq within one
-        # task) and so get different names. Consequence unchanged: write
-        # into a FRESH directory per run (a rerun is a new driver task id
-        # and would add, not overwrite).
+        # DETERMINISTIC shard identity = (content hash, task id): see
+        # _shard_name — idempotent under Ray's at-least-once execution
+        # even when a retry lands on the same still-alive worker.
+        # Consequence unchanged: write into a FRESH directory per run
+        # (a rerun is a new driver task id and would add, not overwrite).
         import tempfile
 
         try:
             tid = ray.get_runtime_context().get_task_id() or "driver"
         except Exception:
             tid = "driver"
-        seq = _WRITE_SEQ.get(tid, 0)
-        _WRITE_SEQ[tid] = seq + 1
-        name = _shard_name(blob, tid, seq)
+        name = _shard_name(blob, tid)
         # unique "."-prefixed tmp per writer, atomic full-content
         # swap-in; a crash between write and replace leaves an orphan
         # that read_warc's extension filter never ingests (a doubled
@@ -143,10 +133,13 @@ def _split_members(blob: bytes):
     (the remaining bytes are undecodable without resync info) so the
     caller can COUNT the loss instead of silently stopping."""
     pos = 0
+    view = memoryview(blob)  # per-member tail SLICES of a big shard
+    # were O(members^2) memcpy — ~500 GB of copying for a 100 MB shard
+    # of 10k per-record members; a memoryview slice is zero-copy
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)
         try:
-            out = d.decompress(blob[pos:])
+            out = d.decompress(view[pos:])
         except zlib.error:
             yield None
             return

@@ -256,6 +256,17 @@ def merge_cdx_index(manifest: list[dict], new_ds, out_dir: str, *,
             out_dir, f"merged-{i:05d}-{os.path.basename(m['path'])}")
         refs.append(_merge_shard.remote(
             m["path"], os.path.join(delta_dir, f"shard={i}"), out_path))
-    new_manifest.extend(ray.get(refs))
+    merged = ray.get(refs)
+    new_manifest.extend(merged)
+    # delete the superseded base shards AFTER their replacements are
+    # durably written — without this every incremental merge left the
+    # old generation on disk (unbounded growth for a hot shard, and a
+    # later rebuild's *.parquet glob would double-count stale files)
+    for i, m in enumerate(base):
+        if i in touched:
+            try:
+                os.remove(m["path"])
+            except OSError:
+                pass
     shutil.rmtree(delta_dir, ignore_errors=True)
     return sorted(new_manifest, key=lambda m: m["min_key"])

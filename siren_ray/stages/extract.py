@@ -122,7 +122,11 @@ def parse_epaper(url: str, html: bytes) -> dict:
         total = 0
         if (el := parse_html(html).find(id_="totalpages")) is not None:
             if (v := el.get("value")) is not None:
-                total = int(v)
+                try:
+                    total = int(v)
+                except (ValueError, TypeError):
+                    total = 0  # malformed count: no sibling expansion,
+                    # never a crashed batch
         base = url[: -len("Page-1.html")]
         links.extend(f"{base}Page-{p}.html" for p in range(2, total + 1))
     return {**_EMPTY, "parse_ok": True, "links": links}
@@ -185,15 +189,21 @@ def parse_ld(url: str, html: bytes) -> dict:
     if not isinstance(data, dict):
         data = {}
     author = data.get("author")
-    data["author"] = (
-        author.get("name", "-") if isinstance(author, dict) else "-"
-    )
+    name = author.get("name") if isinstance(author, dict) else None
+    # type-validate, not just key presence: real-world JSON-LD carries
+    # list-valued headline/author, and a non-string value would crash
+    # the whole extract batch at the Arrow column build instead of
+    # dropping the record (P9 validate-or-drop)
+    data["author"] = name if isinstance(name, str) else "-"
     data.setdefault("thumbnailUrl", "-")
     data.setdefault("headline", "-")
     links = _related_links(root)
     required = ("url", "datePublished", "dateModified", "description")
     if any(k not in data for k in required):
         return {**_EMPTY, "links": links}  # ValidationError -> drop
+    if not (isinstance(data["headline"], str)
+            and isinstance(data["description"], str)):
+        return {**_EMPTY, "links": links}
     try:
         ts = datetime.fromisoformat(data["datePublished"])
     except (ValueError, TypeError):

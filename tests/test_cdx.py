@@ -32,7 +32,9 @@ def test_surt_key_semantics(url, key):
 def test_surt_keys_null_and_empty():
     assert surt_keys(pa.array([], pa.string())).to_pylist() == []
     out = surt_keys(pa.array([None, "https://a.b/c"], pa.string()))
-    assert out.to_pylist() == ["/", "b,a)/c"]
+    # null urls now PROPAGATE as null through canonicalization and fall
+    # back to "" (total-orderable, never aliasing the literal "/" url)
+    assert out.to_pylist() == ["", "b,a)/c"]
     assert out.null_count == 0
 
 

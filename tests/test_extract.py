@@ -393,3 +393,47 @@ def test_parse_x_robots_tag_semantics():
     out = x_robots_batch(t).to_pydict()
     assert out["nosnippet"] == [True, False]
     assert out["noindex"] == [False, False]
+
+
+def test_parse_ld_type_validation_drops_not_crashes():
+    """Real-world JSON-LD carries list/dict-valued headline and author;
+    a non-string value must DROP the record (P9 validate-or-drop), not
+    crash the Arrow column build for the whole batch."""
+    import json
+
+    from siren_ray.stages.extract import extract_batch
+    import pyarrow as pa
+
+    def ld_page(payload):
+        return (b'<html><script type="application/ld+json">'
+                + json.dumps(payload).encode()
+                + b"</script></html>")
+
+    base = {"url": "u", "datePublished": "2024-01-02T00:00:00",
+            "dateModified": "2024-01-02T00:00:00", "description": "d"}
+    good = dict(base, headline="ok")
+    bad_headline = dict(base, headline=["a", "b"])
+    bad_author = dict(base, headline="h", author={"name": ["x"]})
+    bad_desc = dict(base, headline="h", description={"en": "d"})
+    batch = pa.table({
+        "url": pa.array([f"https://h/news/{i}" for i in range(4)]),
+        "html": pa.array([ld_page(good), ld_page(bad_headline),
+                          ld_page(bad_author), ld_page(bad_desc)],
+                         pa.binary()),
+    })
+    out = extract_batch(batch)  # must not raise
+    ok = out["parse_ok"].to_pylist()
+    assert ok[0] is True and ok[1] is False and ok[3] is False
+    assert ok[2] is True  # bad author coerces to '-', record survives
+    assert out["author"].to_pylist()[2] == "-"
+
+
+def test_parse_epaper_malformed_totalpages():
+    from siren_ray.stages.extract import parse_epaper
+
+    html = b'<html><input id="totalpages" value=""></html>'
+    r = parse_epaper("https://h/epaper/x/Page-1.html", html)
+    assert r["parse_ok"] is True and r["links"] == []
+    html2 = b'<html><input id="totalpages" value="junk"></html>'
+    r2 = parse_epaper("https://h/epaper/x/Page-1.html", html2)
+    assert r2["parse_ok"] is True and r2["links"] == []

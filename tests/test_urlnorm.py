@@ -215,3 +215,24 @@ def test_url_template_batch_rules():
         "https://a.org/h/abc<N>",
         "https://a.org/plain/slug",
     ]
+
+
+def test_canonicalize_never_raises_on_malformed():
+    """Crawled hrefs are hostile: malformed ports, IPv6 literals,
+    credentials — one bad URL must pass through stripped, never kill
+    the batch (urlsplit defers port validation to .port access)."""
+    from siren_ray.functions.urlnorm import canonicalize_url, canonicalize_urls
+    import pyarrow as pa
+
+    assert canonicalize_url("http://host:abc/x") == "http://host:abc/x"
+    assert canonicalize_url("http://host:99999/x") == "http://host:99999/x"
+    assert canonicalize_url("http://[::1]:8080/x") == "http://[::1]:8080/x"
+    assert canonicalize_url("https://[2001:db8::1]/x") == \
+        "https://[2001:db8::1]/x"
+    # credentials preserved: a credentialed URL is a different resource
+    assert canonicalize_url("http://user:pw@Host/x") == \
+        "http://user:pw@host/x"
+    out = canonicalize_urls(pa.array(
+        ["http://host:bad/x", None, "http://h/a ", "http://h/a"]))
+    assert out.to_pylist() == ["http://host:bad/x", None,
+                               "http://h/a", "http://h/a"]

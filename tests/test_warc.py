@@ -149,12 +149,17 @@ def test_shard_write_is_idempotent_under_task_retry():
     b1 = _warc_record("https://ex.com/a", ts, b"<html>x</html>")
     b2 = _warc_record("https://ex.com/a", ts, b"<html>x</html>")
     assert b1 == b2
-    # name deterministic for the same task identity...
-    assert _shard_name(b1, "task-7", 0) == _shard_name(b2, "task-7", 0)
+    # name deterministic for the same task identity — INCLUDING a
+    # retry that lands on the same still-alive worker (no per-process
+    # counter in the name anymore: a surviving counter used to mint
+    # fresh names for replayed batches -> doubled shards)
+    assert _shard_name(b1, "task-7") == _shard_name(b2, "task-7")
     # ...but distinct for identical content under a DIFFERENT identity
     # (a genuinely doubled ingest must keep both shards)
-    assert _shard_name(b1, "task-7", 0) != _shard_name(b1, "task-8", 0)
-    assert _shard_name(b1, "task-7", 0) != _shard_name(b1, "task-7", 1)
+    assert _shard_name(b1, "task-7") != _shard_name(b1, "task-8")
+    # distinct content under one task stays distinct
+    b3 = _warc_record("https://ex.com/b", ts, b"<html>y</html>")
+    assert _shard_name(b1, "task-7") != _shard_name(b3, "task-7")
 
 
 def test_warc_to_corpus_feeds_bucketed_crawl(corpus_sf0001,
