@@ -57,7 +57,13 @@ def project_batch(batch: pa.Table, spec: ProjectionSpec) -> pa.Table:
             cols.append(serialize_column(batch[name]))
         else:
             cols.append(pa.array([MISSING] * batch.num_rows, pa.string()))
-    return pa.table(dict(zip(headers, cols)))
+    # from_arrays, NOT a dict: an alias colliding with another resolved
+    # header must yield BOTH columns under the duplicate name (the
+    # reference writes duplicate CSV headers; a dict silently dropped
+    # one column's data)
+    cols = [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in cols]
+    return pa.Table.from_arrays(cols, names=headers)
 
 
 def write_routed_parquet(ds, out_dir: str,
@@ -103,7 +109,12 @@ def write_resumable_parquet(ds, out_dir: str, *,
         p = os.path.join(out_dir, name)
         if not (name.startswith(prefix) and os.path.isdir(p)):
             continue
-        val = name[len(prefix):]
+        # hive dir names are URI-segment-encoded ('HT Scraper' ->
+        # 'HT%20Scraper'); compare DECODED values or the skip filter
+        # misses and resumed runs duplicate rows into finished dirs
+        from urllib.parse import unquote
+
+        val = unquote(name[len(prefix):])
         if os.path.exists(os.path.join(p, "_SUCCESS")):
             done.append(val)
         else:

@@ -21,13 +21,19 @@ def transform_value(item) -> str:
 
 
 def serialize_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Vectorized X1 over a column."""
+    """Vectorized X1 over a column. Nulls serialize to the string
+    'None' — the reference projector str()s every value
+    (scraper.py:133, transform_value(None) == 'None'), so an Arrow
+    null emitting an empty CSV cell would diverge from reference CSVs
+    on every nullable column."""
     t = col.type
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
-        return pc.strftime(col, format="%Y-%m-%d")
-    if pa.types.is_string(t):
-        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    return pc.cast(col, pa.string())
+        out = pc.strftime(col, format="%Y-%m-%d")
+    elif pa.types.is_string(t):
+        out = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    else:
+        out = pc.cast(col, pa.string())
+    return pc.fill_null(out, "None")
 
 
 # X2 — date parsers, exact formats used by the reference
@@ -49,8 +55,13 @@ def format_dates(col, fmt: str = "%Y-%m-%d") -> pa.Array:
 
 
 def to_epoch_seconds(col) -> pa.Array:
-    """readwhere/core.py:169-172: int(dt.timestamp())."""
-    return pc.cast(pc.divide(pc.cast(col, pa.int64()), 1_000_000), pa.int64())
+    """readwhere/core.py:169-172: int(dt.timestamp()). Divides by the
+    column's OWN timestamp unit (a hardcoded 1e6 was silently wrong for
+    s/ms/ns-unit columns from other writers)."""
+    unit = getattr(col.type, "unit", "us")
+    scale = {"s": 1, "ms": 1_000, "us": 1_000_000,
+             "ns": 1_000_000_000}[unit]
+    return pc.cast(pc.divide(pc.cast(col, pa.int64()), scale), pa.int64())
 
 
 # X4 — URL building / carving

@@ -26,7 +26,8 @@ from dataclasses import dataclass
 
 from ..functions.project import ProjectionSpec, project_batch
 from ..stages.dedup import dedup_exact
-from ..stages.fetch import FetchExtract, FetchRaw, broadcast_pages
+from ..stages.fetch import (broadcast_pages, fetch_extract_task,
+                            fetch_raw_task)
 from ..util import hosts_of, paths_of
 import os
 
@@ -57,9 +58,15 @@ def read_pages(corpus_dir: str, *, kinds: tuple[str, ...] | None = None,
     )
     if kinds:
         pats = tuple(f"/{k}" for k in _KIND_PATHS(kinds))
+        # the generic '/search/' family must not swallow the readwhere
+        # issue-search API pages ('/search/issue/...'), which have their
+        # own dedicated pipeline — without the carve-out every mirror
+        # run fetched and mis-parsed the whole readwhere corpus slice
+        excl = ("/search/issue/",) if "search" in kinds else ()
         ds = ds.map_batches(
             lambda t: t.filter(
                 pa.array([any(p in u for p in pats)
+                          and not any(x in u for x in excl)
                           for u in t["url"].to_pylist()])
             ),
             batch_format="pyarrow",
@@ -115,12 +122,16 @@ def _fetch_urls(urls_ds, fetch_kwargs: dict, *, concurrency: int = 4,
                 cols[name] = t[name]
         return pa.table(cols)
 
+    # TASK pool with per-worker cached corpus state (CLAUDE.md
+    # tiny-state rule; same discipline as the crawl's distributed
+    # round) — actor pools paid spin-up per pipeline stage and stacked
+    # into the documented multi-pool deadlock hazard on small clusters
+    _ = concurrency  # pool width is the task scheduler's to decide
     return urls_ds.map_batches(_prep, batch_format="pyarrow").map_batches(
-        FetchExtract,
-        fn_constructor_kwargs=fetch_kwargs,
+        fetch_extract_task,
+        fn_kwargs=dict(fetch_kwargs),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
     )
 
 
@@ -128,12 +139,12 @@ def fetch_raw(urls_ds, fetch_kwargs: dict, *, concurrency: int = 2,
               batch_size: int = 1024):
     """Lookup-only fetch (html + found, no extract) — the hydration stage
     for API-JSON families parsed by dedicated multi-record parsers."""
+    _ = concurrency  # pool width is the task scheduler's to decide
     return urls_ds.map_batches(
-        FetchRaw,
-        fn_constructor_kwargs=fetch_kwargs,
+        fetch_raw_task,
+        fn_kwargs=dict(fetch_kwargs),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
     )
 
 
@@ -265,12 +276,6 @@ def toi_query_filter(ds, spec: ToiQuerySpec, *, text_cols=("text",),
 # --------------------------------------------------------------------------
 # family pipelines
 # --------------------------------------------------------------------------
-
-MIRROR_SPEC = ProjectionSpec(
-    # MirrorOnlineArticle fields (mirror.py:24-31), sorted (set-order fix)
-    fields=None, include=frozenset(), exclude=frozenset(),
-)
-
 
 def mirror_pipeline(corpus_dir: str, *, start: datetime, end: datetime,
                     concurrency: int = 4, fetch_mode: str = "broadcast"):
@@ -435,6 +440,7 @@ def toi_pipeline(corpus_dir: str, *, include_any: list[str] = (),
                             exclude_all=tuple(exclude_all))
     return toi_query_filter(
         ok, spec, text_cols=("text", "title"), byline_col="author",
+        location_col="location",
     ).select_columns(["url", "title", "text", "published_ts"])
 
 

@@ -119,7 +119,12 @@ def parse_feed(url: str, payload: bytes | str | None) -> list[dict]:
             payload = gzip.decompress(payload)
         except OSError:
             return []
-    kind = "atom" if re.search(rb"<feed[\s>]", payload) else "rss"
+    # sniff the ROOT element, not any occurrence: an RSS item whose
+    # content merely mentions '<feed' must not flip the parser to Atom
+    # (which would silently drop every RSS item). The first match of
+    # either root tag in document order decides.
+    m0 = re.search(rb"<(feed|rss)[\s>]", payload)
+    kind = "atom" if (m0 is not None and m0.group(1) == b"feed") else "rss"
     out = []
     for m in _ITEM_RE.finditer(payload):
         body = m.group(2)

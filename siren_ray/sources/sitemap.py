@@ -102,7 +102,12 @@ def lastmod_to_epoch(value: str | None) -> int | None:
     from datetime import datetime, timezone
 
     try:
-        dt = datetime.fromisoformat(value.strip())
+        # normalize the Z designator explicitly (as feeds.py does):
+        # pre-3.11 fromisoformat rejects it, and the W3C Z-form is the
+        # most common lastmod spelling — silently parsing none of them
+        # would mean never recrawling updated pages
+        dt = datetime.fromisoformat(
+            value.strip().replace("Z", "+00:00"))
     except ValueError:
         return None
     if dt.tzinfo is None:

@@ -88,6 +88,7 @@ _EMPTY = {
     "title": None,
     "author": None,
     "headline": None,
+    "location": None,
     "published_ts": None,
     "links": [],
 }
@@ -241,13 +242,14 @@ def parse_tg(url: str, html: bytes) -> dict:
     body = ""
     if (cb := root.find(id_="contentbox")) and (inner := cb.first_child("div")):
         body = "\n".join(p.text for p in inner.find_all("p"))
-    _ = (header, location)
+    _ = header
     return {
         **_EMPTY,
         "parse_ok": True,
         "text": body,
         "title": title,
         "author": author or None,
+        "location": location or None,
         "published_ts": ts,
         "links": _related_links(root),
     }
@@ -289,6 +291,7 @@ EXTRACT_SCHEMA = pa.schema(
         ("title", pa.string()),
         ("author", pa.string()),
         ("headline", pa.string()),
+        ("location", pa.string()),
         ("published_ts", pa.timestamp("us")),
         ("links", pa.list_(pa.string())),
     ]
@@ -313,6 +316,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         "title": pa.array([r["title"] for r in results], pa.string()),
         "author": pa.array([r["author"] for r in results], pa.string()),
         "headline": pa.array([r["headline"] for r in results], pa.string()),
+        "location": pa.array([r["location"] for r in results], pa.string()),
         "published_ts": pa.array(
             [r["published_ts"] for r in results], pa.timestamp("us")
         ),

@@ -74,6 +74,7 @@ _NULL_EXTRACT_COLS: list[tuple[str, pa.DataType]] = [
     ("title", pa.string()),
     ("author", pa.string()),
     ("headline", pa.string()),
+    ("location", pa.string()),
     ("published_ts", pa.timestamp("us")),
     ("links", pa.list_(pa.string())),
 ]
@@ -88,14 +89,16 @@ _BUCKET_CACHE: OrderedDict = OrderedDict()
 _FETCH_CACHE: dict = {}
 
 
-def _cached_fetch_extract(**kwargs) -> "FetchExtract":
-    """Per-worker-process FetchExtract construction cache for TASK-pool
+def _cached_fetch(cls, **kwargs):
+    """Per-worker-process fetch-stage construction cache for TASK-pool
     use (corpus modes only — live-HTTP keeps a real per-actor
-    transport). Keyed by the lookup identity; the heavy state behind it
-    (broadcast columns / bucket LRU) is itself process-global, so even
-    a key miss only pays object construction."""
+    transport). Keyed by (class, lookup identity); the heavy state
+    behind it (broadcast columns / bucket LRU) is itself
+    process-global, so even a key miss only pays object
+    construction."""
     ref = kwargs.get("pages_ref")
     key = (
+        cls.__name__,
         ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref),
         kwargs.get("pages_dir"), kwargs.get("num_buckets"),
         kwargs.get("cache_buckets"), kwargs.get("enrich"),
@@ -104,9 +107,23 @@ def _cached_fetch_extract(**kwargs) -> "FetchExtract":
     if fe is None:
         if len(_FETCH_CACHE) > 4:
             _FETCH_CACHE.clear()
-        fe = FetchExtract(**kwargs)
+        fe = cls(**kwargs)
         _FETCH_CACHE[key] = fe
     return fe
+
+
+def _cached_fetch_extract(**kwargs) -> "FetchExtract":
+    return _cached_fetch(FetchExtract, **kwargs)
+
+
+def fetch_raw_task(batch: pa.Table, **kwargs) -> pa.Table:
+    """Task-pool lookup-only fetch (html + found, no extract) with
+    per-worker cached state — the hydration stage for API-JSON
+    families, CLAUDE.md task-pool discipline. Corpus modes only."""
+    if kwargs.get("http_base") is not None:
+        raise ValueError("fetch_raw_task: http mode needs the "
+                         "FetchRaw actor pool")
+    return _cached_fetch(FetchRaw, **kwargs)(batch)
 
 
 def fetch_extract_task(batch: pa.Table, *, round_no: int | None = None,
